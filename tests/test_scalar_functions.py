@@ -1,0 +1,142 @@
+"""Table-driven byte-exact tests for the scalar core (SURVEY.md §5.2 item 1)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from scrapy__ray.functions import (
+    canonicalize_url,
+    decode_html,
+    extract_links,
+    extract_text,
+    host_of,
+    request_fingerprint,
+    url_is_from_any_domain,
+    urljoin_with_base,
+)
+from scrapy__ray.functions.fingerprint import fingerprint_canonical
+
+VEC = os.path.join(os.path.dirname(__file__), "vectors")
+
+
+def _load(name):
+    with open(os.path.join(VEC, name)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+# ---------------------------------------------------------------- canonical
+
+
+@pytest.mark.parametrize("vec", _load("canonical.jsonl"), ids=lambda v: v["case"])
+def test_canonicalize_vectors(vec):
+    got = canonicalize_url(vec["in"])
+    assert got == vec["out"], vec["case"]
+    assert canonicalize_url(got) == got, "idempotence: " + vec["case"]
+
+
+def test_fingerprint_equivalence_classes():
+    # shuffled params + fragment + case + default port all collapse
+    variants = [
+        "http://h0.example/p/5?b=2&a=1#frag",
+        "HTTP://H0.EXAMPLE:80/p/5?a=1&b=2",
+        "http://h0.example/p/%35?b=2&a=1",
+    ]
+    fps = {request_fingerprint(u) for u in variants}
+    assert len(fps) == 1
+    assert len(request_fingerprint(variants[0])) == 20
+    # distinct urls -> distinct fingerprints
+    assert request_fingerprint("http://h0.example/p/6") not in fps
+    # hot-path variant agrees with the general one on canonical urls
+    cu = canonicalize_url(variants[0])
+    assert fingerprint_canonical(cu) == request_fingerprint(variants[0])
+
+
+def test_host_and_domain_helpers():
+    assert host_of("http://H0.Example:8080/p/1") == "h0.example"
+    assert host_of("http://user:pw@h0.example/p") == "h0.example"
+    assert url_is_from_any_domain("http://h0.example/p", ["example"])
+    assert url_is_from_any_domain("http://example/p", ["example"])
+    assert not url_is_from_any_domain("http://external.invalid/x", ["example"])
+    assert not url_is_from_any_domain("http://notexample.com/x", ["example"])
+
+
+def test_urljoin_with_base():
+    page = "http://h0.example/a/b/page.html"
+    assert urljoin_with_base(page, None, "/p/1") == "http://h0.example/p/1"
+    assert urljoin_with_base(page, None, "p/1") == "http://h0.example/a/b/p/1"
+    assert urljoin_with_base(page, None, "../p/1") == "http://h0.example/a/p/1"
+    assert (
+        urljoin_with_base(page, "http://h9.example/base/", "p/1")
+        == "http://h9.example/base/p/1"
+    )
+    assert (
+        urljoin_with_base(page, "/root/", "p/1") == "http://h0.example/root/p/1"
+    )
+
+
+# ---------------------------------------------------------------- extraction
+
+
+@pytest.mark.parametrize("vec", _load("textextract.jsonl"), ids=lambda v: v["case"])
+def test_extract_text_vectors(vec):
+    assert extract_text(vec["html"].encode("utf-8")) == vec["text"]
+
+
+def test_encoding_precedence():
+    # declared charset wins
+    body = "<p>café</p>".encode("latin-1")
+    assert "café" in decode_html(body, declared="iso-8859-1")
+    # meta charset within first 4 KiB
+    meta = b'<html><head><meta charset="iso-8859-1"></head><body><p>caf\xe9</p></body></html>'
+    assert extract_text(meta) == "café"
+    meta2 = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=iso-8859-1"></head><body><p>caf\xe9</p></body></html>'
+    )
+    assert extract_text(meta2) == "café"
+    # BOM beats the utf-8 fallback and is stripped
+    bom = "﻿".encode("utf-8")[0:3] + "<p>ok</p>".encode("utf-8")
+    assert extract_text(bom) == "ok"
+    # fallback utf-8 with errors=replace never raises
+    assert extract_text(b"<p>\xff\xfe\xfa</p>") != ""
+
+
+def test_extract_links_rules():
+    page = "http://h0.example/p/0"
+    html = (
+        b"<html><head><base href='/base/'></head><body>"
+        b"<ul>"
+        b"<li><a href='p/1'>a</a></li>"
+        b"<li><a href='/p/2'>b</a></li>"
+        b"<li><a href='http://h1.example/p/0'>c</a></li>"
+        b"<li><a href='mailto:x@y.z'>d</a></li>"
+        b"<li><a href='javascript:void(0)'>e</a></li>"
+        b"<li><a href='/img/file.jpg'>f</a></li>"
+        b"<li><a href='/doc.pdf'>g</a></li>"
+        b"<li><a href='/p/2#frag'>dup-of-b</a></li>"
+        b"<li><a href=' p/1 '>ws-dup-of-a</a></li>"
+        b"<li><area href='/p/3'></li>"
+        b"</ul></body></html>"
+    )
+    links = extract_links(html, page)
+    assert links == [
+        "http://h0.example/base/p/1",  # relative resolves against <base>
+        "http://h0.example/p/2",
+        "http://h1.example/p/0",
+        "http://h0.example/p/3",
+    ]
+
+
+def test_extract_links_no_base():
+    html = b"<a href='p/1'>x</a><a href='archive.tar.gz'>y</a>"
+    assert extract_links(html, "http://h0.example/p/0") == ["http://h0.example/p/p/1"]
+
+
+def test_gzip_roundtrip_helper():
+    # compression-middleware analogue (SURVEY.md M6): gzipped body variant
+    raw = b"<p>zipped</p>"
+    assert extract_text(gzip.decompress(gzip.compress(raw))) == "zipped"
