@@ -1,0 +1,81 @@
+"""Pinned crawl configuration + the frozen BSP crawl semantics.
+
+Setting names keep the reference's vocabulary (SURVEY.md §2.10) where the
+semantics match (``scrapy/settings/default_settings.py``).  Correctness
+fixtures pin the values in FIXTURES.md §5.
+
+THE CRAWL SEMANTICS (frozen — oracle.py and engine.py implement EXACTLY this;
+they share scalar functions and the fixture fault model but no orchestration
+code, so oracle-vs-engine equivalence is a real check):
+
+Frontier row identity: canonical url + 20-byte fingerprint.  Order key =
+``(-priority, disc_round, parent_url, link_idx)`` ascending; seeds have
+``(0, -1, "", seed_order)``.  Priority: higher = sooner (Scrapy semantics);
+BFO via DEPTH_PRIORITY=1 -> child priority = -child_depth.
+
+Round k (a politeness epoch of ``round_duration`` virtual seconds):
+ 1. DEDUP  per host-hash shard, candidates in order-key order: rows with
+    skip_dedup insert their fingerprint and always pass (dont_filter
+    analogue — pinned divergence from Scrapy, which never records
+    dont_filter fingerprints; recording keeps "no url fetched twice"
+    invariant); else seen fingerprint -> drop (deduped++), unseen ->
+    insert + pass.
+ 2. ROBOTS (if ROBOTSTXT_OBEY): host's robots.txt (stdlib urllib.
+    robotparser) disallows url for USER_AGENT -> drop (robots_denied++).
+    Runs after the dedup insert, mirroring scheduler-then-downloader order.
+ 3. SCHEDULE per host: sort by order key, take first per_host_budget
+    (= round_duration / DOWNLOAD_DELAY); rest -> deferred to round k+1
+    with skip_dedup=True, order key + priority unchanged (deferred++).
+    fetch_seq_in_host = rank; virtual fetch time = k*round_duration +
+    rank*DOWNLOAD_DELAY (the politeness invariant).
+ 4. FETCH (simulated by corpus lookup; fault model fixtures/faults.py):
+    503 -> retry_count < RETRY_TIMES ? re-emit next round {retry_count+1,
+          priority += RETRY_PRIORITY_ADJUST, skip_dedup=True, key unchanged,
+          retried++} : drop (errors++)
+    301 -> redirect_count < REDIRECT_MAX_TIMES ? candidate {url=Location,
+          priority += 2, same depth, disc_round=k, parent_url=source url,
+          link_idx=-1, redirect_count+1, skip_dedup=False, redirects++}
+          : drop (errors++)
+    404 -> errors++, terminal.   200 -> fetched++, extract text + links.
+ 5. EXPAND 200 pages: per out_link (canonical, page-order l): offsite
+    (allowed_domains suffix match) -> drop offsite++; len(url) >
+    URLLENGTH_LIMIT -> drop; child_depth = depth+1 > DEPTH_LIMIT -> drop;
+    else candidate {priority=-child_depth*DEPTH_PRIORITY, disc_round=k,
+    parent_url=page url, link_idx=l, skip_dedup=False}.
+ 6. frontier_{k+1} = deferred ∪ retries ∪ redirects ∪ links.  Stop when
+    empty, or round == max_rounds, or (checked between rounds)
+    total fetched >= CLOSESPIDER_PAGECOUNT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    allowed_domains: tuple[str, ...] = ("example",)
+    depth_limit: int = 6  # DEPTH_LIMIT (0 = unlimited)
+    depth_priority: int = 1  # DEPTH_PRIORITY (1 -> BFO)
+    download_delay: float = 1.0  # DOWNLOAD_DELAY, virtual seconds
+    round_duration: float = 8.0  # politeness epoch length
+    robots_obey: bool = True  # ROBOTSTXT_OBEY
+    retry_times: int = 2  # RETRY_TIMES
+    retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
+    redirect_max_times: int = 20  # REDIRECT_MAX_TIMES
+    redirect_priority_adjust: int = 2
+    url_length_limit: int = 2083  # URLLENGTH_LIMIT
+    max_rounds: int = 10_000
+    max_pages: int | None = None  # CLOSESPIDER_PAGECOUNT
+    dedup: str = "exact"  # "exact" | "cuckoo"
+    num_shards: int = 8  # seen-set shard actors
+    user_agent: str = "scrapy__ray"
+    concurrency: int | None = None  # fetch/extract pool size (None = auto)
+
+    @property
+    def per_host_budget(self) -> int:
+        return max(1, int(self.round_duration / self.download_delay))
+
+
+#: FIXTURES.md §5 pinned correctness config.
+FIXTURE_CONFIG = CrawlConfig()

@@ -1,0 +1,228 @@
+"""Pure-Python single-process reference crawl simulator (SURVEY.md §5.2).
+
+Implements EXACTLY the frozen semantics of scrapy__ray/config.py's docstring,
+with plain dicts/lists/sets — no Ray, no Arrow, no shared orchestration code
+with the engine.  It stands in for the reference crawler (the mount was empty,
+SURVEY.md §0): engine-vs-oracle equivalence of the URL-seen set, per-host
+fetch order, round assignment, extracted text bytes, and metric totals is the
+correctness gate for every fixture corpus.
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from fixtures import faults
+from scrapy__ray.config import CrawlConfig
+from scrapy__ray.functions.fingerprint import fingerprint_canonical
+from scrapy__ray.functions.linkextract import links_from_hrefs
+from scrapy__ray.functions.textextract import extract_page
+from scrapy__ray.functions.url import host_of, url_is_from_any_domain
+
+
+@dataclass
+class Candidate:
+    url: str
+    host: str
+    priority: int
+    depth: int
+    disc_round: int
+    parent_url: str
+    link_idx: int
+    retry_count: int = 0
+    redirect_count: int = 0
+    skip_dedup: bool = False
+
+    def order_key(self):
+        return (-self.priority, self.disc_round, self.parent_url, self.link_idx)
+
+
+@dataclass
+class OracleResult:
+    # (url, round, host, fetch_seq_in_host, status, depth) — every fetch attempt
+    fetch_log: list[tuple] = field(default_factory=list)
+    # url -> extracted text for every 200 fetch
+    texts: dict[str, str] = field(default_factory=dict)
+    seen: set[bytes] = field(default_factory=set)
+    seen_urls: set[str] = field(default_factory=set)
+    metrics: list[dict] = field(default_factory=list)
+    rounds: int = 0
+
+    def totals(self) -> dict:
+        keys = [
+            "fetched", "deduped", "deferred", "robots_denied",
+            "errors", "retried", "redirects", "offsite",
+        ]
+        return {k: sum(m[k] for m in self.metrics) for k in keys}
+
+
+def load_corpus(corpus_dir: str):
+    pages = pq.read_table(f"{corpus_dir}/pages", columns=["url", "html"])
+    page_html = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    hosts = pq.read_table(f"{corpus_dir}/hosts.parquet")
+    n_pages = dict(zip(hosts["host"].to_pylist(), hosts["n_pages"].to_pylist()))
+    robots = pq.read_table(f"{corpus_dir}/robots.parquet")
+    robots_txt = dict(
+        zip(robots["host"].to_pylist(), robots["robots_txt"].to_pylist())
+    )
+    seeds_t = pq.read_table(f"{corpus_dir}/seeds.parquet")
+    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["seed_order"].to_pylist()))
+    return page_html, n_pages, robots_txt, seeds
+
+
+class OracleCrawl:
+    def __init__(self, corpus_dir: str, config: CrawlConfig | None = None):
+        self.cfg = config or CrawlConfig()
+        self.page_html, self.n_pages, robots_txt, self.seeds = load_corpus(corpus_dir)
+        self._robots: dict[str, urllib.robotparser.RobotFileParser] = {}
+        for host, txt in robots_txt.items():
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(txt.splitlines())
+            self._robots[host] = rp
+
+    def _allowed(self, host: str, url: str) -> bool:
+        rp = self._robots.get(host)
+        if rp is None:
+            return True
+        return rp.can_fetch(self.cfg.user_agent, url)
+
+    def run(self) -> OracleResult:
+        cfg = self.cfg
+        res = OracleResult()
+        frontier: list[Candidate] = [
+            Candidate(
+                url=u, host=host_of(u), priority=0, depth=0, disc_round=-1,
+                parent_url="", link_idx=int(order), skip_dedup=True,
+            )
+            for u, order in self.seeds
+        ]
+        total_fetched = 0
+
+        for rnd in range(cfg.max_rounds):
+            if not frontier:
+                break
+            if cfg.max_pages is not None and total_fetched >= cfg.max_pages:
+                break
+            m = dict(
+                round=rnd, fetched=0, deduped=0, deferred=0, robots_denied=0,
+                errors=0, retried=0, redirects=0, offsite=0,
+            )
+            nxt: list[Candidate] = []
+
+            # 1. DEDUP in global order-key order (same-fp rows share a shard,
+            #    so per-shard and global processing agree).
+            frontier.sort(key=Candidate.order_key)
+            passed: list[Candidate] = []
+            for c in frontier:
+                fp = fingerprint_canonical(c.url)
+                if c.skip_dedup:
+                    res.seen.add(fp)
+                    res.seen_urls.add(c.url)
+                    passed.append(c)
+                elif fp in res.seen:
+                    m["deduped"] += 1
+                else:
+                    res.seen.add(fp)
+                    res.seen_urls.add(c.url)
+                    passed.append(c)
+
+            # 2. ROBOTS
+            if cfg.robots_obey:
+                kept = []
+                for c in passed:
+                    if self._allowed(c.host, c.url):
+                        kept.append(c)
+                    else:
+                        m["robots_denied"] += 1
+                passed = kept
+
+            # 3. SCHEDULE: per host, order-key rank < budget
+            by_host: dict[str, list[Candidate]] = {}
+            for c in passed:
+                by_host.setdefault(c.host, []).append(c)
+            scheduled: list[tuple[Candidate, int]] = []
+            for host, rows in by_host.items():
+                rows.sort(key=Candidate.order_key)
+                budget = cfg.per_host_budget
+                for rank, c in enumerate(rows):
+                    if rank < budget:
+                        scheduled.append((c, rank))
+                    else:
+                        c.skip_dedup = True
+                        nxt.append(c)
+                        m["deferred"] += 1
+
+            # 4. FETCH + 5. EXPAND
+            for c, rank in sorted(
+                scheduled, key=lambda t: (t[0].host, t[1])
+            ):
+                url = c.url
+                status = faults.status_of(url, c.retry_count)
+                if url not in self.page_html:
+                    status = faults.STATUS_NOTFOUND
+                res.fetch_log.append((url, rnd, c.host, rank, status, c.depth))
+                if status == faults.STATUS_RETRY:
+                    if c.retry_count < cfg.retry_times:
+                        c.retry_count += 1
+                        c.priority += cfg.retry_priority_adjust
+                        c.skip_dedup = True
+                        nxt.append(c)
+                        m["retried"] += 1
+                    else:
+                        m["errors"] += 1
+                    continue
+                if status == faults.STATUS_REDIRECT:
+                    if c.redirect_count < cfg.redirect_max_times:
+                        loc = faults.redirect_target(
+                            url, c.host, self.n_pages.get(c.host, 0)
+                        )
+                        nxt.append(
+                            Candidate(
+                                url=loc, host=host_of(loc),
+                                priority=c.priority + cfg.redirect_priority_adjust,
+                                depth=c.depth, disc_round=rnd, parent_url=url,
+                                link_idx=-1, redirect_count=c.redirect_count + 1,
+                            )
+                        )
+                        m["redirects"] += 1
+                    else:
+                        m["errors"] += 1
+                    continue
+                if status != faults.STATUS_OK:
+                    m["errors"] += 1
+                    continue
+
+                m["fetched"] += 1
+                total_fetched += 1
+                html = self.page_html[url]
+                text, hrefs, base_href = extract_page(html)
+                res.texts[url] = text
+                for l, link in enumerate(links_from_hrefs(hrefs, url, base_href)):
+                    if not url_is_from_any_domain(link, list(cfg.allowed_domains)):
+                        m["offsite"] += 1
+                        continue
+                    if len(link) > cfg.url_length_limit:
+                        continue
+                    child_depth = c.depth + 1
+                    if cfg.depth_limit and child_depth > cfg.depth_limit:
+                        continue
+                    nxt.append(
+                        Candidate(
+                            url=link, host=host_of(link),
+                            priority=-child_depth * cfg.depth_priority,
+                            depth=child_depth, disc_round=rnd,
+                            parent_url=url, link_idx=l,
+                        )
+                    )
+
+            res.metrics.append(m)
+            res.rounds = rnd + 1
+            frontier = nxt
+        return res
+
+
+def run_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleResult:
+    return OracleCrawl(corpus_dir, config).run()
