@@ -1,0 +1,291 @@
+"""The Ray-Data-native BSP crawl engine (SURVEY.md §3.4).
+
+Replaces the reference's single-threaded reactor control loop
+(``scrapy/core/engine.py::ExecutionEngine._next_request``) with a round-based
+bulk-synchronous loop over Datasets + sharded frontier actors:
+
+    round k:
+      [FrontierShard x S].resolve(k)        # dedup + robots + budget (actors)
+      -> ray.data.from_arrow_refs(refs)     # scheduled rows, one block/shard
+      -> map_batches(fetch_batch)           # simulated fetch, partition-cached
+      -> map_batches(extract_batch)         # byte-exact text + links; drop html
+      -> map_batches(expand_push_batch)     # filters; push candidates to shards
+      -> write_parquet(results/round=k)     # the BSP barrier + the output sink
+      checkpoint: shard pending+seen state, metrics, _COMMITTED marker
+
+Design notes (scale rationale):
+  * The frontier exchange is a hash shuffle BY CONSTRUCTION — expand tasks
+    push each candidate to the shard that owns its host_hash.  Using
+    ``Dataset.repartition(keys=[...])`` per round was measured to re-spawn
+    hash-shuffle aggregator pools per execution (~seconds of fixed overhead
+    per round); pushing into the long-lived shard actors gives the same
+    partitioning with per-round overhead in milliseconds, and the stable
+    seen-set/scheduler state must live in those actors anyway.
+  * One Ray Data streaming execution per round; all stages are stateless
+    tasks, so warm worker processes are reused across rounds (no actor-pool
+    respawn); per-process LRU caches hold corpus partitions.
+  * Results land as one parquet directory per round — the resumability unit.
+    A killed run restarts from the last _COMMITTED checkpoint and reproduces
+    byte-identical subsequent rounds (tested).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import fixtures.gen as fxgen
+from scrapy__ray.config import CrawlConfig
+from scrapy__ray.schema import FRONTIER_SCHEMA, METRICS_SCHEMA
+from scrapy__ray.stages.crawl_stages import (
+    expand_push_batch,
+    extract_batch,
+    fetch_batch,
+)
+from scrapy__ray.stages.stats import StatsCollector
+from scrapy__ray.state.frontier_shard import FrontierShard
+from scrapy__ray.functions.fingerprint import fingerprint_canonical
+from scrapy__ray.functions.url import host_of
+
+_METRIC_KEYS = [
+    "fetched", "deduped", "deferred", "robots_denied", "errors",
+    "retried", "redirects", "offsite", "scheduled",
+]
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int
+    total_fetched: int
+    totals: dict
+    out_dir: str
+    round_metrics: list = field(default_factory=list)
+    urls_per_sec: float = 0.0
+    wall_s: float = 0.0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        corpus_dir: str,
+        out_dir: str,
+        cfg: CrawlConfig | None = None,
+        resume: bool = False,
+    ):
+        import ray
+
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.cfg = cfg or CrawlConfig()
+        self.start_round = 0
+        self.total_fetched = 0
+        S = self.cfg.num_shards
+
+        robots_t = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
+        robots = dict(
+            zip(robots_t["host"].to_pylist(), robots_t["robots_txt"].to_pylist())
+        )
+        per_shard_robots: list[dict[str, str]] = [{} for _ in range(S)]
+        for h, txt in robots.items():
+            per_shard_robots[fxgen.host_hash(h) % S][h] = txt
+
+        ShardActor = ray.remote(FrontierShard)
+        self.shards = [
+            ShardActor.options(num_cpus=0.1, max_restarts=0).remote(
+                i, self.cfg, per_shard_robots[i]
+            )
+            for i in range(S)
+        ]
+        self.stats = ray.remote(StatsCollector).options(num_cpus=0).remote()
+
+        ckpt_round = self._latest_checkpoint() if resume else None
+        if ckpt_round is not None:
+            ray.get(
+                [s.restore.remote(self._ckpt_dir(ckpt_round)) for s in self.shards]
+            )
+            with open(os.path.join(self._ckpt_dir(ckpt_round), "state.json")) as f:
+                st = json.load(f)
+            self.start_round = st["round"] + 1
+            self.total_fetched = st["total_fetched"]
+            # drop any partially-written later round outputs
+            res_root = os.path.join(out_dir, "results")
+            if os.path.isdir(res_root):
+                for d in sorted(os.listdir(res_root)):
+                    r = int(d.rsplit("-", 1)[1])
+                    if r > st["round"]:
+                        shutil.rmtree(os.path.join(res_root, d))
+        else:
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            self._push_seeds()
+
+    # ------------------------------------------------------------------ util
+    def _ckpt_dir(self, rnd: int) -> str:
+        return os.path.join(self.out_dir, "ckpt", f"round={rnd:05d}")
+
+    def _latest_checkpoint(self) -> int | None:
+        root = os.path.join(self.out_dir, "ckpt")
+        if not os.path.isdir(root):
+            return None
+        committed = [
+            int(d.split("=")[1])
+            for d in os.listdir(root)
+            if os.path.exists(os.path.join(root, d, "_COMMITTED"))
+        ]
+        return max(committed) if committed else None
+
+    def _push_seeds(self) -> None:
+        """Seeds -> frontier round 0 (Spider.start_requests, dont_filter=True)."""
+        import ray
+
+        t = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet"))
+        S = self.cfg.num_shards
+        rows_by_shard: dict[int, list[tuple]] = {}
+        for url, order in zip(t["url"].to_pylist(), t["seed_order"].to_pylist()):
+            host = host_of(url)
+            hh = fxgen.host_hash(host)
+            row = (
+                url, host, hh, fingerprint_canonical(url), 0, 0, -1, "",
+                int(order), 0, 0, True,
+            )
+            rows_by_shard.setdefault(hh % S, []).append(row)
+        refs = []
+        for sh, rows in rows_by_shard.items():
+            cols = list(zip(*rows))
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(list(c), type=f.type)
+                    for c, f in zip(cols, FRONTIER_SCHEMA)
+                ],
+                schema=FRONTIER_SCHEMA,
+            )
+            refs.append(self.shards[sh].push.remote(f"seeds:{sh}", tbl))
+        ray.get(refs)
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> CrawlSummary:
+        import ray
+
+        cfg = self.cfg
+        t_start = time.monotonic()
+        round_metrics: list[dict] = []
+        rnd = self.start_round
+        while rnd < cfg.max_rounds:
+            if cfg.max_pages is not None and self.total_fetched >= cfg.max_pages:
+                break
+            sched_refs = [s.resolve.remote(rnd) for s in self.shards]
+            shard_stats = ray.get([s.status.remote(rnd) for s in self.shards])
+            n_sched = sum(st["scheduled"] for st in shard_stats)
+            if n_sched == 0:
+                break
+
+            ds = ray.data.from_arrow_refs(sched_refs)
+            results = (
+                ds.map_batches(
+                    partial(fetch_batch, corpus_dir=self.corpus_dir),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+                .map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
+                .map_batches(
+                    partial(
+                        expand_push_batch,
+                        cfg=cfg,
+                        shards=self.shards,
+                        stats=self.stats,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+            )
+            res_dir = os.path.join(self.out_dir, "results", f"round-{rnd:05d}")
+            results.write_parquet(res_dir)  # execution barrier: pushes complete
+
+            fetch_m = ray.get(self.stats.get_round.remote(rnd))
+            self.total_fetched += fetch_m.get("fetched", 0)
+            m = {k: 0 for k in _METRIC_KEYS}
+            for st in shard_stats:
+                for k in ("deduped", "deferred", "robots_denied", "scheduled"):
+                    m[k] += st.get(k, 0)
+            for k in ("fetched", "errors", "retried", "redirects", "offsite"):
+                m[k] += fetch_m.get(k, 0)
+            m["round"] = rnd
+            round_metrics.append(m)
+
+            ckpt = self._ckpt_dir(rnd)
+            ray.get([s.checkpoint.remote(ckpt, rnd) for s in self.shards])
+            with open(os.path.join(ckpt, "state.json"), "w") as f:
+                json.dump({"round": rnd, "total_fetched": self.total_fetched}, f)
+            with open(os.path.join(ckpt, "_COMMITTED"), "w") as f:
+                f.write("ok")
+            rnd += 1
+
+        wall = time.monotonic() - t_start
+        totals = {k: sum(m[k] for m in round_metrics) for k in _METRIC_KEYS}
+        self._write_metrics(round_metrics)
+        return CrawlSummary(
+            rounds=rnd,
+            total_fetched=self.total_fetched,
+            totals=totals,
+            out_dir=self.out_dir,
+            round_metrics=round_metrics,
+            urls_per_sec=(self.total_fetched / wall if wall > 0 else 0.0),
+            wall_s=wall,
+        )
+
+    def _write_metrics(self, round_metrics: list[dict]) -> None:
+        cols = {
+            "round": [m["round"] for m in round_metrics],
+            "shard_id": [-1] * len(round_metrics),
+            **{
+                k: [m[k] for m in round_metrics]
+                for k in _METRIC_KEYS
+                if k != "scheduled"
+            },
+            "scheduled": [m["scheduled"] for m in round_metrics],
+            "wall_s": [0.0] * len(round_metrics),
+        }
+        tbl = pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in METRICS_SCHEMA],
+            schema=METRICS_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(self.out_dir, "metrics.parquet"))
+
+    # ------------------------------------------------------------ inspection
+    def seen_fingerprints(self) -> set[bytes]:
+        import ray
+
+        out: set[bytes] = set()
+        for s in ray.get([s.seen_fingerprints.remote() for s in self.shards]):
+            out |= s
+        return out
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.shards + [self.stats]:
+            ray.kill(a)
+
+
+def crawl(
+    corpus_dir: str,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+    keep_engine: bool = False,
+):
+    """Library entry point (the CrawlerRunner analogue, SURVEY.md §3.2)."""
+    eng = CrawlEngine(corpus_dir, out_dir, cfg=cfg, resume=resume)
+    summary = eng.run()
+    if keep_engine:
+        return summary, eng
+    eng.shutdown()
+    return summary

@@ -1,0 +1,77 @@
+"""Simulated fetch source over the host-hash-partitioned Parquet corpus.
+
+Stands in for the HTTP download handler
+(``scrapy/core/downloader/handlers/http11.py::HTTP11DownloadHandler``) the way
+Scrapy's own test mockserver stands in for the network: a fetch is a lookup of
+the url's row in the pages table, with deterministic fault injection
+(fixtures/faults.py) providing 503/301/404 behavior.
+
+Scale pattern (SURVEY.md §2.7 semi-join): the corpus is hash-partitioned by
+host (pages/part-{k}.parquet, k = host_hash % n_parts), and each *worker
+process* lazily loads and LRU-caches only the partitions its batches touch —
+set up once per process, reused across all rounds and tasks (the map_batches
+tasks stay stateless; state lives in the process-level cache, the same
+amortization an actor pool's __init__ gives without re-spawning pools every
+BSP round).  A real deployment swaps ``lookup`` for an aiohttp client pool —
+nothing upstream changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------------------
+# worker-process-global caches (persist across tasks on the same worker)
+# ---------------------------------------------------------------------------
+_PART_CACHE: OrderedDict[tuple[str, int], dict[str, bytes]] = OrderedDict()
+_PART_CACHE_MAX = int(os.environ.get("SCRAPY_RAY_PART_CACHE", "16"))
+_HOSTS_CACHE: dict[str, dict[str, int]] = {}
+_META_CACHE: dict[str, dict] = {}
+
+
+def corpus_meta(corpus_dir: str) -> dict:
+    meta = _META_CACHE.get(corpus_dir)
+    if meta is None:
+        with open(os.path.join(corpus_dir, "meta.json")) as f:
+            meta = json.load(f)
+        _META_CACHE[corpus_dir] = meta
+    return meta
+
+
+def host_page_counts(corpus_dir: str) -> dict[str, int]:
+    """host -> n_pages (small table; per-process cache, read from parquet)."""
+    counts = _HOSTS_CACHE.get(corpus_dir)
+    if counts is None:
+        t = pq.read_table(
+            os.path.join(corpus_dir, "hosts.parquet"), columns=["host", "n_pages"]
+        )
+        counts = dict(zip(t["host"].to_pylist(), t["n_pages"].to_pylist()))
+        _HOSTS_CACHE[corpus_dir] = counts
+    return counts
+
+
+def _load_part(corpus_dir: str, part: int) -> dict[str, bytes]:
+    key = (corpus_dir, part)
+    cached = _PART_CACHE.get(key)
+    if cached is not None:
+        _PART_CACHE.move_to_end(key)
+        return cached
+    path = os.path.join(corpus_dir, "pages", f"part-{part}.parquet")
+    if os.path.exists(path):
+        t = pq.read_table(path, columns=["url", "html"])  # column-pruned read
+        d = dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+    else:
+        d = {}
+    _PART_CACHE[key] = d
+    while len(_PART_CACHE) > _PART_CACHE_MAX:
+        _PART_CACHE.popitem(last=False)
+    return d
+
+
+def lookup_html(corpus_dir: str, host_hash: int, url: str) -> bytes | None:
+    n_parts = corpus_meta(corpus_dir)["n_parts"]
+    return _load_part(corpus_dir, host_hash % n_parts).get(url)

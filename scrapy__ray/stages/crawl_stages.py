@@ -1,0 +1,208 @@
+"""Per-round map_batches stages: fetch -> extract -> expand+push.
+
+All three are stateless task functions over Arrow batches (zero-copy from the
+object store); per-process caches in sources/corpus.py amortize partition
+loads, so no actor pools need respawning each BSP round.  The wide binary
+``html`` column exists only between fetch and extract and is dropped
+immediately after parsing (SURVEY.md §7 hard-part 4).
+
+Stage mapping to the reference (SURVEY.md §2):
+  fetch_batch   = downloader + DownloadTimeout/UserAgent stamping (S2, M7/M8)
+  extract_batch = Scraper.call_spider -> parse() text + LinkExtractor (P1-P4)
+  expand_push   = Retry/Redirect middlewares (M3/M4), Offsite (M2),
+                  UrlLength (M13), Depth (F5) + scheduler enqueue (push)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from fixtures import faults
+from scrapy__ray.config import CrawlConfig
+from scrapy__ray.functions.fingerprint import fingerprint_canonical
+from scrapy__ray.functions.linkextract import links_from_hrefs
+from scrapy__ray.functions.textextract import extract_page
+from scrapy__ray.functions.url import host_of, url_is_from_any_domain
+from scrapy__ray.schema import RESULTS_SCHEMA, FRONTIER_SCHEMA, FRONTIER_COLS
+from scrapy__ray.sources.corpus import host_page_counts, lookup_html
+
+import fixtures.gen as fxgen
+
+
+# ------------------------------------------------------------------- fetch
+def fetch_batch(batch: pa.Table, *, corpus_dir: str) -> pa.Table:
+    """Simulated fetch: corpus lookup + deterministic fault model."""
+    urls = batch["url"].to_pylist()
+    hhs = batch["host_hash"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    retries = batch["retry_count"].to_pylist()
+    n_pages = host_page_counts(corpus_dir)
+
+    statuses, htmls, locations, lat = [], [], [], []
+    for url, hh, host, rc in zip(urls, hhs, hosts, retries):
+        html = lookup_html(corpus_dir, hh, url)
+        if html is None:
+            status = faults.STATUS_NOTFOUND
+        else:
+            status = faults.status_of(url, rc)
+        loc = (
+            faults.redirect_target(url, host, n_pages.get(host, 0))
+            if status == faults.STATUS_REDIRECT
+            else ""
+        )
+        statuses.append(status)
+        htmls.append(html if status == faults.STATUS_OK else None)
+        locations.append(loc)
+        lat.append(faults.latency_ms(url))
+
+    return (
+        batch.append_column("status", pa.array(statuses, pa.int32()))
+        .append_column("html", pa.array(htmls, pa.binary()))
+        .append_column("location", pa.array(locations, pa.string()))
+        .append_column("latency_ms", pa.array(lat, pa.float32()))
+    )
+
+
+# ----------------------------------------------------------------- extract
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html -> (byte-exact text, canonical out_links); drops html."""
+    statuses = batch["status"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    urls = batch["url"].to_pylist()
+    texts: list[str | None] = []
+    links: list[list[str]] = []
+    for st, html, url in zip(statuses, htmls, urls):
+        if st == faults.STATUS_OK and html is not None:
+            text, hrefs, base = extract_page(html)
+            texts.append(text)
+            links.append(links_from_hrefs(hrefs, url, base))
+        else:
+            texts.append(None)
+            links.append([])
+    batch = batch.drop_columns(["html"])
+    return batch.append_column(
+        "extracted_text", pa.array(texts, pa.string())
+    ).append_column("out_links", pa.array(links, pa.list_(pa.string())))
+
+
+# ------------------------------------------------------------ expand + push
+def _candidate(url, priority, depth, disc_round, parent, lidx, retry, redir, skip):
+    hh = fxgen.host_hash(host_of(url))
+    return (
+        url, host_of(url), hh, fingerprint_canonical(url), priority, depth,
+        disc_round, parent, lidx, retry, redir, skip,
+    )
+
+
+def expand_push_batch(
+    batch: pa.Table,
+    *,
+    cfg: CrawlConfig,
+    shards: list,
+    stats,
+) -> pa.Table:
+    """Build next-round candidates, push them to FrontierShards (idempotent),
+    emit the results rows.  Semantics: config.py steps 4-6."""
+    import ray
+
+    rnd = batch["round"][0].as_py() if batch.num_rows else -1
+    cols = {c: batch[c].to_pylist() for c in batch.column_names}
+    n = batch.num_rows
+    m = dict(fetched=0, errors=0, retried=0, redirects=0, offsite=0)
+    cands: list[tuple] = []
+    n_links_col: list[int] = []
+
+    for i in range(n):
+        st = cols["status"][i]
+        url = cols["url"][i]
+        if st == faults.STATUS_RETRY:
+            n_links_col.append(0)
+            if cols["retry_count"][i] < cfg.retry_times:
+                m["retried"] += 1
+                cands.append(
+                    (
+                        url, cols["host"][i], cols["host_hash"][i],
+                        cols["fingerprint"][i],
+                        cols["priority"][i] + cfg.retry_priority_adjust,
+                        cols["depth"][i], cols["disc_round"][i],
+                        cols["parent_url"][i], cols["link_idx"][i],
+                        cols["retry_count"][i] + 1, cols["redirect_count"][i],
+                        True,
+                    )
+                )
+            else:
+                m["errors"] += 1
+        elif st == faults.STATUS_REDIRECT:
+            n_links_col.append(0)
+            if cols["redirect_count"][i] < cfg.redirect_max_times:
+                m["redirects"] += 1
+                cands.append(
+                    _candidate(
+                        cols["location"][i],
+                        cols["priority"][i] + cfg.redirect_priority_adjust,
+                        cols["depth"][i], rnd, url, -1, 0,
+                        cols["redirect_count"][i] + 1, False,
+                    )
+                )
+            else:
+                m["errors"] += 1
+        elif st != faults.STATUS_OK:
+            n_links_col.append(0)
+            m["errors"] += 1
+        else:
+            m["fetched"] += 1
+            out_links = cols["out_links"][i]
+            n_links_col.append(len(out_links))
+            depth = cols["depth"][i]
+            for l, link in enumerate(out_links):
+                if not url_is_from_any_domain(link, cfg.allowed_domains):
+                    m["offsite"] += 1
+                    continue
+                if len(link) > cfg.url_length_limit:
+                    continue
+                child_depth = depth + 1
+                if cfg.depth_limit and child_depth > cfg.depth_limit:
+                    continue
+                cands.append(
+                    _candidate(
+                        link, -child_depth * cfg.depth_priority, child_depth,
+                        rnd, url, l, 0, 0, False,
+                    )
+                )
+
+    # ---- push candidates to their shards, idempotently --------------------
+    S = len(shards)
+    batch_sig = hashlib.sha1(
+        (str(rnd) + "\x00" + "\x00".join(cols["url"])).encode()
+    ).hexdigest()
+    by_shard: dict[int, list[tuple]] = {}
+    for c in cands:
+        by_shard.setdefault(c[2] % S, []).append(c)
+    push_refs = []
+    for sh, rows in by_shard.items():
+        tcols = list(zip(*rows))
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(list(col), type=f.type)
+                for col, f in zip(tcols, FRONTIER_SCHEMA)
+            ],
+            schema=FRONTIER_SCHEMA,
+        )
+        push_refs.append(shards[sh].push.remote(f"{batch_sig}:{sh}", tbl))
+    if stats is not None:
+        shard_id = int(cols["host_hash"][0] % S) if n else -1
+        push_refs.append(stats.inc.remote(rnd, shard_id, batch_sig, m))
+    ray.get(push_refs)  # ensure pushes land before the execution barrier
+
+    # ---- results rows ------------------------------------------------------
+    keep = [
+        "url", "host", "status", "round", "fetch_seq_in_host", "fetch_vtime",
+        "depth", "priority", "parent_url", "retry_count", "redirect_count",
+        "latency_ms",
+    ]
+    out = batch.select(keep + ["extracted_text"]).append_column(
+        "n_links", pa.array(n_links_col, pa.int32())
+    )
+    return out.cast(RESULTS_SCHEMA)

@@ -1,0 +1,134 @@
+"""Engine-vs-oracle equivalence — the core correctness gate (SURVEY.md §5.2).
+
+For each fixture config: identical URL-seen set, identical per-host fetch
+order and global round assignment, byte-identical extracted text per url
+against the corpus ``text`` column, and identical per-round metrics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import fixtures.gen as fxgen
+from scrapy__ray.config import CrawlConfig
+
+SMALL = fxgen.default_dir("sf-small")
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    fxgen.generate("sf-small", SMALL)
+    return SMALL
+
+
+def _engine_results(out_dir):
+    return pq.read_table(os.path.join(out_dir, "results"))
+
+
+def _assert_equivalent(corpus, out_dir, summary, oracle_res):
+    # metric totals + round count
+    ot = oracle_res.totals()
+    for k, v in ot.items():
+        assert summary.totals[k] == v, (k, summary.totals, ot)
+    assert summary.rounds == oracle_res.rounds
+
+    res = _engine_results(out_dir)
+    # fetch log: exact same set of (url, round, host, seq, status)
+    engine_log = set(
+        zip(
+            res["url"].to_pylist(),
+            res["round"].to_pylist(),
+            res["host"].to_pylist(),
+            res["fetch_seq_in_host"].to_pylist(),
+            res["status"].to_pylist(),
+        )
+    )
+    oracle_log = {(u, r, h, s, st) for (u, r, h, s, st, _d) in oracle_res.fetch_log}
+    assert engine_log == oracle_log
+
+    # byte-identical text per url vs the corpus oracle column
+    pages = pq.read_table(os.path.join(corpus, "pages"), columns=["url", "text"])
+    expect = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    n200 = 0
+    for url, st, text in zip(
+        res["url"].to_pylist(), res["status"].to_pylist(),
+        res["extracted_text"].to_pylist(),
+    ):
+        if st == 200:
+            n200 += 1
+            assert text == expect[url], url
+    assert n200 == ot["fetched"]
+
+    # per-round metrics
+    em = {m["round"]: m for m in summary.round_metrics}
+    for om in oracle_res.metrics:
+        e = em[om["round"]]
+        for k in ("fetched", "deduped", "deferred", "robots_denied",
+                  "errors", "retried", "redirects", "offsite"):
+            assert e[k] == om[k], (om["round"], k, e, om)
+
+
+@pytest.mark.parametrize(
+    "name,cfg",
+    [
+        ("pinned", CrawlConfig()),
+        ("tight", CrawlConfig(round_duration=2.0)),
+        ("deep-noRobots", CrawlConfig(depth_limit=8, robots_obey=False)),
+    ],
+)
+def test_engine_matches_oracle(ray_session, small_corpus, name, cfg):
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    out = f"/tmp/crawl_out/eq-{name}"
+    summary, eng = crawl(small_corpus, out, cfg=cfg, keep_engine=True)
+    oracle_res = run_oracle(small_corpus, cfg)
+    try:
+        _assert_equivalent(small_corpus, out, summary, oracle_res)
+        # URL-seen set equality (north rule: "URL-seen set must match")
+        assert eng.seen_fingerprints() == oracle_res.seen
+    finally:
+        eng.shutdown()
+
+
+def test_resume_from_checkpoint(ray_session, small_corpus):
+    """Kill/resume byte-identity (SURVEY.md §4.3): stop after 3 rounds,
+    resume in a fresh engine, final outputs identical to uninterrupted."""
+    from scrapy__ray.engine import crawl
+
+    cfg = CrawlConfig()
+    full = crawl(small_corpus, "/tmp/crawl_out/resume-full", cfg=cfg)
+
+    cfg3 = CrawlConfig(max_rounds=3)
+    crawl(small_corpus, "/tmp/crawl_out/resume-part", cfg=cfg3)
+    resumed = crawl(
+        small_corpus, "/tmp/crawl_out/resume-part", cfg=cfg, resume=True
+    )
+    assert resumed.total_fetched == full.total_fetched
+
+    a = _engine_results("/tmp/crawl_out/resume-full")
+    b = _engine_results("/tmp/crawl_out/resume-part")
+    key = lambda t: sorted(
+        zip(
+            t["url"].to_pylist(), t["round"].to_pylist(),
+            t["fetch_seq_in_host"].to_pylist(), t["status"].to_pylist(),
+            t["extracted_text"].to_pylist(),
+        )
+    )
+    assert key(a) == key(b)
+
+
+def test_cuckoo_mode_close_to_exact(ray_session, small_corpus):
+    """Cuckoo dedup: same crawl within the FP bound (here: no FPs expected
+    at this scale); FP counter reported."""
+    from scrapy__ray.engine import crawl
+
+    exact = crawl(small_corpus, "/tmp/crawl_out/ck-exact", cfg=CrawlConfig())
+    cuckoo = crawl(
+        small_corpus, "/tmp/crawl_out/ck-cuckoo", cfg=CrawlConfig(dedup="cuckoo")
+    )
+    assert cuckoo.total_fetched == exact.total_fetched
+    assert cuckoo.totals == exact.totals
