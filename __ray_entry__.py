@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline — the BSP crawl over the
+Common-Crawl-style pages corpus that BASELINE.json's input_hint mandates
+(synthesized deterministically per FIXTURES.md; the TPC-H-ish sf tables are
+not the crawl input).  ``queries()`` exposes every implemented operator
+pipeline; SQL-expressible ones have a DuckDB oracle in ``oracle_sql()`` with
+IDENTICAL column names; crawl/sketch/approximate ops are rows-only and their
+real correctness gate is tests/ (oracle equivalence, byte-identity, resume).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +19,40 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pinned-config crawl on the sf-small fixture corpus ->
+    results DataFrame (url, round, host, seq, status, extracted text)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import fixtures.gen as fxgen
+    from scrapy__ray.config import CrawlConfig
+    from scrapy__ray.engine import crawl
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    out = "/tmp/crawl_out/entry"
+    crawl(corpus, out, cfg=CrawlConfig())
+    return (
+        pq.read_table(out + "/results")
+        .to_pandas()
+        .sort_values(["round", "host", "fetch_seq_in_host"])
+        .reset_index(drop=True)
+    )
+
+
+def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
+    from scrapy__ray.pipelines import crawlq, relational, simops, textops
+
+    out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
+    for mod in (relational, textops, simops, crawlq):
+        out.update(mod.QUERIES)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _all_queries().items() if sql is not None
+    }

@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Default mode: one Ray session (``address="local"``, ``num_cpus`` from
+``$RAY_GRAFT_CPUS``, default 32); runs
+
+  * the flagship crawl on the sf-mid fixture corpus (~50k pages, FIXTURES.md)
+    in cuckoo dedup mode — the headline metric is crawl throughput
+    (URLs fetched+extracted / sec, per BASELINE.json), and
+  * every SQL-oracled query pipeline over ``$GRAFT_SF_DIR``
+    (default /root/testdata/sf0.1),
+
+then prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "crawl": {...urls/sec detail...}}
+
+``--scaling`` mode (BASELINE.md sandbox protocol standing in for the
+N-vs-4N-node cluster rule): generates the sf-large corpus once, then runs the
+same crawl in TWO FRESH PROCESSES at num_cpus=8 and num_cpus=32 and reports
+both throughputs plus scaling_efficiency = (ups_32/ups_8)/(32/8); results are
+appended to BENCH/BASELINE.md.
+
+``--crawl-only --scale <s>`` is the subprocess entry used by --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _bench_crawl(scale: str, num_cpus: int, dedup: str = "cuckoo") -> dict:
+    import fixtures.gen as fxgen
+    from scrapy__ray.config import CrawlConfig
+    from scrapy__ray.engine import crawl
+
+    corpus = fxgen.generate(scale, fxgen.default_dir(scale))
+    out = f"/tmp/crawl_out/bench-{scale}-{num_cpus}"
+    t0 = time.monotonic()
+    summary = crawl(corpus, out, cfg=CrawlConfig(dedup=dedup))
+    wall = time.monotonic() - t0
+    return {
+        "scale": scale,
+        "num_cpus": num_cpus,
+        "fetched": summary.total_fetched,
+        "rounds": summary.rounds,
+        "wall_s": round(wall, 3),
+        "engine_wall_s": round(summary.wall_s, 3),
+        "urls_per_sec": round(summary.total_fetched / summary.wall_s, 1),
+    }
+
+
+def _bench_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as e
+
+    times: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        if name.startswith("crawl_"):
+            continue  # crawl is benched separately (corpus input, not sf_dir)
+        if name == "docs_jaccard_dups":
+            # EXCLUDED from the sf0.1 bench, not silently: the fixture corpus
+            # has a ~25-word vocabulary, so the exact inverted-index pair
+            # expansion is quadratic in docs-per-token (~265M pair rows at
+            # sf0.1). Correctness is still checked at sf0.01; the scale path
+            # for near-dup is docs_minhash_lsh, which IS benched.
+            sys.stderr.write("[bench] skipping docs_jaccard_dups at bench scale\n")
+            continue
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res.to_pandas()  # force execution of lazy Datasets
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--scale", default="sf-mid")
+    args = ap.parse_args()
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = os.path.basename(sf_dir.rstrip("/"))
+
+    if args.scaling:
+        _run_scaling()
+        return
+
+    _init_ray(num_cpus)
+    crawl_res = _bench_crawl(args.scale, num_cpus)
+    if args.crawl_only:
+        print(json.dumps(crawl_res))
+        _shutdown()
+        return
+
+    qtimes = _bench_queries(sf_dir)
+    qtimes["crawl_" + args.scale] = crawl_res["wall_s"]
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+query pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "crawl": crawl_res,
+            }
+        )
+    )
+    _shutdown()
+
+
+def _shutdown() -> None:
+    import ray
+
+    ray.shutdown()
+
+
+def _run_scaling() -> None:
+    """BASELINE.md protocol: same job, fresh processes, 8 vs 32 CPUs."""
+    import fixtures.gen as fxgen
+
+    scale = os.environ.get("GRAFT_SCALING_SCALE", "sf-large")
+    fxgen.generate(scale, fxgen.default_dir(scale))  # warm the corpus cache
+
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, __file__, "--crawl-only", "--scale", scale],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"scaling run num_cpus={cpus} failed")
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    ups8, ups32 = runs[8]["urls_per_sec"], runs[32]["urls_per_sec"]
+    eff = round((ups32 / ups8) / (32 / 8), 3)
+    result = {
+        "metric": "crawl scaling efficiency (8 -> 32 cpus, fresh ray sessions)",
+        "value": eff,
+        "unit": "efficiency",
+        "scale": scale,
+        "urls_per_sec_8": ups8,
+        "urls_per_sec_32": ups32,
+        "pass": eff >= 0.8,
+        "runs": runs,
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+            f"command: `python bench.py --scaling` (scale={scale}; fresh "
+            f"`ray.init(address='local', num_cpus=8|32)` subprocesses, same input)\n\n"
+            f"| num_cpus | fetched | rounds | engine wall s | urls/sec |\n|---|---|---|---|---|\n"
+            + "".join(
+                f"| {c} | {r['fetched']} | {r['rounds']} | {r['engine_wall_s']} | {r['urls_per_sec']} |\n"
+                for c, r in runs.items()
+            )
+            + f"\nscaling_efficiency = ({ups32}/{ups8})/4 = **{eff}** "
+            f"({'PASS' if eff >= 0.8 else 'FAIL'}, threshold 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

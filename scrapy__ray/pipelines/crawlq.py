@@ -1,0 +1,81 @@
+"""Crawl-engine queries for the driver's correctness harness.
+
+These run the flagship crawl (the capability the reference repo exists for)
+over the deterministic fixture corpus (FIXTURES.md) — NOT over the TPC-H-ish
+``sf_dir`` tables, because the crawl's input is the Common-Crawl-style
+``pages`` table that BASELINE.json's input_hint mandates and FIXTURES.md
+synthesizes.  They are deterministic (seed 42 end-to-end) but not
+SQL-expressible, so the driver records the weaker rows-only check; the REAL
+correctness gate for the crawl is tests/test_crawl_equivalence.py's
+engine-vs-oracle comparison (seen set, order, text bytes, metrics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import fixtures.gen as fxgen
+from scrapy__ray.config import CrawlConfig
+
+
+def _corpus() -> str:
+    return fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+
+
+def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
+    """Full pinned-config crawl; returns the fetch log (url, round, host,
+    fetch_seq_in_host, status, depth) — the crawl-ordering artifact."""
+    from scrapy__ray.engine import crawl
+
+    corpus = _corpus()
+    out = "/tmp/crawl_out/q-fetch-log"
+    crawl(corpus, out, cfg=CrawlConfig())
+    res = pq.read_table(
+        out + "/results",
+        columns=["url", "round", "host", "fetch_seq_in_host", "status", "depth"],
+    )
+    return res.to_pandas().sort_values(["round", "host", "fetch_seq_in_host"]).reset_index(drop=True)
+
+
+def crawl_extract_identity(sf_dir: str):
+    """Byte-identity of the extract stage over the whole corpus: Dataset ->
+    map_batches(extract) -> per-url match flag vs the oracle text column."""
+    import ray.data as rd
+
+    from scrapy__ray.functions.textextract import extract_text
+
+    corpus = _corpus()
+    ds = rd.read_parquet(corpus + "/pages", columns=["url", "html", "text"])
+
+    def check(t: pa.Table) -> pa.Table:
+        ok = [
+            extract_text(h) == x
+            for h, x in zip(t["html"].to_pylist(), t["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "url": t["url"],
+                "text_matches": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def crawl_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-round crawl metrics table (fetched/deduped/deferred/... per round)."""
+    from scrapy__ray.engine import crawl
+
+    corpus = _corpus()
+    out = "/tmp/crawl_out/q-metrics"
+    summary = crawl(corpus, out, cfg=CrawlConfig())
+    return pd.DataFrame(summary.round_metrics)
+
+
+QUERIES = {
+    "crawl_fetch_log": (crawl_fetch_log, None),
+    "crawl_extract_identity": (crawl_extract_identity, None),
+    "crawl_metrics": (crawl_metrics, None),
+}

@@ -1,0 +1,351 @@
+"""Relational query pipelines over the testdata tables — idiomatic Ray Data.
+
+Each query exists as (ray_pipeline, oracle_sql) with IDENTICAL output column
+names and rounding, so the driver's order-insensitive value-hash compare is
+meaningful.  Scale patterns exercised:
+  * column-pruned reads (``read_parquet(columns=...)``)
+  * combiner + driver reduce for low-cardinality aggregates (``driver_agg``:
+    partial per block, tiny concat on the driver — no shuffle at all)
+  * partial-agg -> hash-shuffle -> vectorized final for high-cardinality
+    aggregates (``shuffle_agg``; native groupby().aggregate() measured at
+    ~200 µs/group — see util.ensure_ctx docstring — so it is never used)
+  * broadcast-small-side joins (``ray.put`` once, process-cached lookup)
+  * hash-partitioned vectorized sessionization (``hash_partition_map``)
+
+Floating-point note: parallel partial sums associate differently than
+DuckDB's serial aggregation; every float output is rounded coarsely enough
+(documented per query) that the ≤1e-8-relative association error can't flip
+a rounded digit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from scrapy__ray.pipelines.util import (
+    broadcast,
+    collect_arrow,
+    driver_agg,
+    hash_partition_map,
+    lookup_broadcast,
+    read_parquet,
+    round_col,
+    shuffle_agg,
+)
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+# ------------------------------------------------------------------ Q1-like
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: 4 groups — combiner per block + driver reduce."""
+    ds = read_parquet(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = np.datetime64(_Q1_CUTOFF, "us")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].values.astype("datetime64[us]") <= cutoff]
+        disc_price = df["l_extendedprice"].values * (1.0 - df["l_discount"].values)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].values,
+                "l_linestatus": df["l_linestatus"].values,
+                "qty": df["l_quantity"].values,
+                "base": df["l_extendedprice"].values,
+                "disc_price": disc_price,
+                "charge": disc_price * (1.0 + df["l_tax"].values),
+                "n": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": round_col(out["qty"], 0),
+            "sum_base_price": round_col(out["base"], 0),
+            "sum_disc_price": round_col(out["disc_price"], 0),
+            "sum_charge": round_col(out["charge"], 0),
+            "avg_qty": round_col(out["qty"] / out["n"], 4),
+            "count_order": pa.array(out["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+LINEITEM_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 0) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- top-k by aggregate
+def top_revenue_orders(sf_dir: str):
+    """Global top-10 orders by summed revenue: partial per block ->
+    hash-shuffle by l_orderkey -> per-partition exact sum + local top-10 ->
+    driver merge of 16×10 candidate rows.  The shuffle moves one row per
+    (orderkey, block); the driver sees O(partitions × k) rows only."""
+    ds = read_parquet(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].values * (1.0 - df["l_discount"].values)
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].values, "rev": rev})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).sum()
+        return g.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+
+    cand = shuffle_agg(ds, ["l_orderkey"], partial, final_topk)
+    out = (
+        collect_arrow(
+            cand,
+            pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
+        )
+        .to_pandas()
+        .sort_values(["rev", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(out["l_orderkey"], pa.int64()),
+            "revenue": round_col(out["rev"], 2),
+        }
+    )
+
+
+TOP_REVENUE_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------- broadcast dimension join
+def customer_nation_rollup(sf_dir: str):
+    """customer ⋈ nation ⋈ region with both small sides broadcast once;
+    ~125 output groups -> combiner + driver reduce."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    dim = {
+        nk: (nn, r_name[rk])
+        for nk, nn, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    dim_ref = broadcast(dim)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = lookup_broadcast(dim_ref)
+        keys = df["c_nationkey"].values
+        g = pd.DataFrame(
+            {
+                "n_name": [d[k][0] for k in keys],
+                "r_name": [d[k][1] for k in keys],
+                "n_customers": 1,
+                "bal": df["c_acctbal"].values,
+            }
+        )
+        return g.groupby(["n_name", "r_name"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["n_name", "r_name"], as_index=False).sum()
+
+    ds = read_parquet(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "n_name": out["n_name"],
+            "r_name": out["r_name"],
+            "n_customers": pa.array(out["n_customers"].astype("int64"), pa.int64()),
+            "acctbal_sum": round_col(out["bal"], 2),
+        }
+    )
+
+
+CUSTOMER_NATION_SQL = """
+SELECT n_name, r_name, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# --------------------------------------------------------- filter + groupby
+def order_priority_counts(sf_dir: str):
+    ds = read_parquet(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].values.astype("datetime64[us]")
+        df = df[(d >= lo) & (d < hi)]
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "n_orders"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "o_orderpriority": out["o_orderpriority"],
+            "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------- event-time windows
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows — Ray Data has no event-time machinery, so the
+    window key is a computed column and the window an ordinary grouped
+    aggregation (SURVEY.md §2.7: the BSP round loop is the only ordering
+    mechanism).  Window-key cardinality grows with the time span, so this
+    takes the hash-shuffle path, not the driver reduce."""
+    ds = read_parquet(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hours = df["ts"].values.astype("datetime64[us]").astype("int64") // 3_600_000_000
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].values,
+                "hour": hours,
+                "n_events": 1,
+                "v": df["value"].values,
+            }
+        )
+        return g.groupby(["event_type", "hour"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "hour"], as_index=False).sum()
+
+    out = collect_arrow(
+        shuffle_agg(ds, ["event_type", "hour"], partial, final),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("hour", pa.int64()),
+                ("n_events", pa.int64()),
+                ("v", pa.float64()),
+            ]
+        ),
+    ).to_pandas()
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "hour": pa.array(out["hour"].astype("int64"), pa.int64()),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "value_sum": round_col(out["v"], 2),
+        }
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY event_type, hour
+"""
+
+
+# --------------------------------------------------------- sessionization
+SESSION_GAP_US = 1_800_000_000  # 30 virtual minutes
+
+
+def user_sessions(sf_dir: str):
+    """Per-user session counting (30-min inactivity gap): hash-partition by
+    user so each partition holds whole users, then one fully-vectorized
+    sort + diff pass per partition — no per-group UDF dispatch."""
+    ds = read_parquet(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        ts = df["ts"].values.astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].values
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gap = np.concatenate([[0], np.diff(ts)])
+        brk = same_user & (gap > SESSION_GAP_US)
+        g = pd.DataFrame({"user_id": uid, "one": 1, "brk": brk.astype("int64")})
+        out = g.groupby("user_id", as_index=False).sum()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "n_events": out["one"],
+                "n_sessions": out["brk"] + 1,
+            }
+        )
+
+    out = collect_arrow(
+        hash_partition_map(ds, ["user_id"], sess),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("n_sessions", pa.int64()),
+            ]
+        ),
+    )
+    return out
+
+
+USER_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       (1 + COALESCE(SUM(brk), 0))::BIGINT AS n_sessions
+FROM d GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
+    "top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
+    "customer_nation_rollup": (customer_nation_rollup, CUSTOMER_NATION_SQL),
+    "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+}

@@ -1,0 +1,517 @@
+"""Text / training-data operators over the ``documents`` table.
+
+The large-scale-pipeline operator set: exact + near deduplication, document
+fingerprinting, token statistics, language ID, quality scoring, and the
+multimodal plumbing stub — each as a Ray Data pipeline; SQL-expressible ones
+carry a DuckDB oracle with identical column names.
+
+Tokenization contract shared by engine and SQL:
+    tokens  = regex split of trim(text) on \\s+
+    n_chars = len(regexp_replace(trim(text), '\\s+', '', 'g'))
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from scrapy__ray.pipelines.util import (
+    broadcast,
+    collect_arrow,
+    driver_agg,
+    hash_partition_map,
+    lookup_broadcast,
+    read_parquet,
+    round_col,
+    shuffle_agg,
+)
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+# ------------------------------------------------------------- exact dedup
+def docs_exact_dedup(sf_dir: str):
+    """Exact dedup: content-hash inside map_batches (vectorizable stage),
+    then partial-agg -> hash-shuffle by hash -> per-partition first pick —
+    the canonical 'hash-partition + per-group first' pattern."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"text_hash": pa.array(h, pa.string()), "doc_id": t["doc_id"]})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False).agg(
+            n_dups=("doc_id", "size"), keep_doc_id=("doc_id", "min")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False).agg(
+            n_dups=("n_dups", "sum"), keep_doc_id=("keep_doc_id", "min")
+        )
+
+    out = collect_arrow(
+        shuffle_agg(
+            ds.map_batches(hashed, batch_format="pyarrow"),
+            ["text_hash"], partial, final,
+        ),
+        pa.schema(
+            [
+                ("text_hash", pa.string()),
+                ("n_dups", pa.int64()),
+                ("keep_doc_id", pa.int64()),
+            ]
+        ),
+    )
+    return out
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------------- token stats
+def docs_token_stats(sf_dir: str):
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, ntok, avglen = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text)
+            n = len(toks)
+            chars = sum(len(w) for w in toks)
+            ids.append(did)
+            ntok.append(n)
+            avglen.append(chars / n if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "avg_token_len": pa.array(round_col(avglen, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOCS_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0.0
+            ELSE ROUND(len(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 4) END AS avg_token_len
+FROM documents
+"""
+
+
+# -------------------------------------------------- grouped quality stats
+def docs_stats_by_lang(sf_dir: str):
+    """Few (lang, source) groups -> combiner + driver reduce, no shuffle."""
+    ds = read_parquet(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), chars=("n_chars", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), chars=("chars", "sum")
+        )
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "lang": out["lang"],
+            "source": out["source"],
+            "n_docs": pa.array(out["n_docs"].astype("int64"), pa.int64()),
+            "sum_chars": pa.array(out["chars"].astype("int64"), pa.int64()),
+            "avg_chars": round_col(out["chars"] / out["n_docs"], 2),
+        }
+    )
+
+
+DOCS_STATS_BY_LANG_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS avg_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------- document fingerprint
+def docs_fingerprint(sf_dir: str):
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+DOCS_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+# ------------------------------------------- exact token-set Jaccard dups
+JACCARD_THRESHOLD = 0.5
+
+
+def _segment_pairs(df: pd.DataFrame, seg_cols: list[str]) -> pd.DataFrame:
+    """Within each key segment of a hash partition, emit all doc_id pairs
+    (a < b).  Sort once, find segment boundaries, meshgrid per segment —
+    vectorized inside segments, no per-group UDF dispatch."""
+    if not len(df):
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    df = df.sort_values(seg_cols + ["doc_id"], kind="mergesort")
+    ids = df["doc_id"].values
+    key = df[seg_cols[0]].astype(str)
+    for c in seg_cols[1:]:
+        key = key + "\x00" + df[c].astype(str)
+    key = key.values
+    bounds = np.concatenate(
+        [[0], np.nonzero(key[1:] != key[:-1])[0] + 1, [len(key)]]
+    )
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        seg = ids[s:e]
+        if len(seg) < 2:
+            continue
+        a, b = np.meshgrid(seg, seg, indexing="ij")
+        m = a < b
+        out_a.append(a[m])
+        out_b.append(b[m])
+    if not out_a:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+def docs_jaccard_dups(sf_dir: str):
+    """Exact n-gram(1) Jaccard near-dup pairs via a distributed inverted
+    index: explode (token, doc) -> hash-partition by token -> per-segment
+    co-occurrence pairs -> partial pair counts -> hash-shuffle by pair ->
+    final |A∩B| -> verify threshold with broadcast set sizes.
+
+    Scale note: real corpora prune high-document-frequency tokens before the
+    pair expansion (else hot tokens explode quadratically — the same hot-key
+    skew the crawl handles by salting); the fixture vocabulary is tiny so no
+    pruning is applied, keeping SQL-equality exact."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sizes = {
+        did: len(set(_tokens(text)))
+        for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    sizes_ref = broadcast(sizes)
+
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks, ids = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(_tokens(text)):
+                toks.append(w)
+                ids.append(did)
+        return pa.table({"w": pa.array(toks, pa.string()), "doc_id": pa.array(ids, pa.int64())})
+
+    pair_rows = hash_partition_map(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["w"],
+        lambda df: _segment_pairs(df, ["w"]),
+    )
+
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).size()
+        return g.rename(columns={"size": "i"})
+
+    def final_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["i"].sum()
+
+    inter = shuffle_agg(pair_rows, ["doc_a", "doc_b"], partial_count, final_count)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sz = lookup_broadcast(sizes_ref)
+        da, db = t["doc_a"].to_pylist(), t["doc_b"].to_pylist()
+        i = np.array(t["i"].to_pylist(), dtype=np.float64)
+        union = np.array([sz[a] + sz[b] for a, b in zip(da, db)], dtype=np.float64) - i
+        j = i / union
+        keep = j >= JACCARD_THRESHOLD
+        return pa.table(
+            {
+                "doc_a": pa.array(np.array(da, dtype=np.int64)[keep], pa.int64()),
+                "doc_b": pa.array(np.array(db, dtype=np.int64)[keep], pa.int64()),
+                "jaccard": pa.array(round_col(j[keep], 4), pa.float64()),
+            }
+        )
+
+    return collect_arrow(
+        inter.map_batches(verify, batch_format="pyarrow"), _PAIR_SCHEMA
+    )
+
+
+DOCS_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::DOUBLE AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------------------------- MinHash + LSH dups
+_MINHASH_K = 128
+_BANDS = 32  # 32 bands x 4 rows
+
+
+def _minhash_params():
+    """Multiply-shift hash family over uint64 (mod-2^64 wraparound is the
+    modulus): h_i(x) = a_i*x + b_i with odd a_i — vectorizes as pure uint64
+    numpy, no Python-int math in the hot loop."""
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.integers(0, 1 << 63, size=_MINHASH_K, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=_MINHASH_K, dtype=np.uint64)
+    return a, b
+
+
+def _shingles(text: str, n: int = 3) -> set[int]:
+    toks = _tokens(text)
+    out = set()
+    for i in range(max(0, len(toks) - n + 1)):
+        s = " ".join(toks[i : i + n])
+        out.add(int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"))
+    return out
+
+
+def docs_minhash_lsh(sf_dir: str):
+    """MinHash(128) + LSH(32x4) near-dup pairs, Jaccard>=0.5 verified on true
+    shingle sets.  shingle->minhash per batch; band rows explode;
+    hash-partition by (band, band_hash) buckets gives candidates; pair dedup
+    via a second hash shuffle; exact verify on the (small, broadcast) text
+    side.  Approximate by construction -> no SQL oracle; determinism comes
+    from the fixed PCG64(42) permutations."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    texts_ref = broadcast(texts)
+    A, B = _minhash_params()
+    rows_per_band = _MINHASH_K // _BANDS
+
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        out_band, out_hash, out_doc = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = _shingles(text)
+            if not sh:
+                continue
+            shv = np.array(sorted(sh), dtype=np.uint64)
+            with np.errstate(over="ignore"):  # mod-2^64 wraparound intended
+                mh = (A[:, None] * shv[None, :] + B[:, None]).min(axis=1)
+            mh_bytes = mh.astype(">u8").tobytes()
+            for bi in range(_BANDS):
+                h = hashlib.blake2b(
+                    mh_bytes[bi * rows_per_band * 8 : (bi + 1) * rows_per_band * 8],
+                    digest_size=8,
+                ).hexdigest()
+                out_band.append(bi)
+                out_hash.append(h)
+                out_doc.append(did)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "bh": pa.array(out_hash, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        tx = lookup_broadcast(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = _shingles(tx[a]), _shingles(tx[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_THRESHOLD:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(round_col(out_j, 4), pa.float64()),
+            }
+        )
+
+    cands = hash_partition_map(
+        ds.map_batches(band_rows, batch_format="pyarrow"),
+        ["band", "bh"],
+        lambda df: _segment_pairs(df, ["band", "bh"]),
+    )
+    # dedupe candidate pairs across bands before the (expensive) verify:
+    # partial drop_duplicates per block, hash-shuffle by pair, final dedup
+    uniq = shuffle_agg(
+        cands,
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+    )
+    return collect_arrow(
+        uniq.map_batches(verify, batch_format="pyarrow"), _PAIR_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def docs_simhash(sf_dir: str):
+    """64-bit SimHash over token multiset (deterministic blake2b token
+    hashes); no SQL analogue — rows-only check."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sim(t: pa.Table) -> pa.Table:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for text in t["text"].to_pylist():
+            toks = _tokens(text)
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                    )
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            # bit-count per position, vectorized over (token, bit)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            acc = 2 * bits.sum(axis=0) - len(toks)
+            v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's complement
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+    return ds.map_batches(sim, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- language ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "value", "key"},
+    "de": {"der", "die", "und", "das", "ist", "ein", "nicht"},
+    "fr": {"le", "la", "et", "les", "des", "un", "est"},
+}
+
+
+def docs_langid(sf_dir: str):
+    """Stopword-overlap language ID heuristic (rows-only; deterministic)."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lid(t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t["text"].to_pylist():
+            toks = set(_tokens(text))
+            scores = {
+                lang: len(toks & prof) for lang, prof in _LANG_PROFILES.items()
+            }
+            preds.append(max(sorted(scores), key=lambda k: scores[k]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_actual": t["lang"],
+            }
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- multimodal stub
+class MediaDecodeStub:
+    """Actor-pool stage for opaque binary media columns (SURVEY.md S6 media
+    pipelines).  Real decode libs (PIL/ffmpeg) are absent in this container,
+    so decode is a deterministic fake over the payload bytes; the Ray-side
+    plumbing — actor pool, __init__-once setup, Arrow binary batches, typed
+    metadata output — is real and tested."""
+
+    def __init__(self):
+        self._md5 = hashlib.md5  # stands in for model/codec load
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = [x.encode("utf-8") for x in t["text"].to_pylist()]
+        n = [len(p) for p in payloads]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(n, pa.int64()),
+                "payload_md5": pa.array(
+                    [self._md5(p).hexdigest() for p in payloads], pa.string()
+                ),
+                "fake_width": pa.array([(x % 64) + 1 for x in n], pa.int64()),
+                "fake_height": pa.array([((x // 64) % 64) + 1 for x in n], pa.int64()),
+            }
+        )
+
+
+def media_meta_stub(sf_dir: str):
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        MediaDecodeStub, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
+MEDIA_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+       ((octet_length(encode(text)) % 64) + 1)::BIGINT AS fake_width,
+       (((octet_length(encode(text)) // 64) % 64) + 1)::BIGINT AS fake_height
+FROM documents
+"""
+
+
+QUERIES = {
+    "docs_exact_dedup": (docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
+    "docs_token_stats": (docs_token_stats, DOCS_TOKEN_STATS_SQL),
+    "docs_stats_by_lang": (docs_stats_by_lang, DOCS_STATS_BY_LANG_SQL),
+    "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),
+    "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
+    "docs_minhash_lsh": (docs_minhash_lsh, None),
+    "docs_simhash": (docs_simhash, None),
+    "docs_langid": (docs_langid, None),
+    "media_meta_stub": (media_meta_stub, MEDIA_META_SQL),
+}

@@ -1,0 +1,134 @@
+"""Shared Ray-Data pipeline helpers: broadcast lookups, partial aggregation.
+
+The scale patterns used by every query module:
+  * broadcast_ref / lookup — small side (dimension table, query matrix,
+    vocab) is ``ray.put`` ONCE and read inside tasks from a process-level
+    cache, never re-shipped per batch (SURVEY.md §2.7 broadcast join).
+  * pre_aggregate — combine inside map_batches first so the groupby shuffle
+    moves one row per (key, batch) instead of every input row.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+# process-level cache: ObjectRef hex -> deserialized object (one fetch per
+# worker process, shared across tasks and rounds)
+_REF_CACHE: dict[str, Any] = {}
+
+
+def broadcast(obj: Any):
+    import ray
+
+    return ray.put(obj)
+
+
+def lookup_broadcast(ref) -> Any:
+    import ray
+
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
+def ensure_ctx() -> None:
+    """Pin the Ray Data context for query pipelines: hash-based shuffle.
+
+    Measured on this Ray (2.49): native ``groupby().aggregate()`` costs
+    ~200-700 µs PER GROUP regardless of shuffle strategy (51 s for 2M rows /
+    250k groups at 4 cpus), while partial-aggregate -> ``repartition(keys=…)``
+    hash shuffle -> per-block vectorized final runs the same job in 3.5 s.
+    All aggregations here therefore use the partial/final helpers below;
+    repartition(keys=…) requires the HASH_SHUFFLE strategy.
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.enable_progress_bars = False
+
+
+def read_parquet(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned parquet read of one testdata table."""
+    import ray.data as rd
+
+    ensure_ctx()
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def driver_agg(ds, partial_fn, final_fn):
+    """Combiner + driver reduce for LOW-cardinality aggregations.
+
+    ``partial_fn`` (pandas in/out) combines each block down to one row per
+    group; the small partials are concatenated on the driver and finished by
+    ``final_fn``.  No shuffle at all — scalable because the collected size is
+    O(#groups × #blocks), independent of input rows.
+    """
+    import pandas as pd
+
+    parts = [
+        b
+        for b in ds.map_batches(
+            partial_fn, batch_format="pandas", batch_size=None
+        ).iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    return final_fn(pd.concat(parts, ignore_index=True))
+
+
+def shuffle_agg(ds, keys: list[str], partial_fn, final_fn, num_partitions: int = 16):
+    """Partial-aggregate -> hash-shuffle by ``keys`` -> per-block final.
+
+    The scalable exchange for HIGH-cardinality aggregations: the shuffle
+    moves one row per (key, block), and the final combine inside each
+    hash partition is a vectorized pandas groupby, not a per-group call.
+    Returns a Dataset (one block per partition).
+    """
+    ensure_ctx()
+    return (
+        ds.map_batches(partial_fn, batch_format="pandas", batch_size=None)
+        .repartition(num_partitions, keys=keys, sort=False)
+        .map_batches(final_fn, batch_format="pandas", batch_size=None)
+    )
+
+
+def hash_partition_map(ds, keys: list[str], fn, num_partitions: int = 16):
+    """Hash-partition by ``keys`` then apply ``fn`` per partition block.
+
+    The map_groups replacement: ``fn`` (pandas in/out) sees every row of each
+    key group in exactly one call, without Ray's per-group UDF dispatch
+    (measured ~200 µs/group — prohibitive beyond ~10k groups)."""
+    ensure_ctx()
+    return ds.repartition(num_partitions, keys=keys, sort=False).map_batches(
+        fn, batch_format="pandas", batch_size=None
+    )
+
+
+def collect_arrow(ds, schema) -> Any:
+    """Materialize a (small) Dataset result as one pa.Table, preserving the
+    declared schema even when every block is empty — an empty Ray Dataset
+    otherwise surfaces as a zero-column DataFrame and fails schema compares."""
+    import pyarrow as pa
+    import ray
+
+    # to_arrow_refs, not iter_batches: block refs come straight from the
+    # object store (no iterator prefetch machinery, which was observed to
+    # stall the driver for minutes on multi-stage shuffle outputs).
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names).cast(schema) for t in tbls])
+
+
+def round_col(values, digits: int):
+    """Round a float column the same way the oracle SQL's ROUND() does.
+
+    DuckDB ROUND(x, n) rounds half away from zero on doubles; numpy rounds
+    half to even.  Use the decimal-shift trick with away-from-zero to match.
+    """
+    import numpy as np
+
+    arr = np.asarray(values, dtype=np.float64)
+    scale = 10.0 ** digits
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale

@@ -1,0 +1,71 @@
+"""Driver-mimic: every queries() entry vs its oracle_sql() on sf0.01.
+
+Mirrors the harness compare (row count + schema + order-insensitive values,
+columns sorted by name) so CORRECTNESS_r{N}.json holds no surprises.
+Rows-only queries are executed for determinism/shape but have no SQL side.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _pairs():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as e
+
+    return e._all_queries()
+
+
+SQL_QUERIES = [(n, fn, sql) for n, (fn, sql) in _pairs().items() if sql is not None]
+ROWS_ONLY = [(n, fn) for n, (fn, sql) in _pairs().items() if sql is None]
+
+
+@pytest.mark.parametrize("name,fn,sql", SQL_QUERIES, ids=[n for n, _, _ in SQL_QUERIES])
+def test_query_matches_oracle(ray_session, con, name, fn, sql):
+    mine = _canon(_to_df(fn(SF_DIR)))
+    theirs = _canon(con.execute(sql).fetchdf())
+    assert len(mine) == len(theirs), (name, len(mine), len(theirs))
+    assert list(mine.columns) == list(theirs.columns), name
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY, ids=[n for n, _ in ROWS_ONLY])
+def test_rows_only_query_runs(ray_session, name, fn):
+    df = _to_df(fn(SF_DIR))
+    assert df.shape[0] >= 0
+    assert df.shape[1] >= 2
