@@ -42,10 +42,16 @@ MASTER_SEED = 42
 EPOCH = datetime(2026, 1, 1, 0, 0, 0)
 
 SCALES = {
-    # name: (hosts, cap on pages/host, n seeds, n pages parts)
-    "sf-small": dict(hosts=20, cap=1500, seeds=5, n_parts=4),
-    "sf-mid": dict(hosts=200, cap=2500, seeds=25, n_parts=16),
-    "sf-large": dict(hosts=2000, cap=5000, seeds=100, n_parts=64),
+    # name: (hosts, cap on pages/host, n seeds, n pages parts, links/page)
+    # fanout=3 scales follow the frozen FIXTURES.md §2 spec (oracle replay);
+    # sf-bench raises intra-host fanout to 64 (Common-Crawl-like link
+    # density) so the throughput bench is fetch/extract/dedup-bound instead
+    # of graph-diameter-bound (at fanout 3 a 5000-page host needs ~1700
+    # BFS rounds of ~3 fetches — all round overhead, no work).
+    "sf-small": dict(hosts=20, cap=1500, seeds=5, n_parts=4, fanout=3),
+    "sf-mid": dict(hosts=200, cap=2500, seeds=25, n_parts=16, fanout=3),
+    "sf-large": dict(hosts=2000, cap=5000, seeds=100, n_parts=64, fanout=3),
+    "sf-bench": dict(hosts=2000, cap=2000, seeds=200, n_parts=64, fanout=64),
 }
 
 PAGES_SCHEMA = pa.schema(
@@ -108,8 +114,8 @@ def _href_for(rng: random.Random, target_j: int, has_base: bool) -> str:
 
 
 def gen_host(args) -> dict:
-    """Build all pages of one host. Pure function of (host_index, counts)."""
-    i, counts = args
+    """Build all pages of one host. Pure function of (host_index, counts[, fanout])."""
+    i, counts, fanout = args if len(args) == 3 else (*args, 3)
     host = host_name(i)
     n_i = int(counts[i])
     hosts_total = len(counts)
@@ -124,8 +130,9 @@ def gen_host(args) -> dict:
         para1 = _paragraph(rng)
 
         hrefs: list[str] = []
-        # (a) three intra-host links j+1..j+3 (mod n)
-        intra = [(j + d) % n_i for d in (1, 2, 3)]
+        # (a) intra-host links j+1..j+fanout (mod n); fanout=3 per the frozen
+        # FIXTURES.md spec, 64 for the sf-bench link-density variant
+        intra = [(j + d) % n_i for d in range(1, fanout + 1)]
         for t in intra:
             hrefs.append(_href_for(rng, t, has_base))
         # (b) cross-host link, p=0.2
@@ -222,7 +229,7 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
     procs = processes or min(mp.cpu_count(), 32)
-    work = [(i, counts) for i in range(hosts_n)]
+    work = [(i, counts, params.get("fanout", 3)) for i in range(hosts_n)]
     if procs > 1 and hosts_n > 4:
         with mp.Pool(procs) as pool:
             results = pool.map(gen_host, work, chunksize=max(1, hosts_n // (procs * 4)))

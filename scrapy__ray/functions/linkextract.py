@@ -49,27 +49,54 @@ def _has_ignored_extension(path: str) -> bool:
 
 
 def links_from_hrefs(
-    hrefs: list[str], page_url: str, base_href: str | None
+    hrefs: list[str],
+    page_url: str,
+    base_href: str | None,
+    _memo: dict | None = None,
 ) -> list[str]:
-    """href attributes -> ordered, per-page-unique canonical absolute urls."""
+    """href attributes -> ordered, per-page-unique canonical absolute urls.
+
+    ``_memo`` (optional, per-batch) caches href resolution across pages:
+    relative-reference resolution depends only on the base's directory, so
+    the cache key is (page_dir, base_href, href) — exact because query-only
+    / fragment-only / empty hrefs (whose resolution involves more of the
+    base url) fall back to a full-page-url key.  Inside one crawl batch the
+    same relative hrefs repeat across a host's pages (real link graphs are
+    window-local), making this a large constant-factor win in the expand
+    stage.
+    """
     out: list[str] = []
     seen: set[str] = set()
+    if _memo is None:
+        _memo = {}
+    page_dir = page_url.rsplit("/", 1)[0] if "?" not in page_url else page_url
     for href in hrefs:
         href = href.strip(_HTML5_WS)
         if not href:
             continue
-        absu = urljoin_with_base(page_url, base_href, href)
-        parts = urlsplit(absu)
-        if parts.scheme not in _ALLOWED_SCHEMES:
-            continue
-        if _has_ignored_extension(parts.path):
-            continue
-        canon = canonicalize_url(absu)
-        if canon in seen:
+        if href[0] in "?#":
+            key = (page_url, base_href, href)
+        else:
+            key = (page_dir, base_href, href)
+        canon = _memo.get(key, _MISS)
+        if canon is _MISS:
+            absu = urljoin_with_base(page_url, base_href, href)
+            parts = urlsplit(absu)
+            if parts.scheme not in _ALLOWED_SCHEMES or _has_ignored_extension(
+                parts.path
+            ):
+                canon = None
+            else:
+                canon = canonicalize_url(absu)
+            _memo[key] = canon
+        if canon is None or canon in seen:
             continue
         seen.add(canon)
         out.append(canon)
     return out
+
+
+_MISS = object()
 
 
 def extract_links(

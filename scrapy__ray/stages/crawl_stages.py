@@ -73,11 +73,12 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
     texts: list[str | None] = []
     links: list[list[str]] = []
+    memo: dict = {}  # per-batch href-resolution cache (pages share hosts)
     for st, html, url in zip(statuses, htmls, urls):
         if st == faults.STATUS_OK and html is not None:
             text, hrefs, base = extract_page(html)
             texts.append(text)
-            links.append(links_from_hrefs(hrefs, url, base))
+            links.append(links_from_hrefs(hrefs, url, base, _memo=memo))
         else:
             texts.append(None)
             links.append([])
@@ -88,10 +89,18 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 
 # ------------------------------------------------------------ expand + push
-def _candidate(url, priority, depth, disc_round, parent, lidx, retry, redir, skip):
-    hh = fxgen.host_hash(host_of(url))
+def _candidate(
+    url, priority, depth, disc_round, parent, lidx, retry, redir, skip, _hc=None
+):
+    ident = _hc.get(url) if _hc is not None else None
+    if ident is None:
+        host = host_of(url)
+        ident = (host, fxgen.host_hash(host), fingerprint_canonical(url))
+        if _hc is not None:
+            _hc[url] = ident
+    host, hh, fp = ident
     return (
-        url, host_of(url), hh, fingerprint_canonical(url), priority, depth,
+        url, host, hh, fp, priority, depth,
         disc_round, parent, lidx, retry, redir, skip,
     )
 
@@ -113,6 +122,7 @@ def expand_push_batch(
     m = dict(fetched=0, errors=0, retried=0, redirects=0, offsite=0)
     cands: list[tuple] = []
     n_links_col: list[int] = []
+    host_cache: dict[str, tuple] = {}  # url -> (host, host_hash, fingerprint)
 
     for i in range(n):
         st = cols["status"][i]
@@ -168,21 +178,54 @@ def expand_push_batch(
                 cands.append(
                     _candidate(
                         link, -child_depth * cfg.depth_priority, child_depth,
-                        rnd, url, l, 0, 0, False,
+                        rnd, url, l, 0, 0, False, _hc=host_cache,
                     )
                 )
 
-    # ---- push candidates to their shards, idempotently --------------------
+    # ---- within-batch candidate pre-dedup ---------------------------------
+    # Exactness argument: the shard processes its candidates in order-key
+    # order.  For two same-fingerprint candidates d1 < d2 (both
+    # skip_dedup=False), by the time d2 is checked, d1 has either inserted
+    # the fingerprint or been dropped because it was already present — in
+    # both cases d2 is ALWAYS counted deduped.  Dropping every non-minimal
+    # duplicate here and adding the count to the deduped metric therefore
+    # yields the identical seen set, schedule, and metric totals, while
+    # shrinking the pushed volume by the page->link fan-in factor.
+    # skip_dedup rows (retries, deferrals) are never merged — dont_filter
+    # semantics bypass dedup entirely.  The drop COUNT is attributed to the
+    # owning shard and surfaces in that shard's NEXT resolve() metrics,
+    # matching the oracle, which counts duplicate drops in the round that
+    # schedules (round k+1), not the round that discovers (round k).
     S = len(shards)
+    best: dict[bytes, tuple] = {}
+    keep: list[tuple] = []
+    early_dedup: dict[int, int] = {}
+    for c in cands:
+        if c[11]:  # skip_dedup
+            keep.append(c)
+            continue
+        okey = (-c[4], c[6], c[7], c[8])
+        prev = best.get(c[3])
+        if prev is None:
+            best[c[3]] = (okey, c)
+            continue
+        if okey < prev[0]:
+            best[c[3]] = (okey, c)
+        early_dedup[c[2] % S] = early_dedup.get(c[2] % S, 0) + 1
+    cands = keep + [v[1] for v in best.values()]
+
+    # ---- push candidates to their shards, idempotently --------------------
     batch_sig = hashlib.sha1(
         (str(rnd) + "\x00" + "\x00".join(cols["url"])).encode()
     ).hexdigest()
     by_shard: dict[int, list[tuple]] = {}
     for c in cands:
         by_shard.setdefault(c[2] % S, []).append(c)
+    for sh in early_dedup:
+        by_shard.setdefault(sh, [])
     push_refs = []
     for sh, rows in by_shard.items():
-        tcols = list(zip(*rows))
+        tcols = list(zip(*rows)) if rows else [[] for _ in FRONTIER_SCHEMA.names]
         tbl = pa.Table.from_arrays(
             [
                 pa.array(list(col), type=f.type)
@@ -190,7 +233,11 @@ def expand_push_batch(
             ],
             schema=FRONTIER_SCHEMA,
         )
-        push_refs.append(shards[sh].push.remote(f"{batch_sig}:{sh}", tbl))
+        push_refs.append(
+            shards[sh].push.remote(
+                f"{batch_sig}:{sh}", tbl, early_dedup.get(sh, 0)
+            )
+        )
     if stats is not None:
         shard_id = int(cols["host_hash"][0] % S) if n else -1
         push_refs.append(stats.inc.remote(rnd, shard_id, batch_sig, m))

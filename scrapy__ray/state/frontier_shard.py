@@ -68,16 +68,22 @@ class FrontierShard:
         self.pending: list[tuple] = []  # deferred candidates (skip_dedup=True)
         self._pushed: list[tuple] = []
         self._push_ids: set[str] = set()
+        self._early_deduped = 0  # expand-side pre-dropped dups, next resolve
         self._robots_txt = robots_txt or {}
         self._robots: dict[str, urllib.robotparser.RobotFileParser | None] = {}
         self.metrics: dict[int, dict] = {}
         self.last_scheduled = 0
 
     # ------------------------------------------------------------------ push
-    def push(self, batch_id: str, table: pa.Table) -> int:
+    def push(self, batch_id: str, table: pa.Table, early_deduped: int = 0) -> int:
+        """Absorb candidate rows (idempotent by batch_id).  ``early_deduped``
+        is the count of duplicates the expand task already dropped for this
+        shard (exact-equivalent within-batch pre-dedup); it is credited to
+        this shard's NEXT resolve() metrics, where the oracle counts them."""
         if batch_id in self._push_ids:
             return 0  # retried task — already absorbed
         self._push_ids.add(batch_id)
+        self._early_deduped += early_deduped
         cols = [table[c].to_pylist() for c in FRONTIER_COLS]
         rows = list(zip(*cols))
         self._pushed.extend(rows)
@@ -108,6 +114,8 @@ class FrontierShard:
         self.pending = []
         self._pushed = []
         self._push_ids.clear()
+        m["deduped"] += self._early_deduped
+        self._early_deduped = 0
         rows.sort(key=order_key)
 
         # 1. dedup (ordered test-and-insert)
@@ -203,7 +211,14 @@ class FrontierShard:
         with open(os.path.join(ckpt_dir, f"seen-{self.shard_id}.bin"), "wb") as f:
             f.write(self.seen.serialize())
         with open(os.path.join(ckpt_dir, f"meta-{self.shard_id}.pkl"), "wb") as f:
-            pickle.dump({"round": rnd, "metrics": self.metrics}, f)
+            pickle.dump(
+                {
+                    "round": rnd,
+                    "metrics": self.metrics,
+                    "early_deduped": self._early_deduped,
+                },
+                f,
+            )
 
     def _read_rows(self, path: str) -> list[tuple]:
         tbl = pq.read_table(path)
@@ -222,6 +237,7 @@ class FrontierShard:
         with open(os.path.join(ckpt_dir, f"meta-{self.shard_id}.pkl"), "rb") as f:
             d = pickle.load(f)
         self.metrics = d["metrics"]
+        self._early_deduped = d.get("early_deduped", 0)
         self._push_ids.clear()
         return d["round"]
 
