@@ -52,6 +52,10 @@ SCALES = {
     "sf-mid": dict(hosts=200, cap=2500, seeds=25, n_parts=16, fanout=3),
     "sf-large": dict(hosts=2000, cap=5000, seeds=100, n_parts=64, fanout=3),
     "sf-bench": dict(hosts=2000, cap=2000, seeds=200, n_parts=64, fanout=64),
+    # sf-scale: the 10^10-regime shape in miniature — host count >> cores so
+    # every politeness round has cluster-wide parallel work (no big-host
+    # tail); used by bench.py --scaling.
+    "sf-scale": dict(hosts=20000, cap=256, seeds=500, n_parts=64, fanout=64),
 }
 
 PAGES_SCHEMA = pa.schema(

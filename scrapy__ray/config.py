@@ -55,6 +55,13 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class CrawlConfig:
     allowed_domains: tuple[str, ...] = ("example",)
+    # CrawlSpider Rule / LinkExtractor allow/deny url regexes (SURVEY.md P5:
+    # scrapy/linkextractors/lxmlhtml.py allow/deny).  Applied to canonical
+    # links BEFORE the offsite filter (Scrapy drops at extraction, so denied
+    # links never reach the offsite stat); empty allow = allow everything.
+    # Drops are silent, as in the reference.
+    link_allow: tuple[str, ...] = ()
+    link_deny: tuple[str, ...] = ()
     depth_limit: int = 6  # DEPTH_LIMIT (0 = unlimited)
     depth_priority: int = 1  # DEPTH_PRIORITY (1 -> BFO)
     download_delay: float = 1.0  # DOWNLOAD_DELAY, virtual seconds
@@ -64,6 +71,14 @@ class CrawlConfig:
     retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
     redirect_max_times: int = 20  # REDIRECT_MAX_TIMES
     redirect_priority_adjust: int = 2
+    # MetaRefreshMiddleware (M5): a 200 page whose html carries
+    # <meta http-equiv=refresh content="N; url=T"> with N <= maxdelay is
+    # treated as a redirect to T (urljoin'd against the page url, NOT the
+    # <base>, mirroring scrapy/downloadermiddlewares/redirect.py::
+    # MetaRefreshMiddleware); its text is not extracted, its links not
+    # followed, and the fetch-log row keeps status 200 with null text.
+    metarefresh_enabled: bool = True  # METAREFRESH_ENABLED
+    metarefresh_maxdelay: float = 100.0  # METAREFRESH_MAXDELAY
     url_length_limit: int = 2083  # URLLENGTH_LIMIT
     max_rounds: int = 10_000
     max_pages: int | None = None  # CLOSESPIDER_PAGECOUNT
@@ -71,6 +86,10 @@ class CrawlConfig:
     num_shards: int = 8  # seen-set shard actors
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)
+    # FeedExporter analogue (SURVEY.md S4, scrapy/extensions/feedexport.py):
+    # per-round results sink format. parquet is the resumable default;
+    # json = JSON-lines, csv for interop (FEED_FORMAT vocabulary).
+    output_format: str = "parquet"  # "parquet" | "json" | "csv"
 
     @property
     def per_host_budget(self) -> int:

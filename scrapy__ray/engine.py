@@ -207,7 +207,18 @@ class CrawlEngine:
                 )
             )
             res_dir = os.path.join(self.out_dir, "results", f"round-{rnd:05d}")
-            results.write_parquet(res_dir)  # execution barrier: pushes complete
+            # the write is the BSP execution barrier: pushes complete first
+            if cfg.output_format == "json":
+                results.write_json(res_dir)
+            elif cfg.output_format == "csv":
+                results.write_csv(res_dir)
+            elif cfg.output_format == "parquet":
+                results.write_parquet(res_dir)
+            else:
+                raise ValueError(
+                    f"unknown output_format {cfg.output_format!r} "
+                    "(expected parquet | json | csv)"
+                )
 
             fetch_m = ray.get(self.stats.get_round.remote(rnd))
             self.total_fetched += fetch_m.get("fetched", 0)

@@ -14,6 +14,8 @@ the single identity, which fingerprints identically).
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
 from urllib.parse import urlsplit
 
 from scrapy__ray.functions.url import canonicalize_url, urljoin_with_base
@@ -97,6 +99,37 @@ def links_from_hrefs(
 
 
 _MISS = object()
+
+
+# --------------------------------------------- CrawlSpider Rule predicates
+# SURVEY.md P5: scrapy/spiders/crawl.py::Rule + LinkExtractor allow/deny.
+# Applied to canonical links before the offsite filter (Scrapy drops these
+# at extraction time, silently).
+@lru_cache(maxsize=8)
+def compiled_link_rules(allow: tuple, deny: tuple):
+    """allow/deny url regex tuples -> compiled (allow_re, deny_re);
+    empty allow means allow-everything (LinkExtractor default)."""
+    return (
+        re.compile("|".join(allow)) if allow else None,
+        re.compile("|".join(deny)) if deny else None,
+    )
+
+
+def link_passes_rules(link: str, allow_re, deny_re) -> bool:
+    if allow_re is not None and not allow_re.search(link):
+        return False
+    if deny_re is not None and deny_re.search(link):
+        return False
+    return True
+
+
+def resolve_redirect(page_url: str, location: str) -> str:
+    """Location header / meta-refresh target -> canonical absolute url.
+    Plain urljoin against the page url (Scrapy's Redirect/MetaRefresh
+    middlewares ignore <base> here)."""
+    from urllib.parse import urljoin
+
+    return canonicalize_url(urljoin(page_url, location))
 
 
 def extract_links(

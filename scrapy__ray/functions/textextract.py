@@ -19,9 +19,18 @@ A single parse pass (PageParser) also collects <a>/<area> hrefs and the first
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from scrapy__ray.functions.encoding import decode_html
+
+# <meta http-equiv=refresh content="N[; url=TARGET]"> — the w3lib
+# get_meta_refresh grammar subset Scrapy's MetaRefreshMiddleware consumes
+# (scrapy/downloadermiddlewares/redirect.py::MetaRefreshMiddleware).
+_META_REFRESH_RE = re.compile(
+    r"^\s*([\d.]+)\s*(?:[;,]\s*url\s*=\s*['\"]?\s*([^'\"]*?)\s*['\"]?)?\s*$",
+    re.IGNORECASE,
+)
 
 BLOCK_TAGS = frozenset(
     "html body div p h1 h2 h3 h4 h5 h6 ul ol li table tr td th br title head".split()
@@ -40,6 +49,7 @@ class PageParser(HTMLParser):
         self._chunks: list[str] = []
         self.hrefs: list[str] = []
         self.base_href: str | None = None
+        self.meta_refresh: tuple[float, str] | None = None  # (delay s, raw url)
 
     # -- tag handling -------------------------------------------------------
     def _on_tag(self, tag: str) -> None:
@@ -61,6 +71,12 @@ class PageParser(HTMLParser):
                 if k == "href" and v is not None:
                     self.base_href = v
                     break
+        elif tag == "meta" and self.meta_refresh is None:
+            ad = {k: v for k, v in attrs if v is not None}
+            if (ad.get("http-equiv") or "").strip().lower() == "refresh":
+                m = _META_REFRESH_RE.match(ad.get("content") or "")
+                if m and m.group(2):
+                    self.meta_refresh = (float(m.group(1)), m.group(2))
 
     def handle_endtag(self, tag: str) -> None:
         if tag in SKIP_TAGS:
@@ -104,3 +120,11 @@ def extract_page(
     """One-pass hot-path variant: (text, raw_hrefs_in_order, base_href)."""
     p = parse_page(html, declared_encoding)
     return p.text(), p.hrefs, p.base_href
+
+
+def extract_page_full(
+    html: bytes, declared_encoding: str | None = None
+) -> tuple[str, list[str], str | None, tuple[float, str] | None]:
+    """(text, hrefs, base_href, meta_refresh) in one parse pass."""
+    p = parse_page(html, declared_encoding)
+    return p.text(), p.hrefs, p.base_href, p.meta_refresh

@@ -18,8 +18,13 @@ import pyarrow.parquet as pq
 from fixtures import faults
 from scrapy__ray.config import CrawlConfig
 from scrapy__ray.functions.fingerprint import fingerprint_canonical
-from scrapy__ray.functions.linkextract import links_from_hrefs
-from scrapy__ray.functions.textextract import extract_page
+from scrapy__ray.functions.linkextract import (
+    compiled_link_rules,
+    link_passes_rules,
+    links_from_hrefs,
+    resolve_redirect,
+)
+from scrapy__ray.functions.textextract import extract_page_full
 from scrapy__ray.functions.url import host_of, url_is_from_any_domain
 
 
@@ -195,12 +200,37 @@ class OracleCrawl:
                     m["errors"] += 1
                     continue
 
+                html = self.page_html[url]
+                text, hrefs, base_href, mr = extract_page_full(html)
+                if (
+                    cfg.metarefresh_enabled
+                    and mr is not None
+                    and mr[0] <= cfg.metarefresh_maxdelay
+                ):
+                    # M5 meta-refresh: html-level redirect, body not parsed
+                    if c.redirect_count < cfg.redirect_max_times:
+                        loc = resolve_redirect(url, mr[1])
+                        nxt.append(
+                            Candidate(
+                                url=loc, host=host_of(loc),
+                                priority=c.priority + cfg.redirect_priority_adjust,
+                                depth=c.depth, disc_round=rnd, parent_url=url,
+                                link_idx=-1, redirect_count=c.redirect_count + 1,
+                            )
+                        )
+                        m["redirects"] += 1
+                    else:
+                        m["errors"] += 1
+                    continue
                 m["fetched"] += 1
                 total_fetched += 1
-                html = self.page_html[url]
-                text, hrefs, base_href = extract_page(html)
                 res.texts[url] = text
+                allow_re, deny_re = compiled_link_rules(
+                    cfg.link_allow, cfg.link_deny
+                )
                 for l, link in enumerate(links_from_hrefs(hrefs, url, base_href)):
+                    if not link_passes_rules(link, allow_re, deny_re):
+                        continue
                     if not url_is_from_any_domain(link, list(cfg.allowed_domains)):
                         m["offsite"] += 1
                         continue

@@ -462,6 +462,66 @@ def docs_langid(sf_dir: str):
     return ds.map_batches(lid, batch_format="pyarrow")
 
 
+# ------------------------------------------------------- quality scoring
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+_PUNCT = set(".,;:!?'\"()[]{}-")
+
+
+def docs_quality(sf_dir: str):
+    """Per-document quality signals for training-data filtering: token
+    count, mean token length, punctuation ratio, stopword ratio, and a
+    keep/drop flag — one vectorizable map_batches pass, no shuffle."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = set(_STOPWORDS)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, ntok, punct_r, stop_r, keep = [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text)
+            n = len(toks)
+            n_chars = sum(len(w) for w in toks)
+            n_punct = sum(1 for ch in text if ch in _PUNCT)
+            n_stop = sum(1 for w in toks if w.lower() in stop)
+            pr = n_punct / n_chars if n_chars else 0.0
+            sr = n_stop / n if n else 0.0
+            ids.append(did)
+            ntok.append(n)
+            punct_r.append(pr)
+            stop_r.append(sr)
+            keep.append(n >= 10 and pr < 0.3)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "punct_ratio": pa.array(round_col(punct_r, 4), pa.float64()),
+                "stopword_ratio": pa.array(round_col(stop_r, 4), pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DOCS_QUALITY_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         len(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars,
+         len(text) - len(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   w -> lower(w) IN ('the','a','and','of','to','in','is'))) END AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       ROUND(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END, 4) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE / n_tokens END, 4) AS stopword_ratio,
+       (n_tokens >= 10 AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END) < 0.3) AS keep
+FROM b
+"""
+
+
 # ----------------------------------------------------- multimodal stub
 class MediaDecodeStub:
     """Actor-pool stage for opaque binary media columns (SURVEY.md S6 media
@@ -510,6 +570,7 @@ QUERIES = {
     "docs_stats_by_lang": (docs_stats_by_lang, DOCS_STATS_BY_LANG_SQL),
     "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
+    "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
     "docs_minhash_lsh": (docs_minhash_lsh, None),
     "docs_simhash": (docs_simhash, None),
     "docs_langid": (docs_langid, None),

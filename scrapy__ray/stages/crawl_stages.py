@@ -22,8 +22,13 @@ import pyarrow as pa
 from fixtures import faults
 from scrapy__ray.config import CrawlConfig
 from scrapy__ray.functions.fingerprint import fingerprint_canonical
-from scrapy__ray.functions.linkextract import links_from_hrefs
-from scrapy__ray.functions.textextract import extract_page
+from scrapy__ray.functions.linkextract import (
+    compiled_link_rules,
+    link_passes_rules,
+    links_from_hrefs,
+    resolve_redirect,
+)
+from scrapy__ray.functions.textextract import extract_page_full
 from scrapy__ray.functions.url import host_of, url_is_from_any_domain
 from scrapy__ray.schema import RESULTS_SCHEMA, FRONTIER_SCHEMA, FRONTIER_COLS
 from scrapy__ray.sources.corpus import host_page_counts, lookup_html
@@ -67,25 +72,40 @@ def fetch_batch(batch: pa.Table, *, corpus_dir: str) -> pa.Table:
 
 # ----------------------------------------------------------------- extract
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """html -> (byte-exact text, canonical out_links); drops html."""
+    """html -> (byte-exact text, canonical out_links, meta-refresh target);
+    drops html.  The meta-refresh cfg gates (enabled, maxdelay) are applied
+    downstream in expand, which owns the config."""
     statuses = batch["status"].to_pylist()
     htmls = batch["html"].to_pylist()
     urls = batch["url"].to_pylist()
     texts: list[str | None] = []
     links: list[list[str]] = []
+    mr_urls: list[str] = []
+    mr_delays: list[float] = []
     memo: dict = {}  # per-batch href-resolution cache (pages share hosts)
     for st, html, url in zip(statuses, htmls, urls):
         if st == faults.STATUS_OK and html is not None:
-            text, hrefs, base = extract_page(html)
+            text, hrefs, base, mr = extract_page_full(html)
             texts.append(text)
             links.append(links_from_hrefs(hrefs, url, base, _memo=memo))
+            if mr is not None:
+                mr_urls.append(resolve_redirect(url, mr[1]))
+                mr_delays.append(mr[0])
+            else:
+                mr_urls.append("")
+                mr_delays.append(-1.0)
         else:
             texts.append(None)
             links.append([])
+            mr_urls.append("")
+            mr_delays.append(-1.0)
     batch = batch.drop_columns(["html"])
-    return batch.append_column(
-        "extracted_text", pa.array(texts, pa.string())
-    ).append_column("out_links", pa.array(links, pa.list_(pa.string())))
+    return (
+        batch.append_column("extracted_text", pa.array(texts, pa.string()))
+        .append_column("out_links", pa.array(links, pa.list_(pa.string())))
+        .append_column("meta_refresh_url", pa.array(mr_urls, pa.string()))
+        .append_column("meta_refresh_delay", pa.array(mr_delays, pa.float64()))
+    )
 
 
 # ------------------------------------------------------------ expand + push
@@ -122,6 +142,7 @@ def expand_push_batch(
     m = dict(fetched=0, errors=0, retried=0, redirects=0, offsite=0)
     cands: list[tuple] = []
     n_links_col: list[int] = []
+    mr_rows: list[int] = []  # meta-refresh rows: null their text in results
     host_cache: dict[str, tuple] = {}  # url -> (host, host_hash, fingerprint)
 
     for i in range(n):
@@ -161,12 +182,35 @@ def expand_push_batch(
         elif st != faults.STATUS_OK:
             n_links_col.append(0)
             m["errors"] += 1
+        elif (
+            cfg.metarefresh_enabled
+            and cols["meta_refresh_url"][i]
+            and cols["meta_refresh_delay"][i] <= cfg.metarefresh_maxdelay
+        ):
+            # M5: html-level redirect — body not given to the spider
+            n_links_col.append(0)
+            mr_rows.append(i)
+            if cols["redirect_count"][i] < cfg.redirect_max_times:
+                m["redirects"] += 1
+                cands.append(
+                    _candidate(
+                        cols["meta_refresh_url"][i],
+                        cols["priority"][i] + cfg.redirect_priority_adjust,
+                        cols["depth"][i], rnd, url, -1, 0,
+                        cols["redirect_count"][i] + 1, False, _hc=host_cache,
+                    )
+                )
+            else:
+                m["errors"] += 1
         else:
             m["fetched"] += 1
             out_links = cols["out_links"][i]
             n_links_col.append(len(out_links))
             depth = cols["depth"][i]
+            allow_re, deny_re = compiled_link_rules(cfg.link_allow, cfg.link_deny)
             for l, link in enumerate(out_links):
+                if not link_passes_rules(link, allow_re, deny_re):
+                    continue
                 if not url_is_from_any_domain(link, cfg.allowed_domains):
                     m["offsite"] += 1
                     continue
@@ -252,4 +296,13 @@ def expand_push_batch(
     out = batch.select(keep + ["extracted_text"]).append_column(
         "n_links", pa.array(n_links_col, pa.int32())
     )
+    if mr_rows:
+        texts = cols["extracted_text"]
+        for i in mr_rows:
+            texts[i] = None
+        out = out.set_column(
+            out.schema.get_field_index("extracted_text"),
+            "extracted_text",
+            pa.array(texts, pa.string()),
+        )
     return out.cast(RESULTS_SCHEMA)

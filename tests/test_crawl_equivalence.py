@@ -77,6 +77,9 @@ def _assert_equivalent(corpus, out_dir, summary, oracle_res):
         ("pinned", CrawlConfig()),
         ("tight", CrawlConfig(round_duration=2.0)),
         ("deep-noRobots", CrawlConfig(depth_limit=8, robots_obey=False)),
+        # CrawlSpider Rule allow/deny (P5): deny odd-numbered pages, so the
+        # crawl graph itself changes shape and both sides must agree
+        ("linkrules", CrawlConfig(link_deny=(r"/p/\d*[13579]$",))),
     ],
 )
 def test_engine_matches_oracle(ray_session, small_corpus, name, cfg):

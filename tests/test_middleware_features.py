@@ -1,0 +1,196 @@
+"""Middleware-feature coverage: meta-refresh (M5), CrawlSpider link rules
+(P5), and feed-export sink formats (S4) — scalar vectors plus a synthetic
+mini-corpus driven through BOTH the engine and the oracle."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import fixtures.gen as fxgen
+from fixtures import faults
+from scrapy__ray.config import CrawlConfig
+from scrapy__ray.functions.linkextract import (
+    compiled_link_rules,
+    link_passes_rules,
+    resolve_redirect,
+)
+from scrapy__ray.functions.textextract import extract_page_full, extract_text
+
+HOST = "mr0.example"  # pages 0-4 are all status 200 under the fault model
+
+
+# --------------------------------------------------------------- scalars
+@pytest.mark.parametrize(
+    "html,expect",
+    [
+        (b'<html><head><meta http-equiv="refresh" content="0; url=/p/2">'
+         b"</head><body>x</body></html>", (0.0, "/p/2")),
+        (b'<html><head><meta http-equiv="Refresh" content="5;URL=\'next.html\'">'
+         b"</head><body>x</body></html>", (5.0, "next.html")),
+        (b'<html><head><meta http-equiv="refresh" content="300"></head>'
+         b"<body>x</body></html>", None),  # no url -> plain reload, ignored
+        (b"<html><head></head><body>no meta</body></html>", None),
+    ],
+)
+def test_meta_refresh_parse(html, expect):
+    _t, _h, _b, mr = extract_page_full(html)
+    assert mr == expect
+
+
+def test_meta_refresh_resolution():
+    assert (
+        resolve_redirect("http://h.example/p/1", "/p/2")
+        == "http://h.example/p/2"
+    )
+    assert (
+        resolve_redirect("http://h.example/a/b", "c?z=1&a=2")
+        == "http://h.example/a/c?a=2&z=1"  # canonical: params sorted
+    )
+
+
+def test_link_rules_predicates():
+    allow_re, deny_re = compiled_link_rules((r"/p/\d+",), (r"[13579]$",))
+    assert link_passes_rules("http://h.example/p/2", allow_re, deny_re)
+    assert not link_passes_rules("http://h.example/p/3", allow_re, deny_re)
+    assert not link_passes_rules("http://h.example/other", allow_re, deny_re)
+    none_a, none_d = compiled_link_rules((), ())
+    assert link_passes_rules("anything", none_a, none_d)
+
+
+# ------------------------------------------------- synthetic mini corpus
+def _page(title: str, body: str) -> bytes:
+    return (
+        f"<html><head><title>{title}</title></head>\n"
+        f"<body>{body}</body></html>"
+    ).encode()
+
+
+@pytest.fixture(scope="module")
+def mr_corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mr-corpus"))
+    urls = [faults.page_url(HOST, j) for j in range(5)]
+    htmls = [
+        _page("p0", '<p>zero</p><ul><li><a href="/p/1">a</a></li>'
+                    '<li><a href="/p/4">b</a></li></ul>'),
+        (b'<html><head><title>p1</title>'
+         b'<meta http-equiv="refresh" content="0; url=/p/2"></head>\n'
+         b"<body><p>refresh page</p></body></html>"),
+        _page("p2", '<p>two</p><ul><li><a href="/p/3">c</a></li></ul>'),
+        _page("p3", "<p>three</p>"),
+        _page("p4", "<p>four</p>"),
+    ]
+    os.makedirs(os.path.join(out, "pages"))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([fxgen.EPOCH] * 5, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array([extract_text(h) for h in htmls], pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+            },
+            schema=fxgen.PAGES_SCHEMA,
+        ),
+        os.path.join(out, "pages", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": pa.array([urls[0]], pa.string()),
+                  "seed_order": pa.array([0], pa.int32())}),
+        os.path.join(out, "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table({"host": pa.array([HOST], pa.string()),
+                  "robots_txt": pa.array(["User-agent: *\nAllow: /\n"], pa.string())}),
+        os.path.join(out, "robots.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([HOST], pa.string()),
+                "host_index": pa.array([0], pa.int32()),
+                "n_pages": pa.array([5], pa.int32()),
+                "host_hash": pa.array([fxgen.host_hash(HOST)], pa.uint64()),
+            }
+        ),
+        os.path.join(out, "hosts.parquet"),
+    )
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"n_parts": 1}, f)
+    return out
+
+
+_MR_CFG = CrawlConfig(allowed_domains=("example",), num_shards=2)
+
+
+def _fetched_urls(out_dir):
+    t = pq.read_table(os.path.join(out_dir, "results"))
+    return {
+        u for u, st, tx in zip(
+            t["url"].to_pylist(), t["status"].to_pylist(),
+            t["extracted_text"].to_pylist(),
+        )
+        if st == 200 and tx is not None
+    }
+
+
+def test_meta_refresh_engine_vs_oracle(ray_session, mr_corpus):
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    out = "/tmp/crawl_out/mr-test"
+    summary = crawl(mr_corpus, out, cfg=_MR_CFG)
+    oracle = run_oracle(mr_corpus, _MR_CFG)
+
+    assert summary.totals == {**summary.totals, **oracle.totals()}
+    # the refresh fired and its target was crawled
+    assert oracle.totals()["redirects"] >= 1
+    target = faults.page_url(HOST, 2)
+    assert target in oracle.texts
+    assert _fetched_urls(out) == set(oracle.texts)
+    # the refresh page itself logged status 200 but contributed no text
+    t = pq.read_table(os.path.join(out, "results"))
+    row = {
+        u: tx for u, tx in zip(
+            t["url"].to_pylist(), t["extracted_text"].to_pylist()
+        )
+    }
+    assert row[faults.page_url(HOST, 1)] is None
+
+
+def test_metarefresh_disabled_parses_body(ray_session, mr_corpus):
+    from scrapy__ray.oracle import run_oracle
+
+    cfg = CrawlConfig(
+        allowed_domains=("example",), metarefresh_enabled=False, num_shards=2
+    )
+    oracle = run_oracle(mr_corpus, cfg)
+    # p/1 now fetched as a normal page; p/2 unreachable (no links to it)
+    assert faults.page_url(HOST, 1) in oracle.texts
+    assert faults.page_url(HOST, 2) not in oracle.texts
+    assert oracle.totals()["redirects"] == 0
+
+
+def test_json_sink(ray_session, mr_corpus):
+    from scrapy__ray.engine import crawl
+
+    out = "/tmp/crawl_out/mr-json"
+    summary = crawl(
+        mr_corpus, out,
+        cfg=CrawlConfig(
+            allowed_domains=("example",), output_format="json", num_shards=2
+        ),
+    )
+    files = glob.glob(os.path.join(out, "results", "round-*", "*.json"))
+    assert files
+    rows = sum(1 for f in files for _line in open(f))
+    # one results row per fetch attempt (200s + the meta-refresh page)
+    parq = crawl(mr_corpus, "/tmp/crawl_out/mr-parq", cfg=_MR_CFG)
+    t = pq.read_table("/tmp/crawl_out/mr-parq/results")
+    assert rows == t.num_rows
+    assert summary.total_fetched == parq.total_fetched
