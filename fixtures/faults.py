@@ -26,6 +26,9 @@ STATUS_OK = 200
 STATUS_RETRY = 503
 STATUS_REDIRECT = 301
 STATUS_NOTFOUND = 404
+# body exceeded DOWNLOAD_MAXSIZE — not an HTTP status (Scrapy raises a
+# download exception); negative so it can't collide with server codes
+STATUS_TOOBIG = -1
 
 
 def url_byte(url: str) -> int:
@@ -84,3 +87,10 @@ def encoding_variant(url: str) -> str:
 def latency_ms(url: str) -> float:
     """Deterministic simulated latency (bench realism; no scheduling effect)."""
     return 5.0 + (hashlib.sha1(url.encode("utf-8")).digest()[1] / 255.0) * 45.0
+
+
+def latency_us(url: str) -> int:
+    """Integer-microsecond latency — pure int math so AutoThrottle's EWMA
+    inputs are exactly associative across any accumulation order (engine
+    shards sum pushes in arbitrary order; oracle sums in fetch order)."""
+    return 5000 + hashlib.sha1(url.encode("utf-8")).digest()[1] * 45000 // 255

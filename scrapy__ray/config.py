@@ -79,7 +79,25 @@ class CrawlConfig:
     # followed, and the fetch-log row keeps status 200 with null text.
     metarefresh_enabled: bool = True  # METAREFRESH_ENABLED
     metarefresh_maxdelay: float = 100.0  # METAREFRESH_MAXDELAY
+    # AutoThrottle (T2, scrapy/extensions/throttle.py): per-host adaptive
+    # delay.  Law (frozen; engine and oracle implement identically): only
+    # status-200 responses update; per round, observed = mean latency of the
+    # host's 200s (integer-microsecond inputs, so accumulation order can't
+    # change the sum); target = observed / target_concurrency;
+    # delay <- clamp((delay + target)/2, [download_delay, max_delay]);
+    # starting delay = start_delay.  Budget and virtual fetch times use the
+    # host's current delay.  Pinned divergence: Scrapy also raises delay on
+    # error responses ("never decrease on error"); here errors simply don't
+    # update, which the shared oracle makes falsifiable.
+    autothrottle_enabled: bool = False  # AUTOTHROTTLE_ENABLED
+    autothrottle_start_delay: float = 5.0  # AUTOTHROTTLE_START_DELAY
+    autothrottle_max_delay: float = 60.0  # AUTOTHROTTLE_MAX_DELAY
+    autothrottle_target_concurrency: float = 1.0
     url_length_limit: int = 2083  # URLLENGTH_LIMIT
+    # DOWNLOAD_MAXSIZE (S2): a body larger than this aborts the download;
+    # Scrapy surfaces it as a download error (terminal, no retry by default
+    # since CancelledError is not in RETRY_EXCEPTIONS) -> errors++ here.
+    download_maxsize: int = 1 << 30
     max_rounds: int = 10_000
     max_pages: int | None = None  # CLOSESPIDER_PAGECOUNT
     dedup: str = "exact"  # "exact" | "cuckoo"

@@ -190,7 +190,11 @@ class CrawlEngine:
             ds = ray.data.from_arrow_refs(sched_refs)
             results = (
                 ds.map_batches(
-                    partial(fetch_batch, corpus_dir=self.corpus_dir),
+                    partial(
+                        fetch_batch,
+                        corpus_dir=self.corpus_dir,
+                        download_maxsize=cfg.download_maxsize,
+                    ),
                     batch_format="pyarrow",
                     batch_size=None,
                 )

@@ -97,6 +97,12 @@ class OracleCrawl:
     def run(self) -> OracleResult:
         cfg = self.cfg
         res = OracleResult()
+        host_delay: dict[str, float] = {}  # AutoThrottle per-host state
+
+        def delay_of(host: str) -> float:
+            if cfg.autothrottle_enabled:
+                return host_delay.get(host, cfg.autothrottle_start_delay)
+            return cfg.download_delay
         frontier: list[Candidate] = [
             Candidate(
                 url=u, host=host_of(u), priority=0, depth=0, disc_round=-1,
@@ -151,7 +157,7 @@ class OracleCrawl:
             scheduled: list[tuple[Candidate, int]] = []
             for host, rows in by_host.items():
                 rows.sort(key=Candidate.order_key)
-                budget = cfg.per_host_budget
+                budget = max(1, int(cfg.round_duration / delay_of(host)))
                 for rank, c in enumerate(rows):
                     if rank < budget:
                         scheduled.append((c, rank))
@@ -161,6 +167,7 @@ class OracleCrawl:
                         m["deferred"] += 1
 
             # 4. FETCH + 5. EXPAND
+            lat_acc: dict[str, list[int]] = {}  # host -> [sum_us, n] of 200s
             for c, rank in sorted(
                 scheduled, key=lambda t: (t[0].host, t[1])
             ):
@@ -168,7 +175,13 @@ class OracleCrawl:
                 status = faults.status_of(url, c.retry_count)
                 if url not in self.page_html:
                     status = faults.STATUS_NOTFOUND
+                elif len(self.page_html[url]) > cfg.download_maxsize:
+                    status = faults.STATUS_TOOBIG
                 res.fetch_log.append((url, rnd, c.host, rank, status, c.depth))
+                if status == faults.STATUS_OK and cfg.autothrottle_enabled:
+                    acc = lat_acc.setdefault(c.host, [0, 0])
+                    acc[0] += faults.latency_us(url)
+                    acc[1] += 1
                 if status == faults.STATUS_RETRY:
                     if c.retry_count < cfg.retry_times:
                         c.retry_count += 1
@@ -246,6 +259,17 @@ class OracleCrawl:
                             depth=child_depth, disc_round=rnd,
                             parent_url=url, link_idx=l,
                         )
+                    )
+
+            # AutoThrottle update: round-k latencies shape round-k+1 budgets
+            if cfg.autothrottle_enabled:
+                for host, (s, n_) in lat_acc.items():
+                    observed = (s / n_) / 1e6
+                    target = observed / cfg.autothrottle_target_concurrency
+                    d0 = host_delay.get(host, cfg.autothrottle_start_delay)
+                    nd = (d0 + target) / 2.0
+                    host_delay[host] = min(
+                        max(nd, cfg.download_delay), cfg.autothrottle_max_delay
                     )
 
             res.metrics.append(m)

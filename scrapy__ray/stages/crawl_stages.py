@@ -37,8 +37,11 @@ import fixtures.gen as fxgen
 
 
 # ------------------------------------------------------------------- fetch
-def fetch_batch(batch: pa.Table, *, corpus_dir: str) -> pa.Table:
-    """Simulated fetch: corpus lookup + deterministic fault model."""
+def fetch_batch(
+    batch: pa.Table, *, corpus_dir: str, download_maxsize: int = 1 << 30
+) -> pa.Table:
+    """Simulated fetch: corpus lookup + deterministic fault model.
+    Bodies over ``download_maxsize`` abort (status TOOBIG -> errors)."""
     urls = batch["url"].to_pylist()
     hhs = batch["host_hash"].to_pylist()
     hosts = batch["host"].to_pylist()
@@ -50,6 +53,8 @@ def fetch_batch(batch: pa.Table, *, corpus_dir: str) -> pa.Table:
         html = lookup_html(corpus_dir, hh, url)
         if html is None:
             status = faults.STATUS_NOTFOUND
+        elif len(html) > download_maxsize:
+            status = faults.STATUS_TOOBIG
         else:
             status = faults.status_of(url, rc)
         loc = (
@@ -144,10 +149,15 @@ def expand_push_batch(
     n_links_col: list[int] = []
     mr_rows: list[int] = []  # meta-refresh rows: null their text in results
     host_cache: dict[str, tuple] = {}  # url -> (host, host_hash, fingerprint)
+    lat_acc: dict[str, list[int]] = {}  # AutoThrottle: host -> [sum_us, n]
 
     for i in range(n):
         st = cols["status"][i]
         url = cols["url"][i]
+        if st == faults.STATUS_OK and cfg.autothrottle_enabled:
+            acc = lat_acc.setdefault(cols["host"][i], [0, 0])
+            acc[0] += faults.latency_us(url)
+            acc[1] += 1
         if st == faults.STATUS_RETRY:
             n_links_col.append(0)
             if cols["retry_count"][i] < cfg.retry_times:
@@ -267,6 +277,11 @@ def expand_push_batch(
         by_shard.setdefault(c[2] % S, []).append(c)
     for sh in early_dedup:
         by_shard.setdefault(sh, [])
+    # latency feedback goes to the batch's OWN shard (all rows of a
+    # scheduled block share one shard; hosts map to exactly one shard)
+    own_shard = int(cols["host_hash"][0] % S) if (n and lat_acc) else None
+    if own_shard is not None:
+        by_shard.setdefault(own_shard, [])
     push_refs = []
     for sh, rows in by_shard.items():
         tcols = list(zip(*rows)) if rows else [[] for _ in FRONTIER_SCHEMA.names]
@@ -279,7 +294,10 @@ def expand_push_batch(
         )
         push_refs.append(
             shards[sh].push.remote(
-                f"{batch_sig}:{sh}", tbl, early_dedup.get(sh, 0)
+                f"{batch_sig}:{sh}",
+                tbl,
+                early_dedup.get(sh, 0),
+                lat_acc if sh == own_shard else None,
             )
         )
     if stats is not None:

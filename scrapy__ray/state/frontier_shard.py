@@ -69,21 +69,38 @@ class FrontierShard:
         self._pushed: list[tuple] = []
         self._push_ids: set[str] = set()
         self._early_deduped = 0  # expand-side pre-dropped dups, next resolve
+        # AutoThrottle state: host -> current delay (s); per-round int-µs
+        # latency accumulator host -> [sum_us, n] (ints: order-independent)
+        self._host_delay: dict[str, float] = {}
+        self._lat_acc: dict[str, list[int]] = {}
         self._robots_txt = robots_txt or {}
         self._robots: dict[str, urllib.robotparser.RobotFileParser | None] = {}
         self.metrics: dict[int, dict] = {}
         self.last_scheduled = 0
 
     # ------------------------------------------------------------------ push
-    def push(self, batch_id: str, table: pa.Table, early_deduped: int = 0) -> int:
+    def push(
+        self,
+        batch_id: str,
+        table: pa.Table,
+        early_deduped: int = 0,
+        latencies: dict[str, list[int]] | None = None,
+    ) -> int:
         """Absorb candidate rows (idempotent by batch_id).  ``early_deduped``
         is the count of duplicates the expand task already dropped for this
         shard (exact-equivalent within-batch pre-dedup); it is credited to
-        this shard's NEXT resolve() metrics, where the oracle counts them."""
+        this shard's NEXT resolve() metrics, where the oracle counts them.
+        ``latencies`` (host -> [sum_us, n] over the batch's 200 responses)
+        feeds the AutoThrottle delay update applied at the next resolve."""
         if batch_id in self._push_ids:
             return 0  # retried task — already absorbed
         self._push_ids.add(batch_id)
         self._early_deduped += early_deduped
+        if latencies:
+            for host, (s, n) in latencies.items():
+                acc = self._lat_acc.setdefault(host, [0, 0])
+                acc[0] += s
+                acc[1] += n
         cols = [table[c].to_pylist() for c in FRONTIER_COLS]
         rows = list(zip(*cols))
         self._pushed.extend(rows)
@@ -139,17 +156,36 @@ class FrontierShard:
                     m["robots_denied"] += 1
             passed = kept
 
+        # 2b. AutoThrottle delay update (from round-k latencies, before
+        # round-k+1 scheduling — same timing as the oracle)
+        if cfg.autothrottle_enabled and self._lat_acc:
+            for host, (s, n) in self._lat_acc.items():
+                observed = (s / n) / 1e6  # mean latency, seconds
+                target = observed / cfg.autothrottle_target_concurrency
+                d0 = self._host_delay.get(host, cfg.autothrottle_start_delay)
+                nd = (d0 + target) / 2.0
+                nd = min(max(nd, cfg.download_delay), cfg.autothrottle_max_delay)
+                self._host_delay[host] = nd
+            self._lat_acc = {}
+
         # 3. per-host budget -> scheduled | deferred (rows already in order)
-        budget = cfg.per_host_budget
+        def host_delay(host: str) -> float:
+            if cfg.autothrottle_enabled:
+                return self._host_delay.get(host, cfg.autothrottle_start_delay)
+            return cfg.download_delay
+
         ranks: dict[str, int] = {}
         sched: list[tuple] = []
         seqs: list[int] = []
+        vtimes: list[float] = []
         for r in passed:
             rank = ranks.get(r[_HOST], 0)
             ranks[r[_HOST]] = rank + 1
-            if rank < budget:
+            delay = host_delay(r[_HOST])
+            if rank < max(1, int(cfg.round_duration / delay)):
                 sched.append(r)
                 seqs.append(rank)
+                vtimes.append(rnd * cfg.round_duration + rank * delay)
             else:
                 # deferred: mark skip_dedup so re-entry is a pure re-insert
                 self.pending.append(r[:_SKIP] + (True,))
@@ -168,10 +204,7 @@ class FrontierShard:
         arrays += [
             pa.array([rnd] * len(sched), pa.int32()),
             pa.array(seqs, pa.int32()),
-            pa.array(
-                [rnd * cfg.round_duration + s * cfg.download_delay for s in seqs],
-                pa.float64(),
-            ),
+            pa.array(vtimes, pa.float64()),
         ]
         return pa.Table.from_arrays(arrays, schema=SCHEDULED_SCHEMA)
 
@@ -216,6 +249,8 @@ class FrontierShard:
                     "round": rnd,
                     "metrics": self.metrics,
                     "early_deduped": self._early_deduped,
+                    "host_delay": self._host_delay,
+                    "lat_acc": self._lat_acc,
                 },
                 f,
             )
@@ -238,6 +273,8 @@ class FrontierShard:
             d = pickle.load(f)
         self.metrics = d["metrics"]
         self._early_deduped = d.get("early_deduped", 0)
+        self._host_delay = d.get("host_delay", {})
+        self._lat_acc = d.get("lat_acc", {})
         self._push_ids.clear()
         return d["round"]
 

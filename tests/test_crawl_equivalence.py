@@ -80,6 +80,14 @@ def _assert_equivalent(corpus, out_dir, summary, oracle_res):
         # CrawlSpider Rule allow/deny (P5): deny odd-numbered pages, so the
         # crawl graph itself changes shape and both sides must agree
         ("linkrules", CrawlConfig(link_deny=(r"/p/\d*[13579]$",))),
+        # DOWNLOAD_MAXSIZE (S2): bodies over the median page size abort ->
+        # terminal errors; their links are never followed
+        ("maxsize", CrawlConfig(download_maxsize=574)),
+        # AutoThrottle (T2): per-host adaptive budgets; delays start at 5s
+        # (budget 1) and converge toward the clamp as latencies arrive, so
+        # schedule shapes differ per round and both sides must track the
+        # same EWMA state
+        ("autothrottle", CrawlConfig(autothrottle_enabled=True)),
     ],
 )
 def test_engine_matches_oracle(ray_session, small_corpus, name, cfg):
