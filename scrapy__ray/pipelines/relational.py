@@ -33,6 +33,7 @@ from scrapy__ray.pipelines.util import (
     read_parquet,
     round_col,
     shuffle_agg,
+    shuffle_join,
 )
 
 _Q1_CUTOFF = "1998-09-02"
@@ -341,8 +342,114 @@ FROM d GROUP BY user_id
 """
 
 
+# ------------------------------------------------- large-large shuffle join
+def orders_by_nation(sf_dir: str):
+    """orders ⋈ customer on custkey — both sides large, so this is the
+    repartition (shuffle) join from util.shuffle_join, not a broadcast —
+    then a low-cardinality rollup via driver reduce."""
+    orders = read_parquet(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = read_parquet(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    joined = shuffle_join(orders, cust, on="o_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_nationkey", "o_orderpriority"], as_index=False).size()
+        return g.rename(columns={"size": "n_orders"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["c_nationkey", "o_orderpriority"], as_index=False)[
+            "n_orders"
+        ].sum()
+
+    out = driver_agg(joined, partial, final)
+    return pa.table(
+        {
+            "c_nationkey": pa.array(out["c_nationkey"], pa.int64()),
+            "o_orderpriority": out["o_orderpriority"],
+            "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT c_nationkey, o_orderpriority, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey, o_orderpriority
+"""
+
+
+# --------------------------------------------------------- sliding windows
+_WIN_US = 3_600_000_000  # 1 h window
+_SLIDE_US = 900_000_000  # 15 min slide -> each event in 4 windows
+
+
+def events_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (1 h / 15 min): each event expands into
+    window-start keys inside map_batches (the flat-map), then the grouped
+    aggregation takes the hash-shuffle path."""
+    ds = read_parquet(sf_dir, "events", columns=["ts", "event_type", "value"])
+    k = _WIN_US // _SLIDE_US
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].values.astype("datetime64[us]").astype("int64")
+        base = t // _SLIDE_US
+        frames = []
+        for i in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"].values,
+                        "win_start_us": (base - i) * _SLIDE_US,
+                        "n_events": 1,
+                        "v": df["value"].values,
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["event_type", "win_start_us"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "win_start_us"], as_index=False).sum()
+
+    out = collect_arrow(
+        shuffle_agg(ds, ["event_type", "win_start_us"], expand, final),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("win_start_us", pa.int64()),
+                ("n_events", pa.int64()),
+                ("v", pa.float64()),
+            ]
+        ),
+    ).to_pandas()
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "win_start_us": pa.array(out["win_start_us"].astype("int64"), pa.int64()),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "value_sum": round_col(out["v"], 2),
+        }
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 900000000 - k) * 900000000 AS win_start_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY event_type, win_start_us
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
+    "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
+    "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
     "customer_nation_rollup": (customer_nation_rollup, CUSTOMER_NATION_SQL),
     "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),

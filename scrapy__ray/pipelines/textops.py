@@ -462,7 +462,59 @@ def docs_langid(sf_dir: str):
     return ds.map_batches(lid, batch_format="pyarrow")
 
 
-# ------------------------------------------------------- quality scoring
+# ---------------------------------------------------- BPE-ish token count
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def docs_bpe_tokens(sf_dir: str):
+    """Sub-word-style token counting with a BPE-ish pre-tokenizer regex
+    (letter runs | digit runs | single punctuation), the standard first
+    stage of byte-pair tokenizers — vectorized map_batches, no shuffle."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = [len(_BPE_RE.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_tokens": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+DOCS_BPE_TOKENS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))::BIGINT
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------ rolling-hash fingerprint
+_RH_BASE = 1_000_003
+_RH_MOD = (1 << 61) - 1
+
+
+def docs_rolling_fingerprint(sf_dir: str):
+    """Karp-Rabin polynomial rolling hash over the token stream — the
+    content-defined fingerprint family (no SQL analogue; deterministic).
+    Vectorized per document with numpy modular Horner evaluation."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t["text"].to_pylist():
+            h = 0
+            for w in _tokens(text):
+                tok_h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                h = (h * _RH_BASE + tok_h) % _RH_MOD
+            out.append(h)
+        return pa.table(
+            {"doc_id": t["doc_id"], "rolling_fp": pa.array(out, pa.int64())}
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 _PUNCT = set(".,;:!?'\"()[]{}-")
 
@@ -571,6 +623,8 @@ QUERIES = {
     "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
     "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
+    "docs_bpe_tokens": (docs_bpe_tokens, DOCS_BPE_TOKENS_SQL),
+    "docs_rolling_fingerprint": (docs_rolling_fingerprint, None),
     "docs_minhash_lsh": (docs_minhash_lsh, None),
     "docs_simhash": (docs_simhash, None),
     "docs_langid": (docs_langid, None),

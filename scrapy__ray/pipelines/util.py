@@ -121,6 +121,42 @@ def collect_arrow(ds, schema) -> Any:
     return pa.concat_tables([t.select(schema.names).cast(schema) for t in tbls])
 
 
+def shuffle_join(left, right, on: str, num_partitions: int = 16):
+    """Distributed hash equi-join of two LARGE datasets (neither broadcast):
+    tag each side, union, hash-partition by the key, then pandas-merge the
+    two sides inside each partition.  One shuffle total; the classic
+    repartition-join expressed in Ray Data primitives.  Column names must
+    be disjoint apart from ``on``.  Returns a Dataset of joined rows.
+    (Small-side joins should use broadcast + lookup_broadcast instead.)
+    """
+    import pandas as pd
+
+    ensure_ctx()
+
+    def tag(side: int):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            return df
+
+        return _t
+
+    both = left.map_batches(
+        tag(0), batch_format="pandas", batch_size=None
+    ).union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0].dropna(axis=1, how="all").drop(columns="__side")
+        r = df[df["__side"] == 1].dropna(axis=1, how="all").drop(columns="__side")
+        if not len(l) or not len(r):
+            return pd.DataFrame()
+        return l.merge(r, on=on, how="inner")
+
+    return both.repartition(num_partitions, keys=[on], sort=False).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
 def round_col(values, digits: int):
     """Round a float column the same way the oracle SQL's ROUND() does.
 
