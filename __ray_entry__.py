@@ -40,10 +40,10 @@ def entry() -> Any:
 
 
 def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
-    from scrapy__ray.pipelines import crawlq, relational, simops, textops
+    from scrapy__ray.pipelines import crawlq, relational, simops, streamops, textops
 
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
-    for mod in (relational, textops, simops, crawlq):
+    for mod in (relational, textops, simops, streamops, crawlq):
         out.update(mod.QUERIES)
     return out
 
