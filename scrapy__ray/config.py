@@ -102,6 +102,12 @@ class CrawlConfig:
     max_pages: int | None = None  # CLOSESPIDER_PAGECOUNT
     dedup: str = "exact"  # "exact" | "cuckoo"
     num_shards: int = 8  # seen-set shard actors
+    # rows per scheduled block emitted by each shard's resolve(): the task
+    # granularity of the fetch/extract/expand stage.  Small enough that the
+    # streaming executor load-balances across the pool; big enough that
+    # per-task overhead (corpus-partition cache lookups, push RPCs) stays
+    # amortized.
+    scheduled_chunk_rows: int = 4096
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)
     # FeedExporter analogue (SURVEY.md S4, scrapy/extensions/feedexport.py):

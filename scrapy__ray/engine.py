@@ -181,11 +181,13 @@ class CrawlEngine:
         while rnd < cfg.max_rounds:
             if cfg.max_pages is not None and self.total_fetched >= cfg.max_pages:
                 break
-            sched_refs = [s.resolve.remote(rnd) for s in self.shards]
+            # resolve returns a LIST of ~chunk_rows block refs per shard
+            ref_lists = ray.get([s.resolve.remote(rnd) for s in self.shards])
             shard_stats = ray.get([s.status.remote(rnd) for s in self.shards])
             n_sched = sum(st["scheduled"] for st in shard_stats)
             if n_sched == 0:
                 break
+            sched_refs = [r for lst in ref_lists for r in lst]
 
             ds = ray.data.from_arrow_refs(sched_refs)
             results = (

@@ -216,8 +216,96 @@ def emb_ivf_topk(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------ k-means (Lloyd)
+_KMEANS_K = 8
+_KMEANS_ITERS = 5
+
+
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 5 iterations): centroids broadcast
+    each iteration, per-batch assignment + partial (sum, count) combine,
+    driver reduce — the iterative-algorithm pattern (one tiny driver-side
+    recompute per iteration, all heavy math vectorized in tasks).
+    Deterministic init (first k vectors by vec_id) -> rows-only check."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(np.asarray(init["vec_id"].to_pylist()))
+    cent = np.array(init["embedding"].to_pylist(), dtype=np.float64)[
+        order[:_KMEANS_K]
+    ]
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    for _ in range(_KMEANS_ITERS):
+        c_ref = broadcast(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = lookup_broadcast(c_ref)
+            emb = np.array(df["embedding"].tolist(), dtype=np.float64)
+            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            rows = []
+            for k in range(len(c)):
+                mask = a == k
+                if mask.any():
+                    rows.append(
+                        {
+                            "k": k,
+                            "n": int(mask.sum()),
+                            "sum": emb[mask].sum(axis=0).tobytes(),
+                            "inertia": float(d2[mask, k].sum()),
+                        }
+                    )
+            return pd.DataFrame(rows, columns=["k", "n", "sum", "inertia"])
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return df  # merge happens below (vectors are packed bytes)
+
+        parts = driver_agg(ds, partial, final)
+        dim = cent.shape[1]
+        new_cent = cent.copy()
+        inertia = 0.0
+        for k in range(_KMEANS_K):
+            sub = parts[parts["k"] == k]
+            if not len(sub):
+                continue
+            total = np.zeros(dim)
+            for b in sub["sum"]:
+                total += np.frombuffer(b, dtype=np.float64)
+            n = int(sub["n"].sum())
+            new_cent[k] = total / n
+            inertia += float(sub["inertia"].sum())
+        cent = new_cent
+
+    sizes_ref = broadcast(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = lookup_broadcast(sizes_ref)
+        emb = np.array(df["embedding"].tolist(), dtype=np.float64)
+        d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        g = pd.DataFrame({"cluster": a, "n": 1, "inertia": d2[np.arange(len(a)), a]})
+        return g.groupby("cluster", as_index=False).sum()
+
+    out = driver_agg(
+        ds, assign, lambda df: df.groupby("cluster", as_index=False).sum()
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"].astype("int64"), pa.int64()),
+            "n": pa.array(out["n"].astype("int64"), pa.int64()),
+            "inertia": pa.array(round_col(out["inertia"], 2), pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
+    "emb_kmeans": (emb_kmeans, None),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
     "emb_cosine_dups": (emb_cosine_dups, EMB_COS_DUP_SQL),
     "emb_ivf_topk": (emb_ivf_topk, None),

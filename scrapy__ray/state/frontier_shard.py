@@ -206,7 +206,22 @@ class FrontierShard:
             pa.array(seqs, pa.int32()),
             pa.array(vtimes, pa.float64()),
         ]
-        return pa.Table.from_arrays(arrays, schema=SCHEDULED_SCHEMA)
+        table = pa.Table.from_arrays(arrays, schema=SCHEDULED_SCHEMA)
+
+        # Return the schedule as ~chunk_rows-row object-store slices rather
+        # than one block: one-task-per-shard makes the slowest shard gate
+        # every BSP round (measured 0.60 scaling efficiency at 32 cpus);
+        # many small blocks let the task pool load-balance and keep sparse
+        # late rounds parallel.  Chunks preserve row order, so per-host
+        # fetch order is untouched.
+        import ray
+
+        chunk = max(1, int(self.cfg.scheduled_chunk_rows))
+        refs = [
+            ray.put(table.slice(off, chunk))
+            for off in range(0, table.num_rows, chunk)
+        ]
+        return refs
 
     # ---------------------------------------------------------------- status
     def status(self, rnd: int) -> dict:

@@ -68,4 +68,4 @@ def test_query_matches_oracle(ray_session, con, name, fn, sql):
 def test_rows_only_query_runs(ray_session, name, fn):
     df = _to_df(fn(SF_DIR))
     assert df.shape[0] >= 0
-    assert df.shape[1] >= 2
+    assert df.shape[1] >= 1
