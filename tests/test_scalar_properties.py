@@ -1,0 +1,100 @@
+"""Property-based gates for the byte-exact scalar core (hypothesis).
+
+These guard the invariants the crawl's correctness proofs lean on:
+canonicalization idempotence, fingerprint equivalence classes, and — most
+load-bearing — that the per-batch link-resolution memo NEVER changes
+link_from_hrefs output (the hot-path optimization must be a pure cache).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from scrapy__ray.functions.fingerprint import request_fingerprint
+from scrapy__ray.functions.linkextract import links_from_hrefs
+from scrapy__ray.functions.textextract import extract_text
+from scrapy__ray.functions.url import canonicalize_url, host_of
+
+_host = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,7}){1,2}", fullmatch=True)
+_path_seg = st.from_regex(r"[A-Za-z0-9._~%-]{0,12}", fullmatch=True)
+_query_key = st.from_regex(r"[a-z]{1,5}", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    host = draw(_host)
+    segs = draw(st.lists(_path_seg, max_size=4))
+    q = draw(st.dictionaries(_query_key, _path_seg, max_size=3))
+    frag = draw(st.sampled_from(["", "#x", "#frag"]))
+    path = "/" + "/".join(segs) if segs else ""
+    query = "&".join(f"{k}={v}" for k, v in q.items())
+    return f"http://{host}{path}" + (f"?{query}" if query else "") + frag
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_canonicalize_idempotent(u):
+    c = canonicalize_url(u)
+    assert canonicalize_url(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_fingerprint_ignores_fragment(u):
+    base = u.split("#", 1)[0]
+    assert request_fingerprint(u) == request_fingerprint(base + "#other")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(_query_key, _path_seg, min_size=2, max_size=4),
+    _host,
+)
+def test_fingerprint_query_order_invariant(q, host):
+    items = list(q.items())
+    u1 = f"http://{host}/p?" + "&".join(f"{k}={v}" for k, v in items)
+    u2 = f"http://{host}/p?" + "&".join(f"{k}={v}" for k, v in reversed(items))
+    assert request_fingerprint(u1) == request_fingerprint(u2)
+
+
+_href = st.one_of(
+    st.from_regex(r"(/|\.\./|)[A-Za-z0-9._/-]{0,15}", fullmatch=True),
+    st.from_regex(r"https?://[a-z]{1,8}\.example/[A-Za-z0-9/-]{0,10}", fullmatch=True),
+    st.sampled_from(
+        ["", "  ", "mailto:x@y.z", "javascript:void(0)", "/img/a.jpg",
+         "?b=2&a=1", "#frag", "p/3?b=2&a=1#z"]
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_href, max_size=10),
+    urls(),
+    st.one_of(st.none(), st.sampled_from(["/", "/base/", "http://cdn.example/"])),
+)
+def test_link_memo_is_pure_cache(hrefs, page_url, base):
+    page_url = page_url.split("#", 1)[0] or "http://h.example/p/0"
+    plain = links_from_hrefs(hrefs, page_url, base)
+    memo: dict = {}
+    memoized = links_from_hrefs(hrefs, page_url, base, _memo=memo)
+    again = links_from_hrefs(hrefs, page_url, base, _memo=memo)  # warm hits
+    assert plain == memoized == again
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300))
+def test_extract_text_total(function_input):
+    """extract_text never raises on arbitrary (possibly broken) html and
+    never emits blank lines or trailing newlines."""
+    out = extract_text(function_input.encode("utf-8", "replace"))
+    assert not out.endswith("\n")
+    assert all(line.strip() == line and line for line in out.split("\n")) or out == ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(urls())
+def test_host_of_is_lowercase_no_port(u):
+    h = host_of(u)
+    assert h == h.lower()
+    assert ":" not in h
