@@ -181,10 +181,19 @@ class CrawlEngine:
         while rnd < cfg.max_rounds:
             if cfg.max_pages is not None and self.total_fetched >= cfg.max_pages:
                 break
-            # resolve returns a LIST of ~chunk_rows block refs per shard
-            ref_lists = ray.get([s.resolve.remote(rnd) for s in self.shards])
+            # resolve returns a LIST of ~chunk_rows block refs per shard;
+            # chunk adapts to last round's volume: ~3 tasks per cpu
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            chunk = max(
+                cfg.scheduled_chunk_rows,
+                -(-getattr(self, "_last_sched", 0) // (cpus * 3)),
+            )
+            ref_lists = ray.get(
+                [s.resolve.remote(rnd, chunk) for s in self.shards]
+            )
             shard_stats = ray.get([s.status.remote(rnd) for s in self.shards])
             n_sched = sum(st["scheduled"] for st in shard_stats)
+            self._last_sched = n_sched
             if n_sched == 0:
                 break
             sched_refs = [r for lst in ref_lists for r in lst]

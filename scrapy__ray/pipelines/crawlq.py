@@ -74,8 +74,54 @@ def crawl_metrics(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(summary.round_metrics)
 
 
+def crawl_host_summary(sf_dir: str):
+    """Analytics over the engine's own output: per-host fetch counts,
+    status mix, mean depth and text volume — a Ray Data pipeline reading
+    the partitioned results parquet the crawl just wrote (the
+    'resumable-output-as-a-table' contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.pipelines.util import driver_agg
+
+    corpus = _corpus()
+    out = "/tmp/crawl_out/q-host-summary"
+    crawl(corpus, out, cfg=CrawlConfig())
+    ds = rd.read_parquet(
+        out + "/results",
+        columns=["host", "status", "depth", "extracted_text"],
+    )
+
+    def partial(df):
+        df = df.assign(
+            ok=(df["status"] == 200).astype("int64"),
+            err=(df["status"] != 200).astype("int64"),
+            text_chars=df["extracted_text"].fillna("").str.len().astype("int64"),
+        )
+        return (
+            df.groupby("host", as_index=False)
+            .agg(
+                n_fetches=("status", "size"), n_ok=("ok", "sum"),
+                n_err=("err", "sum"), depth_sum=("depth", "sum"),
+                text_chars=("text_chars", "sum"),
+            )
+        )
+
+    def final(df):
+        g = df.groupby("host", as_index=False).sum()
+        g["mean_depth"] = np.round(g["depth_sum"] / g["n_fetches"], 3)
+        return g.drop(columns="depth_sum")
+
+    res = driver_agg(ds, partial, final)
+    return pa.Table.from_pandas(
+        res.sort_values("host").reset_index(drop=True), preserve_index=False
+    )
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
     "crawl_metrics": (crawl_metrics, None),
+    "crawl_host_summary": (crawl_host_summary, None),
 }

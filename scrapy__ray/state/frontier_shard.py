@@ -120,7 +120,7 @@ class FrontierShard:
         return True if rp is None else rp.can_fetch(self.cfg.user_agent, url)
 
     # --------------------------------------------------------------- resolve
-    def resolve(self, rnd: int) -> pa.Table:
+    def resolve(self, rnd: int, chunk_rows: int | None = None) -> list:
         t0 = time.monotonic()
         cfg = self.cfg
         m = dict(
@@ -213,10 +213,11 @@ class FrontierShard:
         # every BSP round (measured 0.60 scaling efficiency at 32 cpus);
         # many small blocks let the task pool load-balance and keep sparse
         # late rounds parallel.  Chunks preserve row order, so per-host
-        # fetch order is untouched.
+        # fetch order is untouched.  The engine passes chunk_rows sized to
+        # ~3 tasks/cpu for the round.
         import ray
 
-        chunk = max(1, int(self.cfg.scheduled_chunk_rows))
+        chunk = max(1, int(chunk_rows or self.cfg.scheduled_chunk_rows))
         refs = [
             ray.put(table.slice(off, chunk))
             for off in range(0, table.num_rows, chunk)
