@@ -56,6 +56,10 @@ SCALES = {
     # every politeness round has cluster-wide parallel work (no big-host
     # tail); used by bench.py --scaling.
     "sf-scale": dict(hosts=20000, cap=256, seeds=500, n_parts=64, fanout=64),
+    # sf-gzip: sf-small shape with the FIXTURES.md §2 Content-Encoding
+    # variant wired in — pages whose url byte is 96 store gzip'd html and a
+    # content_encoding sidecar column (M6 HttpCompressionMiddleware gate).
+    "sf-gzip": dict(hosts=20, cap=1500, seeds=5, n_parts=4, fanout=3, gzip=True),
 }
 
 PAGES_SCHEMA = pa.schema(
@@ -118,14 +122,17 @@ def _href_for(rng: random.Random, target_j: int, has_base: bool) -> str:
 
 
 def gen_host(args) -> dict:
-    """Build all pages of one host. Pure function of (host_index, counts[, fanout])."""
-    i, counts, fanout = args if len(args) == 3 else (*args, 3)
+    """Build all pages of one host. Pure function of
+    (host_index, counts[, fanout[, gzip_variant]])."""
+    i, counts = args[0], args[1]
+    fanout = args[2] if len(args) > 2 else 3
+    gzip_variant = args[3] if len(args) > 3 else False
     host = host_name(i)
     n_i = int(counts[i])
     hosts_total = len(counts)
     rng = random.Random(_child_seed("pages", host))
 
-    urls, htmls, texts, langs = [], [], [], []
+    urls, htmls, texts, langs, encs = [], [], [], [], []
     for j in range(n_i):
         url = page_url(host, j)
         has_base = rng.random() < 0.10
@@ -188,10 +195,21 @@ def gen_host(args) -> dict:
         else:
             html = html_str.encode("utf-8")
 
+        # text is computed BEFORE wire-compression: the oracle column is the
+        # post-decode extraction, Content-Encoding is transport-level (M6)
+        text = extract_text(html)
+        enc = ""
+        if gzip_variant and variant == "gzip":
+            import gzip as _gzip
+
+            html = _gzip.compress(html, compresslevel=6, mtime=0)
+            enc = "gzip"
+
         urls.append(url)
         htmls.append(html)
-        texts.append(extract_text(html))
+        texts.append(text)
         langs.append(lang)
+        encs.append(enc)
 
     return {
         "host_index": i,
@@ -200,6 +218,7 @@ def gen_host(args) -> dict:
         "htmls": htmls,
         "texts": texts,
         "langs": langs,
+        "encs": encs,
     }
 
 
@@ -216,7 +235,7 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
     """Generate (or reuse a cached) corpus; returns out_dir."""
     params = SCALES[scale]
     meta_path = os.path.join(out_dir, "meta.json")
-    meta = {"scale": scale, "seed": MASTER_SEED, "version": 3, **params}
+    meta = {"scale": scale, "seed": MASTER_SEED, "version": 4, **params}
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:
@@ -233,7 +252,10 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
     procs = processes or min(mp.cpu_count(), 32)
-    work = [(i, counts, params.get("fanout", 3)) for i in range(hosts_n)]
+    work = [
+        (i, counts, params.get("fanout", 3), params.get("gzip", False))
+        for i in range(hosts_n)
+    ]
     if procs > 1 and hosts_n > 4:
         with mp.Pool(procs) as pool:
             results = pool.map(gen_host, work, chunksize=max(1, hosts_n // (procs * 4)))
@@ -247,9 +269,10 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
     for r in results:
         k = host_hash(r["host"]) % n_parts
         parts.setdefault(k, []).append(r)
+    gzip_mode = bool(params.get("gzip", False))
     for k in range(n_parts):
         group = parts.get(k, [])
-        urls, ts, htmls, texts, langs = [], [], [], [], []
+        urls, ts, htmls, texts, langs, encs = [], [], [], [], [], []
         for r in group:
             i = r["host_index"]
             off = int(offsets[i])
@@ -260,16 +283,17 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
             htmls.extend(r["htmls"])
             texts.extend(r["texts"])
             langs.extend(r["langs"])
-        tbl = pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(ts, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(texts, pa.string()),
-                "lang": pa.array(langs, pa.string()),
-            },
-            schema=PAGES_SCHEMA,
-        )
+            encs.extend(r["encs"])
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+        if gzip_mode:  # sidecar column exists in the gzip variant only
+            cols["content_encoding"] = pa.array(encs, pa.string())
+        tbl = pa.table(cols)
         pq.write_table(
             tbl,
             os.path.join(out_dir, "pages", f"part-{k}.parquet"),
@@ -302,6 +326,30 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
         os.path.join(out_dir, "robots.parquet"),
         compression="zstd",
     )
+    # sitemap (FIXTURES.md §2 / SURVEY.md P6): h1.example lists its first
+    # ten pages; consumed by the optional sitemap seed-expansion stage
+    if hosts_n > 1:
+        sm_host = host_name(1)
+        locs = "".join(
+            f"<url><loc>{page_url(sm_host, j)}</loc></url>"
+            for j in range(min(10, int(counts[1])))
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{locs}</urlset>"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "host": pa.array([sm_host], pa.string()),
+                    "sitemap_xml": pa.array([xml], pa.string()),
+                }
+            ),
+            os.path.join(out_dir, "sitemaps.parquet"),
+            compression="zstd",
+        )
+
     pq.write_table(
         pa.table(
             {

@@ -111,6 +111,11 @@ class CrawlConfig:
     scheduled_chunk_rows: int = 2048
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)
+    # SitemapSpider analogue (P6): when True, urls listed in the corpus's
+    # sitemaps.parquet become additional round-0 seeds (dedup applies —
+    # unlike start_urls they are NOT dont_filter'd), ordered after the seed
+    # list via parent_url = "sitemap:<host>".
+    sitemap_seeds: bool = False
     # FeedExporter analogue (SURVEY.md S4, scrapy/extensions/feedexport.py):
     # per-round results sink format. parquet is the resumable default;
     # json = JSON-lines, csv for interop (FEED_FORMAT vocabulary).

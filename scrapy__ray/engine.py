@@ -143,7 +143,8 @@ class CrawlEngine:
         return max(committed) if committed else None
 
     def _push_seeds(self) -> None:
-        """Seeds -> frontier round 0 (Spider.start_requests, dont_filter=True)."""
+        """Seeds -> frontier round 0 (Spider.start_requests, dont_filter=True);
+        optionally expanded with sitemap-listed urls (P6, dedup applies)."""
         import ray
 
         t = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet"))
@@ -157,6 +158,23 @@ class CrawlEngine:
                 int(order), 0, 0, True,
             )
             rows_by_shard.setdefault(hh % S, []).append(row)
+
+        sm_path = os.path.join(self.corpus_dir, "sitemaps.parquet")
+        if self.cfg.sitemap_seeds and os.path.exists(sm_path):
+            from scrapy__ray.functions.linkextract import parse_sitemap_urls
+
+            sm = pq.read_table(sm_path)
+            for sm_host, xml in zip(
+                sm["host"].to_pylist(), sm["sitemap_xml"].to_pylist()
+            ):
+                for l, url in enumerate(parse_sitemap_urls(xml)):
+                    host = host_of(url)
+                    hh = fxgen.host_hash(host)
+                    row = (
+                        url, host, hh, fingerprint_canonical(url), 0, 0, -1,
+                        f"sitemap:{sm_host}", l, 0, 0, False,
+                    )
+                    rows_by_shard.setdefault(hh % S, []).append(row)
         refs = []
         for sh, rows in rows_by_shard.items():
             cols = list(zip(*rows))

@@ -123,6 +123,17 @@ def link_passes_rules(link: str, allow_re, deny_re) -> bool:
     return True
 
 
+# SitemapSpider analogue (SURVEY.md P6, scrapy/utils/sitemap.py): pull the
+# <loc> entries out of a urlset/sitemapindex document.  Regex, not an XML
+# parser, mirroring the reference's tolerance of loosely-valid sitemaps.
+_SITEMAP_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.S | re.I)
+
+
+def parse_sitemap_urls(xml: str) -> list[str]:
+    """sitemap.xml text -> ordered canonical urls."""
+    return [canonicalize_url(u) for u in _SITEMAP_LOC_RE.findall(xml)]
+
+
 def resolve_redirect(page_url: str, location: str) -> str:
     """Location header / meta-refresh target -> canonical absolute url.
     Plain urljoin against the page url (Scrapy's Redirect/MetaRefresh

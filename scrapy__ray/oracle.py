@@ -65,8 +65,17 @@ class OracleResult:
 
 
 def load_corpus(corpus_dir: str):
-    pages = pq.read_table(f"{corpus_dir}/pages", columns=["url", "html"])
-    page_html = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    import gzip as _gzip
+    import os
+
+    pages = pq.read_table(f"{corpus_dir}/pages")
+    htmls = pages["html"].to_pylist()
+    if "content_encoding" in pages.schema.names:  # gzip fixture variant (M6)
+        htmls = [
+            _gzip.decompress(h) if enc == "gzip" else h
+            for h, enc in zip(htmls, pages["content_encoding"].to_pylist())
+        ]
+    page_html = dict(zip(pages["url"].to_pylist(), htmls))
     hosts = pq.read_table(f"{corpus_dir}/hosts.parquet")
     n_pages = dict(zip(hosts["host"].to_pylist(), hosts["n_pages"].to_pylist()))
     robots = pq.read_table(f"{corpus_dir}/robots.parquet")
@@ -75,13 +84,26 @@ def load_corpus(corpus_dir: str):
     )
     seeds_t = pq.read_table(f"{corpus_dir}/seeds.parquet")
     seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["seed_order"].to_pylist()))
-    return page_html, n_pages, robots_txt, seeds
+    sitemaps = []
+    sm_path = os.path.join(corpus_dir, "sitemaps.parquet")
+    if os.path.exists(sm_path):
+        sm = pq.read_table(sm_path)
+        sitemaps = list(
+            zip(sm["host"].to_pylist(), sm["sitemap_xml"].to_pylist())
+        )
+    return page_html, n_pages, robots_txt, seeds, sitemaps
 
 
 class OracleCrawl:
     def __init__(self, corpus_dir: str, config: CrawlConfig | None = None):
         self.cfg = config or CrawlConfig()
-        self.page_html, self.n_pages, robots_txt, self.seeds = load_corpus(corpus_dir)
+        (
+            self.page_html,
+            self.n_pages,
+            robots_txt,
+            self.seeds,
+            self.sitemaps,
+        ) = load_corpus(corpus_dir)
         self._robots: dict[str, urllib.robotparser.RobotFileParser] = {}
         for host, txt in robots_txt.items():
             rp = urllib.robotparser.RobotFileParser()
@@ -110,6 +132,18 @@ class OracleCrawl:
             )
             for u, order in self.seeds
         ]
+        if cfg.sitemap_seeds:
+            from scrapy__ray.functions.linkextract import parse_sitemap_urls
+
+            for sm_host, xml in self.sitemaps:
+                for l, u in enumerate(parse_sitemap_urls(xml)):
+                    frontier.append(
+                        Candidate(
+                            url=u, host=host_of(u), priority=0, depth=0,
+                            disc_round=-1, parent_url=f"sitemap:{sm_host}",
+                            link_idx=l, skip_dedup=False,
+                        )
+                    )
         total_fetched = 0
 
         for rnd in range(cfg.max_rounds):

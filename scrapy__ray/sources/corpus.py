@@ -54,7 +54,7 @@ def host_page_counts(corpus_dir: str) -> dict[str, int]:
     return counts
 
 
-def _load_part(corpus_dir: str, part: int) -> dict[str, bytes]:
+def _load_part(corpus_dir: str, part: int) -> dict[str, tuple[bytes, str]]:
     key = (corpus_dir, part)
     cached = _PART_CACHE.get(key)
     if cached is not None:
@@ -62,8 +62,19 @@ def _load_part(corpus_dir: str, part: int) -> dict[str, bytes]:
         return cached
     path = os.path.join(corpus_dir, "pages", f"part-{part}.parquet")
     if os.path.exists(path):
-        t = pq.read_table(path, columns=["url", "html"])  # column-pruned read
-        d = dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+        pf = pq.ParquetFile(path)
+        has_enc = "content_encoding" in pf.schema_arrow.names
+        cols = ["url", "html"] + (["content_encoding"] if has_enc else [])
+        t = pq.read_table(path, columns=cols)  # column-pruned read
+        encs = (
+            t["content_encoding"].to_pylist()
+            if has_enc
+            else [""] * t.num_rows
+        )
+        d = {
+            u: (h, e)
+            for u, h, e in zip(t["url"].to_pylist(), t["html"].to_pylist(), encs)
+        }
     else:
         d = {}
     _PART_CACHE[key] = d
@@ -73,5 +84,14 @@ def _load_part(corpus_dir: str, part: int) -> dict[str, bytes]:
 
 
 def lookup_html(corpus_dir: str, host_hash: int, url: str) -> bytes | None:
+    """Fetch the url's body, applying Content-Encoding (M6 analogue of
+    scrapy/downloadermiddlewares/httpcompression.py — decode happens in the
+    download path, before the response reaches the spider)."""
+    import gzip
+
     n_parts = corpus_meta(corpus_dir)["n_parts"]
-    return _load_part(corpus_dir, host_hash % n_parts).get(url)
+    row = _load_part(corpus_dir, host_hash % n_parts).get(url)
+    if row is None:
+        return None
+    html, enc = row
+    return gzip.decompress(html) if enc == "gzip" else html

@@ -176,6 +176,70 @@ def test_metarefresh_disabled_parses_body(ray_session, mr_corpus):
     assert oracle.totals()["redirects"] == 0
 
 
+# ------------------------------------------- gzip variant + sitemap seeds
+def test_gzip_corpus_equivalence(ray_session):
+    """M6: the sf-gzip corpus stores 'gzip' Content-Encoding pages; fetch
+    decompresses before extract, and engine==oracle on the whole crawl."""
+    import pyarrow.parquet as pq_
+
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+    from scrapy__ray.functions.textextract import extract_text
+    import gzip as _gzip
+
+    corpus = fxgen.generate("sf-gzip", fxgen.default_dir("sf-gzip"))
+    pages = pq_.read_table(os.path.join(corpus, "pages"))
+    assert "content_encoding" in pages.schema.names
+    encs = pages["content_encoding"].to_pylist()
+    n_gzip = sum(1 for e in encs if e == "gzip")
+    assert n_gzip > 0
+    # byte-identity THROUGH the decompression path for every gzip'd page
+    for h, e, txt in zip(
+        pages["html"].to_pylist(), encs, pages["text"].to_pylist()
+    ):
+        if e == "gzip":
+            assert extract_text(_gzip.decompress(h)) == txt
+
+    cfg = CrawlConfig()
+    s = crawl(corpus, "/tmp/crawl_out/gzip-eq", cfg=cfg)
+    o = run_oracle(corpus, cfg)
+    assert {k: s.totals[k] for k in o.totals()} == o.totals()
+    assert s.total_fetched == o.totals()["fetched"]
+
+
+def test_sitemap_seed_expansion(ray_session):
+    """P6: sitemap-listed urls join round 0; engine==oracle, and the
+    sitemap host's listed pages are all crawled."""
+    import pyarrow.parquet as pq_
+
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.functions.linkextract import parse_sitemap_urls
+    from scrapy__ray.oracle import run_oracle
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    cfg = CrawlConfig(sitemap_seeds=True)
+    s = crawl(corpus, "/tmp/crawl_out/sitemap-eq", cfg=cfg)
+    o = run_oracle(corpus, cfg)
+    assert {k: s.totals[k] for k in o.totals()} == o.totals()
+
+    sm = pq_.read_table(os.path.join(corpus, "sitemaps.parquet"))
+    listed = parse_sitemap_urls(sm["sitemap_xml"][0].as_py())
+    hosts = pq_.read_table(os.path.join(corpus, "hosts.parquet"))
+    n1 = dict(zip(hosts["host"].to_pylist(), hosts["n_pages"].to_pylist()))[
+        "h1.example"
+    ]
+    assert len(listed) == min(10, n1) >= 1
+    t = pq_.read_table(
+        os.path.join("/tmp/crawl_out/sitemap-eq", "results"), columns=["url"]
+    )
+    fetched = set(t["url"].to_pylist())
+    assert set(listed) <= fetched
+
+    # without sitemap seeds the oracle fetches no more pages than with
+    o_plain = run_oracle(corpus, CrawlConfig())
+    assert o.totals()["fetched"] >= o_plain.totals()["fetched"]
+
+
 def test_json_sink(ray_session, mr_corpus):
     from scrapy__ray.engine import crawl
 
