@@ -127,7 +127,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
-    ap.add_argument("--scale", default="sf-mid")
+    # sf-bench (64 links/page) is the throughput corpus; fanout-3 scales
+    # are graph-diameter-bound and under-report the engine (BASELINE.md)
+    ap.add_argument("--scale", default="sf-bench")
     args = ap.parse_args()
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -68,12 +68,12 @@ def driver_agg(ds, partial_fn, final_fn):
     """
     import pandas as pd
 
-    parts = [
-        b
-        for b in ds.map_batches(
-            partial_fn, batch_format="pandas", batch_size=None
-        ).iter_batches(batch_format="pandas", batch_size=None)
-    ]
+    # materialize first: consuming a lazy dataset triggers a limit-1 schema
+    # peek that re-executes the upstream pipeline (costly after a shuffle)
+    md = ds.map_batches(
+        partial_fn, batch_format="pandas", batch_size=None
+    ).materialize()
+    parts = list(md.iter_batches(batch_format="pandas", batch_size=None))
     return final_fn(pd.concat(parts, ignore_index=True))
 
 
@@ -112,10 +112,12 @@ def collect_arrow(ds, schema) -> Any:
     import pyarrow as pa
     import ray
 
-    # to_arrow_refs, not iter_batches: block refs come straight from the
-    # object store (no iterator prefetch machinery, which was observed to
-    # stall the driver for minutes on multi-stage shuffle outputs).
-    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    # materialize() THEN to_arrow_refs: to_arrow_refs on a lazy dataset
+    # first runs a limit-1 schema peek that executes the whole upstream
+    # shuffle a second time (measured 2x wall on every shuffle query);
+    # also avoids iter_batches' prefetch machinery, which was observed to
+    # stall the driver for minutes on multi-stage shuffle outputs.
+    tbls = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not tbls:
         return schema.empty_table()
     return pa.concat_tables([t.select(schema.names).cast(schema) for t in tbls])
