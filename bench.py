@@ -117,8 +117,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
             continue
         t0 = time.monotonic()
         res = fn(sf_dir)
-        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
-            res.to_pandas()  # force execution of lazy Datasets
+        if hasattr(res, "materialize"):  # ray.data.Dataset — force execution
+            res.materialize()
         times[name] = round(time.monotonic() - t0, 3)
     return times
 

@@ -123,6 +123,9 @@ class CrawlConfig:
 
     @property
     def per_host_budget(self) -> int:
+        # download_delay <= 0 (politeness off) => effectively unbounded
+        if self.download_delay <= 0:
+            return 1 << 62
         return max(1, int(self.round_duration / self.download_delay))
 
 

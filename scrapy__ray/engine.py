@@ -49,10 +49,13 @@ from scrapy__ray.stages.crawl_stages import (
     extract_batch,
     fetch_batch,
 )
+from scrapy__ray.pipelines.util import _install_log_filter
 from scrapy__ray.stages.stats import StatsCollector
 from scrapy__ray.state.frontier_shard import FrontierShard
 from scrapy__ray.functions.fingerprint import fingerprint_canonical
 from scrapy__ray.functions.url import host_of
+
+_install_log_filter()  # silence Ray's benign schema-hash warning (see util)
 
 _METRIC_KEYS = [
     "fetched", "deduped", "deferred", "robots_denied", "errors",
@@ -114,6 +117,9 @@ class CrawlEngine:
                 st = json.load(f)
             self.start_round = st["round"] + 1
             self.total_fetched = st["total_fetched"]
+            # pre-resume per-round metrics: replayed into run() so a resumed
+            # run's metrics.parquet equals an uninterrupted run's
+            self._prior_round_metrics = st.get("round_metrics", [])
             # drop any partially-written later round outputs
             res_root = os.path.join(out_dir, "results")
             if os.path.isdir(res_root):
@@ -194,7 +200,9 @@ class CrawlEngine:
 
         cfg = self.cfg
         t_start = time.monotonic()
-        round_metrics: list[dict] = []
+        round_metrics: list[dict] = [
+            dict(m) for m in getattr(self, "_prior_round_metrics", [])
+        ]
         rnd = self.start_round
         while rnd < cfg.max_rounds:
             if cfg.max_pages is not None and self.total_fetched >= cfg.max_pages:
@@ -213,6 +221,20 @@ class CrawlEngine:
             n_sched = sum(st["scheduled"] for st in shard_stats)
             self._last_sched = n_sched
             if n_sched == 0:
+                # The oracle counts a round whenever the frontier was
+                # non-empty, even if every candidate was deduped or
+                # robots-denied and nothing got scheduled (a crawl that
+                # saturates by dedup ends this way).  Mirror it: record the
+                # shard-derived metrics for this final round, then stop.
+                if any(st.get("incoming", 0) for st in shard_stats):
+                    m = {k: 0 for k in _METRIC_KEYS}
+                    for st in shard_stats:
+                        for k in ("deduped", "deferred", "robots_denied",
+                                  "scheduled"):
+                            m[k] += st.get(k, 0)
+                    m["round"] = rnd
+                    round_metrics.append(m)
+                    rnd += 1
                 break
             sched_refs = [r for lst in ref_lists for r in lst]
 
@@ -267,7 +289,14 @@ class CrawlEngine:
             ckpt = self._ckpt_dir(rnd)
             ray.get([s.checkpoint.remote(ckpt, rnd) for s in self.shards])
             with open(os.path.join(ckpt, "state.json"), "w") as f:
-                json.dump({"round": rnd, "total_fetched": self.total_fetched}, f)
+                json.dump(
+                    {
+                        "round": rnd,
+                        "total_fetched": self.total_fetched,
+                        "round_metrics": round_metrics,
+                    },
+                    f,
+                )
             with open(os.path.join(ckpt, "_COMMITTED"), "w") as f:
                 f.write("ok")
             rnd += 1

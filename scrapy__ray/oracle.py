@@ -191,7 +191,9 @@ class OracleCrawl:
             scheduled: list[tuple[Candidate, int]] = []
             for host, rows in by_host.items():
                 rows.sort(key=Candidate.order_key)
-                budget = max(1, int(cfg.round_duration / delay_of(host)))
+                d = delay_of(host)
+                # delay <= 0 => unbounded budget (mirrors FrontierShard)
+                budget = max(1, int(cfg.round_duration / d)) if d > 0 else (1 << 62)
                 for rank, c in enumerate(rows):
                     if rank < budget:
                         scheduled.append((c, rank))

@@ -148,7 +148,7 @@ def docs_stats_by_lang(sf_dir: str):
 
 
 DOCS_STATS_BY_LANG_SQL = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
        ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS avg_chars
 FROM documents GROUP BY lang, source
 """

@@ -10,11 +10,39 @@ The scale patterns used by every query module:
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 # process-level cache: ObjectRef hex -> deserialized object (one fetch per
 # worker process, shared across tasks and rounds)
 _REF_CACHE: dict[str, Any] = {}
+
+
+class _DropSchemaHashWarning(logging.Filter):
+    """Ray's unify_schemas() tries ``set(schemas)`` as a fast path;
+    pandas-format blocks carry a PandasBlockSchema (holds numpy dtype
+    objects) that is not hashable, so every unify logs "Failed to hash the
+    schemas (for deduplication): unhashable type ..." and then proceeds
+    correctly down the slow path.  Pandas blocks are this repo's deliberate
+    vectorized-aggregation format (see module docstring), so silence exactly
+    that benign message instead of spamming thousands of lines per bench
+    run.  Installed at import time so worker processes (which import this
+    module to unpickle stage functions) filter it too, not just the driver.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+def _install_log_filter() -> None:
+    tp_logger = logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    )
+    if not any(isinstance(f, _DropSchemaHashWarning) for f in tp_logger.filters):
+        tp_logger.addFilter(_DropSchemaHashWarning())
+
+
+_install_log_filter()
 
 
 def broadcast(obj: Any):
@@ -48,6 +76,7 @@ def ensure_ctx() -> None:
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.enable_progress_bars = False
+    _install_log_filter()
 
 
 def read_parquet(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -123,17 +152,35 @@ def collect_arrow(ds, schema) -> Any:
     return pa.concat_tables([t.select(schema.names).cast(schema) for t in tbls])
 
 
-def shuffle_join(left, right, on: str, num_partitions: int = 16):
+def shuffle_join(
+    left,
+    right,
+    on: str,
+    num_partitions: int = 16,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+):
     """Distributed hash equi-join of two LARGE datasets (neither broadcast):
     tag each side, union, hash-partition by the key, then pandas-merge the
     two sides inside each partition.  One shuffle total; the classic
     repartition-join expressed in Ray Data primitives.  Column names must
     be disjoint apart from ``on``.  Returns a Dataset of joined rows.
     (Small-side joins should use broadcast + lookup_broadcast instead.)
+
+    Each side's column list is captured up front (pass ``left_cols`` /
+    ``right_cols`` to skip the one-block schema peek) so the per-partition
+    split selects columns EXPLICITLY — inferring them via ``dropna(axis=1)``
+    would also drop a real column that happens to be all-null within one
+    partition, and a one-sided partition would yield a zero-column frame.
     """
     import pandas as pd
 
     ensure_ctx()
+    if left_cols is None:
+        left_cols = list(left.schema().names)
+    if right_cols is None:
+        right_cols = list(right.schema().names)
+    joined_cols = list(left_cols) + [c for c in right_cols if c != on]
 
     def tag(side: int):
         def _t(df: pd.DataFrame) -> pd.DataFrame:
@@ -148,11 +195,11 @@ def shuffle_join(left, right, on: str, num_partitions: int = 16):
     ).union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0].dropna(axis=1, how="all").drop(columns="__side")
-        r = df[df["__side"] == 1].dropna(axis=1, how="all").drop(columns="__side")
+        l = df[df["__side"] == 0][left_cols]
+        r = df[df["__side"] == 1][right_cols]
         if not len(l) or not len(r):
-            return pd.DataFrame()
-        return l.merge(r, on=on, how="inner")
+            return pd.DataFrame({c: [] for c in joined_cols})
+        return l.merge(r, on=on, how="inner")[joined_cols]
 
     return both.repartition(num_partitions, keys=[on], sort=False).map_batches(
         merge, batch_format="pandas", batch_size=None

@@ -133,6 +133,9 @@ class FrontierShard:
         self._push_ids.clear()
         m["deduped"] += self._early_deduped
         self._early_deduped = 0
+        # candidates entering this round (the oracle's "frontier non-empty"
+        # test) — the engine uses it to record a final all-deduped round
+        m["incoming"] = len(rows)
         rows.sort(key=order_key)
 
         # 1. dedup (ordered test-and-insert)
@@ -171,8 +174,12 @@ class FrontierShard:
         # 3. per-host budget -> scheduled | deferred (rows already in order)
         def host_delay(host: str) -> float:
             if cfg.autothrottle_enabled:
-                return self._host_delay.get(host, cfg.autothrottle_start_delay)
-            return cfg.download_delay
+                d = self._host_delay.get(host, cfg.autothrottle_start_delay)
+            else:
+                d = cfg.download_delay
+            # delay <= 0 (politeness off) => unbounded budget, not a
+            # ZeroDivisionError; mirrored in CrawlConfig.per_host_budget
+            return d if d > 0 else 0.0
 
         ranks: dict[str, int] = {}
         sched: list[tuple] = []
@@ -182,7 +189,10 @@ class FrontierShard:
             rank = ranks.get(r[_HOST], 0)
             ranks[r[_HOST]] = rank + 1
             delay = host_delay(r[_HOST])
-            if rank < max(1, int(cfg.round_duration / delay)):
+            budget = (
+                max(1, int(cfg.round_duration / delay)) if delay > 0 else (1 << 62)
+            )
+            if rank < budget:
                 sched.append(r)
                 seqs.append(rank)
                 vtimes.append(rnd * cfg.round_duration + rank * delay)

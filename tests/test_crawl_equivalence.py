@@ -88,6 +88,12 @@ def _assert_equivalent(corpus, out_dir, summary, oracle_res):
         # schedule shapes differ per round and both sides must track the
         # same EWMA state
         ("autothrottle", CrawlConfig(autothrottle_enabled=True)),
+        # depth_limit=0 (unlimited): the crawl saturates by DEDUP, not the
+        # depth cap — the final round's frontier is entirely duplicate, so
+        # the engine must record that all-deduped round exactly like the
+        # oracle (round count + deduped totals); regression for the
+        # n_sched==0 early-break bug
+        ("unlimited-depth", CrawlConfig(depth_limit=0)),
     ],
 )
 def test_engine_matches_oracle(ray_session, small_corpus, name, cfg):
@@ -130,6 +136,12 @@ def test_resume_from_checkpoint(ray_session, small_corpus):
         )
     )
     assert key(a) == key(b)
+
+    # a resumed run's metrics.parquet must equal an uninterrupted run's —
+    # pre-resume rounds are replayed from the checkpoint state
+    ma = pq.read_table("/tmp/crawl_out/resume-full/metrics.parquet")
+    mb = pq.read_table("/tmp/crawl_out/resume-part/metrics.parquet")
+    assert ma.to_pydict() == mb.to_pydict()
 
 
 def test_cuckoo_mode_close_to_exact(ray_session, small_corpus):
