@@ -40,10 +40,17 @@ def entry() -> Any:
 
 
 def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
-    from scrapy__ray.pipelines import crawlq, relational, simops, streamops, textops
+    from scrapy__ray.pipelines import (
+        crawlq,
+        dedup,
+        relational,
+        simops,
+        streamops,
+        textops,
+    )
 
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
-    for mod in (relational, textops, simops, streamops, crawlq):
+    for mod in (relational, textops, dedup, simops, streamops, crawlq):
         out.update(mod.QUERIES)
     return out
 
@@ -53,6 +60,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    """ANSI-SQL oracles for SQL-expressible pipelines, plus materialized
+    parquet oracles (SELECT * FROM read_parquet(...)) for the deterministic
+    non-SQL ones — computed by scrapy__ray/oracle_ext.py's independent
+    single-process reference implementations at call time."""
+    from scrapy__ray.oracle_ext import oracle_sql_ext
+
+    out = {
         name: sql for name, (_fn, sql) in _all_queries().items() if sql is not None
     }
+    implemented = set(_all_queries())
+    for name, sql in oracle_sql_ext().items():
+        if name in implemented and name not in out:
+            out[name] = sql
+    return out

@@ -1,0 +1,490 @@
+"""Materialized pure-Python oracles for deterministic rows-only queries.
+
+Round-1 left 11 ``queries()`` entries with ``err: no_oracle`` in the driver's
+CORRECTNESS report — not because they are unverifiable, but because their
+semantics aren't ANSI-SQL-expressible (crawl BSP ordering, MinHash banding,
+Lloyd iterations, HyperLogLog).  Every one of them IS deterministic under the
+repo's pinned seeds, so this module computes each query's expected output with
+an INDEPENDENT single-process implementation (plain Python / plain numpy — no
+Ray, no shared pipeline code), writes it to parquet, and ``__ray_entry__``
+exposes ``SELECT * FROM read_parquet('<path>')`` as the oracle SQL.  The
+driver then gets full rows+schema+hash evidence instead of a rows-only check.
+
+Independence notes per family:
+- crawl_* : produced by ``scrapy__ray.oracle`` — the pure-Python reference
+  crawl simulator that stands in for the (empty-mount) reference crawler; it
+  shares only the byte-exact scalar functions (SURVEY.md §2.8), exactly like
+  the equivalence tests in tests/test_crawl_equivalence.py.
+- docs_simhash / docs_rolling_fingerprint / docs_minhash_lsh : re-derived
+  with plain-Python integer arithmetic (the pipelines use vectorized uint64
+  numpy) from the spec constants (blake2b token hashes, PCG64(42) multiply-
+  shift params, 32x4 banding, Jaccard>=0.5).
+- docs_langid : re-derived from the stopword profiles.
+- emb_kmeans / emb_ivf_topk / emb_cosine_dups_bucketed : single-process
+  numpy mirrors of the published algorithm (Lloyd, IVF probe) with the same
+  deterministic seeds; the pipelines distribute the same math.
+- events_approx_users : plain-Python HyperLogLog(p=12) — register maxima are
+  partition-order-independent, so the sketch is exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_WS = re.compile(r"\s+")
+
+
+def _round_away(values, digits: int) -> np.ndarray:
+    """Round half away from zero — the SQL-ROUND-compatible rounding the
+    pipelines use for every value that lands in a hashed column (numpy/
+    Python ``round`` are half-to-even and can differ at exact ties)."""
+    arr = np.asarray(values, dtype=np.float64)
+    scale = 10.0 ** digits
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def _h64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+# --------------------------------------------------------------- documents
+def oracle_docs_simhash(sf_dir: str) -> pd.DataFrame:
+    ids, texts = _read_docs(sf_dir)
+    out = []
+    for text in texts:
+        toks = _tokens(text)
+        if not toks:
+            out.append(0)
+            continue
+        acc = [0] * 64
+        for w in toks:
+            h = _h64(w.encode())
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = sum(1 << i for i in range(64) if acc[i] > 0)
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.DataFrame({"doc_id": ids, "simhash": pd.array(out, dtype="int64")})
+
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "value", "key"},
+    "de": {"der", "die", "und", "das", "ist", "ein", "nicht"},
+    "fr": {"le", "la", "et", "les", "des", "un", "est"},
+}
+
+
+def oracle_docs_langid(sf_dir: str) -> pd.DataFrame:
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    preds = []
+    for text in t["text"].to_pylist():
+        toks = set(_tokens(text))
+        best_lang, best_score = None, -1
+        for lang in sorted(_LANG_PROFILES):  # ties -> alphabetically first
+            score = len(toks & _LANG_PROFILES[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        preds.append(best_lang)
+    return pd.DataFrame(
+        {
+            "doc_id": t["doc_id"].to_pylist(),
+            "lang_pred": preds,
+            "lang_actual": t["lang"].to_pylist(),
+        }
+    )
+
+
+_RH_BASE = 1_000_003
+_RH_MOD = (1 << 61) - 1
+
+
+def oracle_docs_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ids, texts = _read_docs(sf_dir)
+    out = []
+    for text in texts:
+        h = 0
+        for w in _tokens(text):
+            h = (h * _RH_BASE + _h64(w.encode())) % _RH_MOD
+        out.append(h)
+    return pd.DataFrame({"doc_id": ids, "rolling_fp": pd.array(out, dtype="int64")})
+
+
+def _shingle_set(text: str, n: int = 3) -> set[int]:
+    toks = _tokens(text)
+    return {
+        _h64(" ".join(toks[i : i + n]).encode())
+        for i in range(max(0, len(toks) - n + 1))
+    }
+
+
+def oracle_docs_minhash_lsh(sf_dir: str) -> pd.DataFrame:
+    K, BANDS = 128, 32
+    rows_per_band = K // BANDS
+    rng = np.random.Generator(np.random.PCG64(42))  # spec constants
+    A = (rng.integers(0, 1 << 63, size=K, dtype=np.uint64) * 2 + 1).tolist()
+    B = rng.integers(0, 1 << 63, size=K, dtype=np.uint64).tolist()
+    mask = (1 << 64) - 1
+
+    ids, texts = _read_docs(sf_dir)
+    shingles = {did: _shingle_set(tx) for did, tx in zip(ids, texts)}
+
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for did in ids:
+        sh = shingles[did]
+        if not sh:
+            continue
+        mh = [min(((a * x + b) & mask) for x in sh) for a, b in zip(A, B)]
+        for bi in range(BANDS):
+            seg = b"".join(
+                v.to_bytes(8, "big")
+                for v in mh[bi * rows_per_band : (bi + 1) * rows_per_band]
+            )
+            buckets.setdefault(
+                (bi, hashlib.blake2b(seg, digest_size=8).hexdigest()), []
+            ).append(did)
+
+    cands = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cands.add((members[i], members[j]))
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(cands):
+        sa, sb = shingles[a], shingles[b]
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(float(_round_away([j], 4)[0]))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(out_a, dtype="int64"),
+            "doc_b": pd.array(out_b, dtype="int64"),
+            "jaccard": pd.array(out_j, dtype="float64"),
+        }
+    )
+
+
+# -------------------------------------------------------------- embeddings
+def _read_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
+def oracle_emb_kmeans(sf_dir: str) -> pd.DataFrame:
+    k, iters = 8, 5
+    ids, emb = _read_embeddings(sf_dir)
+    cent = emb[np.searchsorted(ids, np.arange(k))].copy()
+    for _ in range(iters):
+        d2 = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for ki in range(k):
+            m = a == ki
+            if m.any():
+                cent[ki] = emb[m].sum(axis=0) / m.sum()
+    d2 = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    rows = []
+    for ki in sorted(set(a.tolist())):
+        m = a == ki
+        rows.append(
+            {
+                "cluster": ki,
+                "n": int(m.sum()),
+                "inertia": float(_round_away([d2[m, ki].sum()], 2)[0]),
+            }
+        )
+    df = pd.DataFrame(rows)
+    return df.astype({"cluster": "int64", "n": "int64", "inertia": "float64"})
+
+
+def _seed_centroids_np(ids: np.ndarray, emb: np.ndarray, k: int) -> np.ndarray:
+    step = max(1, len(ids) // k)
+    want = np.arange(k) * step
+    return emb[np.searchsorted(ids, want)].copy()
+
+
+def oracle_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    ids, emb = _read_embeddings(sf_dir)
+    q = emb[np.searchsorted(ids, 0)]
+    qn = q / np.linalg.norm(q)
+    cent = _seed_centroids_np(ids, emb, 16)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    probe = set(np.argsort(-(cent @ qn))[:4].tolist())
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    en = emb / np.where(norm == 0, 1.0, norm)
+    bucket = np.argmax(en @ cent.T, axis=1)
+    keep = np.array([b in probe for b in bucket]) & (ids != 0)
+    cos = _round_away(en[keep] @ qn, 4)
+    kept_ids = ids[keep]
+    order = np.lexsort((kept_ids, -cos))[:10]
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(kept_ids[order], dtype="int64"),
+            "cos": pd.array(cos[order], dtype="float64"),
+        }
+    )
+
+
+def oracle_emb_cosine_dups_bucketed(sf_dir: str) -> pd.DataFrame:
+    n_buckets, probes, threshold = 16, 2, 0.45
+    ids, emb = _read_embeddings(sf_dir)
+    cent = _seed_centroids_np(ids, emb, n_buckets)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    en = emb / np.where(norm == 0, 1.0, norm)
+    sim = en @ cent.T
+    top = np.argsort(-sim, axis=1)[:, :probes]
+    found: dict[tuple[int, int], float] = {}
+    for b in range(n_buckets):
+        members = np.nonzero((top == b).any(axis=1))[0]
+        if len(members) < 2:
+            continue
+        sub = en[members]
+        cos = _round_away((sub @ sub.T).ravel(), 4).reshape(len(members), len(members))
+        ai, bj = np.nonzero(cos >= threshold)
+        for i, j in zip(ai, bj):
+            va, vb = int(ids[members[i]]), int(ids[members[j]])
+            if va < vb:
+                found[(va, vb)] = float(cos[i, j])
+    items = sorted(found.items())
+    return pd.DataFrame(
+        {
+            "vec_a": pd.array([k[0] for k, _ in items], dtype="int64"),
+            "vec_b": pd.array([k[1] for k, _ in items], dtype="int64"),
+            "cos": pd.array([v for _, v in items], dtype="float64"),
+        }
+    )
+
+
+# ------------------------------------------------------------------ events
+def oracle_events_approx_users(sf_dir: str) -> pd.DataFrame:
+    p = 12
+    m = 1 << p
+    regs = [0] * m
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    for v in t["user_id"].to_pylist():
+        h = _h64(str(v).encode())
+        idx = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        rho = 64 - w.bit_length() + 1 if w else (64 - p) + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(2.0 ** -np.asarray(regs, dtype=np.float64)))
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * float(np.log(m / zeros))
+    return pd.DataFrame({"approx_distinct_users": pd.array([int(round(est))], dtype="int64")})
+
+
+# ------------------------------------------------------------------- crawl
+def _oracle_crawl():
+    """Run the pure-Python reference crawl simulator on the pinned sf-small
+    fixture corpus (the same run the equivalence tests compare against)."""
+    import fixtures.gen as fxgen
+    from scrapy__ray.config import CrawlConfig
+    from scrapy__ray.oracle import run_oracle
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    return run_oracle(corpus, CrawlConfig()), corpus
+
+
+def oracle_crawl_fetch_log(res) -> pd.DataFrame:
+    df = pd.DataFrame(
+        res.fetch_log,
+        columns=["url", "round", "host", "fetch_seq_in_host", "status", "depth"],
+    )
+    df = df.sort_values(["round", "host", "fetch_seq_in_host"]).reset_index(drop=True)
+    return df.astype(
+        {
+            "round": "int64",
+            "fetch_seq_in_host": "int64",
+            "status": "int64",
+            "depth": "int64",
+        }
+    )
+
+
+def oracle_crawl_metrics(res) -> pd.DataFrame:
+    # engine rounds carry a 'scheduled' counter; derive it for the oracle as
+    # fetch attempts per round (every scheduled row is fetched exactly once)
+    df = pd.DataFrame(res.metrics)
+    per_round = pd.DataFrame(res.fetch_log, columns=["u", "round", "h", "s", "st", "d"])
+    sched = per_round.groupby("round").size()
+    df["scheduled"] = df["round"].map(sched).fillna(0).astype("int64")
+    cols = [
+        "fetched", "deduped", "deferred", "robots_denied", "errors",
+        "retried", "redirects", "offsite", "scheduled", "round",
+    ]
+    return df[cols].astype({c: "int64" for c in cols})
+
+
+def oracle_crawl_host_summary(res) -> pd.DataFrame:
+    df = pd.DataFrame(
+        res.fetch_log,
+        columns=["url", "round", "host", "seq", "status", "depth"],
+    )
+    df["ok"] = (df["status"] == 200).astype("int64")
+    df["err"] = (df["status"] != 200).astype("int64")
+    # extracted text exists only for parsed 200s (meta-refresh 200s carry none)
+    df["text_chars"] = [
+        len(res.texts.get(u, "")) if s == 200 else 0
+        for u, s in zip(df["url"], df["status"])
+    ]
+    g = df.groupby("host", as_index=False).agg(
+        n_fetches=("status", "size"),
+        n_ok=("ok", "sum"),
+        n_err=("err", "sum"),
+        text_chars=("text_chars", "sum"),
+        depth_sum=("depth", "sum"),
+    )
+    g["mean_depth"] = np.round(g["depth_sum"] / g["n_fetches"], 3)
+    g = g.drop(columns="depth_sum").sort_values("host").reset_index(drop=True)
+    return g.astype(
+        {
+            "n_fetches": "int64",
+            "n_ok": "int64",
+            "n_err": "int64",
+            "text_chars": "int64",
+            "mean_depth": "float64",
+        }
+    )
+
+
+def _decode_fixture_html(raw: bytes) -> str:
+    """Independent mini-mirror of the P2 encoding precedence for the
+    fixture corpus's three encoding variants (BOM, meta-charset latin-1,
+    plain utf-8) — deliberately NOT the engine's encoding.py."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw[3:].decode("utf-8")
+    head = raw[:4096].lower()
+    if b'charset="iso-8859-1"' in head or b"charset=iso-8859-1" in head:
+        return raw.decode("latin-1")
+    return raw.decode("utf-8")
+
+
+def oracle_crawl_css_extract(corpus: str) -> pd.DataFrame:
+    """Regex-based independent extraction of the css-selector query's
+    targets (title::text, h1::text, li>a hrefs, first p::text).  The engine
+    side walks a DOM built by html.parser; this side uses regular
+    expressions + html.unescape over the same raw markup — two genuinely
+    different implementations that must agree on the fixture corpus."""
+    import gzip
+    import html as htmllib
+
+    t = pq.read_table(corpus + "/pages")
+    htmls = t["html"].to_pylist()
+    if "content_encoding" in t.schema.names:
+        htmls = [
+            gzip.decompress(h) if enc == "gzip" else h
+            for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+        ]
+    title_re = re.compile(r"<title>(.*?)</title>", re.S)
+    h1_re = re.compile(r"<h1>(.*?)</h1>", re.S)
+    a_re = re.compile(r'<li><a href="([^"]*)">')
+    p_re = re.compile(r"<p>(.*?)</p>", re.S)
+    tag_re = re.compile(r"<[^>]+>")
+    rows = {"url": [], "title": [], "h1": [], "n_anchors": [], "anchors": [], "first_para": []}
+    for url, raw in zip(t["url"].to_pylist(), htmls):
+        s = _decode_fixture_html(raw)
+        mt = title_re.search(s)
+        mh = h1_re.search(s)
+        anchors = a_re.findall(s)
+        mp = p_re.search(s)
+        rows["url"].append(url)
+        rows["title"].append(htmllib.unescape(mt.group(1)) if mt else "")
+        rows["h1"].append(htmllib.unescape(mh.group(1)) if mh else "")
+        rows["n_anchors"].append(len(anchors))
+        rows["anchors"].append("\n".join(anchors))
+        rows["first_para"].append(
+            htmllib.unescape(tag_re.sub("", mp.group(1))) if mp else ""
+        )
+    df = pd.DataFrame(rows)
+    return df.astype({"n_anchors": "int64"})
+
+
+def oracle_crawl_extract_identity(corpus: str) -> pd.DataFrame:
+    t = pq.read_table(corpus + "/pages", columns=["url"])
+    return pd.DataFrame(
+        {"url": t["url"].to_pylist(), "text_matches": True}
+    ).astype({"text_matches": "bool"})
+
+
+# ----------------------------------------------------------- materializer
+_SF_ORACLES = {
+    "docs_simhash": oracle_docs_simhash,
+    "docs_langid": oracle_docs_langid,
+    "docs_rolling_fingerprint": oracle_docs_rolling_fingerprint,
+    "docs_minhash_lsh": oracle_docs_minhash_lsh,
+    "emb_kmeans": oracle_emb_kmeans,
+    "emb_ivf_topk": oracle_emb_ivf_topk,
+    "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,
+    "events_approx_users": oracle_events_approx_users,
+}
+
+_cache: dict[str, dict[str, str]] = {}
+
+
+def materialize(sf_dir: str) -> dict[str, str]:
+    """Compute every materialized oracle for ``sf_dir`` (crawl oracles are
+    sf-independent — they run on the pinned fixture corpus), write each to
+    parquet under /tmp, and return {query_name: parquet_path}.  Cached per
+    process: the driver calls oracle_sql() once, the tests once per session.
+    """
+    if sf_dir in _cache:
+        return _cache[sf_dir]
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"/tmp/oracle_ext/{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+    for name, fn in _SF_ORACLES.items():
+        path = f"{out_dir}/{name}.parquet"
+        pq.write_table(pa.Table.from_pandas(fn(sf_dir), preserve_index=False), path)
+        paths[name] = path
+    res, corpus = _oracle_crawl()
+    for name, df in (
+        ("crawl_fetch_log", oracle_crawl_fetch_log(res)),
+        ("crawl_metrics", oracle_crawl_metrics(res)),
+        ("crawl_host_summary", oracle_crawl_host_summary(res)),
+        ("crawl_extract_identity", oracle_crawl_extract_identity(corpus)),
+        ("crawl_css_extract", oracle_crawl_css_extract(corpus)),
+    ):
+        path = f"{out_dir}/{name}.parquet"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        paths[name] = path
+    _cache[sf_dir] = paths
+    return paths
+
+
+def oracle_sql_ext(sf_dir: str | None = None) -> dict[str, str]:
+    """SQL oracles for the materialized set: plain reads of the expected
+    parquet, runnable by any DuckDB connection regardless of view setup."""
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return {
+        name: f"SELECT * FROM read_parquet('{path}')"
+        for name, path in materialize(sf_dir).items()
+    }

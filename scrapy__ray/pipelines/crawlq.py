@@ -83,11 +83,12 @@ def crawl_host_summary(sf_dir: str):
     import ray.data as rd
 
     from scrapy__ray.engine import crawl
-    from scrapy__ray.pipelines.util import driver_agg
+    from scrapy__ray.pipelines.util import collect_arrow, ensure_ctx, shuffle_agg
 
     corpus = _corpus()
     out = "/tmp/crawl_out/q-host-summary"
     crawl(corpus, out, cfg=CrawlConfig())
+    ensure_ctx()  # BEFORE read_parquet: the dataset captures its DataContext
     ds = rd.read_parquet(
         out + "/results",
         columns=["host", "status", "depth", "extracted_text"],
@@ -113,10 +114,69 @@ def crawl_host_summary(sf_dir: str):
         g["mean_depth"] = np.round(g["depth_sum"] / g["n_fetches"], 3)
         return g.drop(columns="depth_sum")
 
-    res = driver_agg(ds, partial, final)
-    return pa.Table.from_pandas(
-        res.sort_values("host").reset_index(drop=True), preserve_index=False
+    # host cardinality is unbounded at the 10^8-host design point, so this
+    # rollup takes the hash-shuffle path (partial per block -> shuffle by
+    # host -> vectorized final), never a driver-side concat (round-1 finding)
+    res = collect_arrow(
+        shuffle_agg(ds, ["host"], partial, final),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("n_fetches", pa.int64()),
+                ("n_ok", pa.int64()),
+                ("n_err", pa.int64()),
+                ("text_chars", pa.int64()),
+                ("mean_depth", pa.float64()),
+            ]
+        ),
     )
+    return (
+        pa.Table.from_pandas(
+            res.to_pandas().sort_values("host").reset_index(drop=True),
+            preserve_index=False,
+        )
+    )
+
+
+def crawl_css_extract(sf_dir: str):
+    """CSS-subset selector pipeline (SURVEY.md P3) over the corpus pages:
+    per page, ``title::text``, ``h1::text``, ``li > a::attr(href)`` and the
+    first ``p::text`` — the parsel/`response.css` surface re-expressed as a
+    vectorizable map_batches stage.  Oracle: an INDEPENDENT regex+unescape
+    extraction (oracle_ext.oracle_crawl_css_extract) materialized to
+    parquet; the byte-level vector gate is tests/test_cssselect.py."""
+    import ray.data as rd
+
+    from scrapy__ray.functions.cssselect import css_extract, parse_dom
+
+    corpus = _corpus()
+    ds = rd.read_parquet(corpus + "/pages", columns=["url", "html"])
+
+    def sel(t: pa.Table) -> pa.Table:
+        titles, h1s, n_a, anchors, paras = [], [], [], [], []
+        for html in t["html"].to_pylist():
+            dom = parse_dom(html)
+            ti = css_extract(dom, "title::text")
+            h1 = css_extract(dom, "h1::text")
+            hrefs = css_extract(dom, "li > a::attr(href)")
+            ps = css_extract(dom, "p::text")
+            titles.append(ti[0] if ti else "")
+            h1s.append(h1[0] if h1 else "")
+            n_a.append(len(hrefs))
+            anchors.append("\n".join(hrefs))
+            paras.append(ps[0] if ps else "")
+        return pa.table(
+            {
+                "url": t["url"],
+                "title": pa.array(titles, pa.string()),
+                "h1": pa.array(h1s, pa.string()),
+                "n_anchors": pa.array(n_a, pa.int64()),
+                "anchors": pa.array(anchors, pa.string()),
+                "first_para": pa.array(paras, pa.string()),
+            }
+        )
+
+    return ds.map_batches(sel, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -124,4 +184,5 @@ QUERIES = {
     "crawl_extract_identity": (crawl_extract_identity, None),
     "crawl_metrics": (crawl_metrics, None),
     "crawl_host_summary": (crawl_host_summary, None),
+    "crawl_css_extract": (crawl_css_extract, None),
 }

@@ -20,14 +20,13 @@ import pandas as pd
 import pyarrow as pa
 
 from scrapy__ray.pipelines.util import (
-    broadcast,
     collect_arrow,
     driver_agg,
     hash_partition_map,
-    lookup_broadcast,
     read_parquet,
     round_col,
     shuffle_agg,
+    shuffle_join,
 )
 
 _PAIR_SCHEMA = pa.schema(
@@ -210,25 +209,34 @@ def _segment_pairs(df: pd.DataFrame, seg_cols: list[str]) -> pd.DataFrame:
     )
 
 
-def docs_jaccard_dups(sf_dir: str):
-    """Exact n-gram(1) Jaccard near-dup pairs via a distributed inverted
-    index: explode (token, doc) -> hash-partition by token -> per-segment
-    co-occurrence pairs -> partial pair counts -> hash-shuffle by pair ->
-    final |A∩B| -> verify threshold with broadcast set sizes.
+def _df_capped_segments(df: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
+    """Drop tokens whose document frequency exceeds ``max_df``.  The input is
+    hash-partitioned by ``w``, so a token's full posting list is in exactly
+    one partition and df = segment length — the cap costs nothing extra."""
+    if max_df is None or not len(df):
+        return df
+    counts = df.groupby("w")["doc_id"].transform("size")
+    return df[counts <= max_df]
 
-    Scale note: real corpora prune high-document-frequency tokens before the
-    pair expansion (else hot tokens explode quadratically — the same hot-key
-    skew the crawl handles by salting); the fixture vocabulary is tiny so no
-    pruning is applied, keeping SQL-equality exact."""
-    import pyarrow.parquet as pq
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sizes = {
-        did: len(set(_tokens(text)))
-        for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    }
-    sizes_ref = broadcast(sizes)
+def docs_jaccard_dups(sf_dir: str, max_df: int | None = None):
+    """Exact token-set Jaccard near-dup pairs via a distributed inverted
+    index — no driver-side reads anywhere:
 
+      explode (token, doc) -> hash-partition by token (the inverted index,
+      materialized once and reused by both branches)
+        branch A: per-token-segment co-occurrence pairs -> partial counts ->
+                  hash-shuffle by pair -> |A∩B|
+        branch B: per-doc token counts -> hash-shuffle by doc -> |A| sizes
+      -> shuffle-join A with B on doc_a then doc_b -> threshold.
+
+    ``max_df`` prunes tokens whose document frequency exceeds it BEFORE the
+    quadratic pair expansion — the standard hot-token defence at corpus
+    scale (a token in d docs yields d² pairs).  The cap redefines the token
+    universe for BOTH intersections and set sizes, so engine and SQL stay
+    exactly equal when the SQL applies the same df filter (see
+    docs_jaccard_sql(max_df)).  Default None keeps the driver oracle exact.
+    """
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -239,10 +247,24 @@ def docs_jaccard_dups(sf_dir: str):
                 ids.append(did)
         return pa.table({"w": pa.array(toks, pa.string()), "doc_id": pa.array(ids, pa.int64())})
 
-    pair_rows = hash_partition_map(
-        ds.map_batches(explode, batch_format="pyarrow"),
-        ["w"],
-        lambda df: _segment_pairs(df, ["w"]),
+    # the inverted index: every posting list of a token in one partition;
+    # materialized so the pair branch and the size branch execute it once
+    from scrapy__ray.pipelines.util import auto_partitions
+
+    inverted = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .repartition(auto_partitions(), keys=["w"], sort=False)
+        .map_batches(
+            lambda df: _df_capped_segments(df, max_df),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .materialize()
+    )
+
+    # branch A: intersection counts per candidate pair
+    pair_rows = inverted.map_batches(
+        lambda df: _segment_pairs(df, ["w"]), batch_format="pandas", batch_size=None
     )
 
     def partial_count(df: pd.DataFrame) -> pd.DataFrame:
@@ -254,31 +276,84 @@ def docs_jaccard_dups(sf_dir: str):
 
     inter = shuffle_agg(pair_rows, ["doc_a", "doc_b"], partial_count, final_count)
 
-    def verify(t: pa.Table) -> pa.Table:
-        sz = lookup_broadcast(sizes_ref)
-        da, db = t["doc_a"].to_pylist(), t["doc_b"].to_pylist()
-        i = np.array(t["i"].to_pylist(), dtype=np.float64)
-        union = np.array([sz[a] + sz[b] for a, b in zip(da, db)], dtype=np.float64) - i
+    # branch B: |token set| per doc (post-cap), as a DATASET — replaces the
+    # round-1 driver-side full-table read + broadcast dict (scale-killer)
+    def partial_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "sz"})
+
+    sizes = shuffle_agg(
+        inverted,
+        ["doc_id"],
+        partial_sizes,
+        lambda df: df.groupby("doc_id", as_index=False)["sz"].sum(),
+    )
+
+    # shuffle-join the pair stream with sizes on each endpoint
+    with_a = shuffle_join(
+        inter,
+        sizes.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_a", "sz": "sz_a"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        on="doc_a",
+        left_cols=["doc_a", "doc_b", "i"],
+        right_cols=["doc_a", "sz_a"],
+    )
+    with_ab = shuffle_join(
+        with_a,
+        sizes.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_b", "sz": "sz_b"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        on="doc_b",
+        left_cols=["doc_a", "doc_b", "i", "sz_a"],
+        right_cols=["doc_b", "sz_b"],
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        i = df["i"].values.astype(np.float64)
+        union = df["sz_a"].values + df["sz_b"].values - i
         j = i / union
         keep = j >= JACCARD_THRESHOLD
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(np.array(da, dtype=np.int64)[keep], pa.int64()),
-                "doc_b": pa.array(np.array(db, dtype=np.int64)[keep], pa.int64()),
-                "jaccard": pa.array(round_col(j[keep], 4), pa.float64()),
+                "doc_a": df["doc_a"].values[keep].astype(np.int64),
+                "doc_b": df["doc_b"].values[keep].astype(np.int64),
+                "jaccard": round_col(j[keep], 4),
             }
         )
 
     return collect_arrow(
-        inter.map_batches(verify, batch_format="pyarrow"), _PAIR_SCHEMA
+        with_ab.map_batches(verify, batch_format="pandas", batch_size=None),
+        _PAIR_SCHEMA,
     )
 
 
-DOCS_JACCARD_SQL = f"""
-WITH tok AS (
+def docs_jaccard_sql(max_df: int | None = None) -> str:
+    """DuckDB mirror of docs_jaccard_dups, including the optional df cap —
+    the capped token universe applies to sizes AND intersections, exactly as
+    in the engine, so engine==SQL holds for every ``max_df``."""
+    df_filter = (
+        f"""tok0 AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
   FROM documents WHERE trim(text) <> ''
 ),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tok0 GROUP BY w),
+tok AS (SELECT doc_id, tok0.w FROM tok0 JOIN dfreq ON dfreq.w = tok0.w
+        WHERE df <= {max_df})"""
+        if max_df is not None
+        else """tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+)"""
+    )
+    return f"""
+WITH {df_filter},
 sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::DOUBLE AS i
@@ -291,6 +366,9 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
+
+
+DOCS_JACCARD_SQL = docs_jaccard_sql()
 
 
 # ----------------------------------------------------- MinHash + LSH dups
@@ -321,14 +399,12 @@ def docs_minhash_lsh(sf_dir: str):
     """MinHash(128) + LSH(32x4) near-dup pairs, Jaccard>=0.5 verified on true
     shingle sets.  shingle->minhash per batch; band rows explode;
     hash-partition by (band, band_hash) buckets gives candidates; pair dedup
-    via a second hash shuffle; exact verify on the (small, broadcast) text
-    side.  Approximate by construction -> no SQL oracle; determinism comes
-    from the fixed PCG64(42) permutations."""
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    texts_ref = broadcast(texts)
+    via a second hash shuffle; exact verify by SHUFFLE-JOINING the candidate
+    pairs back to a per-doc shingle-set dataset on doc_a then doc_b — no
+    driver-side corpus read, no whole-text broadcast (the round-1 version
+    broadcast every document text; at corpus scale that is a driver OOM).
+    Approximate by construction -> parquet-materialized oracle; determinism
+    comes from the fixed PCG64(42) permutations."""
     A, B = _minhash_params()
     rows_per_band = _MINHASH_K // _BANDS
 
@@ -360,26 +436,6 @@ def docs_minhash_lsh(sf_dir: str):
             }
         )
 
-    def verify(t: pa.Table) -> pa.Table:
-        tx = lookup_broadcast(texts_ref)
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = _shingles(tx[a]), _shingles(tx[b])
-            if not sa or not sb:
-                continue
-            j = len(sa & sb) / len(sa | sb)
-            if j >= JACCARD_THRESHOLD:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(round_col(out_j, 4), pa.float64()),
-            }
-        )
-
     cands = hash_partition_map(
         ds.map_batches(band_rows, batch_format="pyarrow"),
         ["band", "bh"],
@@ -393,8 +449,72 @@ def docs_minhash_lsh(sf_dir: str):
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
     )
+
+    # per-doc true shingle sets as a dataset; packed uint64 BYTES, not a
+    # list column — ragged lists round-trip through pandas blocks as
+    # variable-shaped tensor extensions and break the shuffle concat
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids, sets_ = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = _shingles(text)
+            if sh:
+                ids.append(did)
+                sets_.append(np.array(sorted(sh), dtype=np.uint64).tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(sets_, pa.binary()),
+            }
+        )
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    with_a = shuffle_join(
+        uniq,
+        shingles.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_a", "sh": "sh_a"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        on="doc_a",
+        left_cols=["doc_a", "doc_b"],
+        right_cols=["doc_a", "sh_a"],
+    )
+    with_ab = shuffle_join(
+        with_a,
+        shingles.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_b", "sh": "sh_b"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        on="doc_b",
+        left_cols=["doc_a", "doc_b", "sh_a"],
+        right_cols=["doc_b", "sh_b"],
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for a, b, sa, sb in zip(
+            df["doc_a"], df["doc_b"], df["sh_a"], df["sh_b"]
+        ):
+            sa = set(np.frombuffer(sa, dtype=np.uint64))
+            sb = set(np.frombuffer(sb, dtype=np.uint64))
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_THRESHOLD:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "jaccard": round_col(out_j, 4) if out_j else np.array([]),
+            }
+        )
+
     return collect_arrow(
-        uniq.map_batches(verify, batch_format="pyarrow"), _PAIR_SCHEMA
+        with_ab.map_batches(verify, batch_format="pandas", batch_size=None),
+        _PAIR_SCHEMA,
     )
 
 

@@ -34,12 +34,35 @@ class _DropSchemaHashWarning(logging.Filter):
         return "Failed to hash the schemas" not in record.getMessage()
 
 
+class _DropEmptySchemaDrift(logging.Filter):
+    """A hash-shuffle partition that receives zero rows finalizes to a
+    zero-column block; the streaming executor then warns "Operator produced
+    a RefBundle with a different schema ... new schema: ." once per such
+    block.  Empty partitions are routine at small fixture scale (16-way
+    shuffle of a 500-row table) and an empty block cannot mislay rows, so
+    drop exactly the empty-new-schema variant — REAL schema drift (two
+    non-empty schemas) still logs, which is the variant that signals bugs.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in msg
+            and "new schema: . This may lead" in msg
+        )
+
+
 def _install_log_filter() -> None:
     tp_logger = logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow"
     )
     if not any(isinstance(f, _DropSchemaHashWarning) for f in tp_logger.filters):
         tp_logger.addFilter(_DropSchemaHashWarning())
+    ex_logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(isinstance(f, _DropEmptySchemaDrift) for f in ex_logger.filters):
+        ex_logger.addFilter(_DropEmptySchemaDrift())
 
 
 _install_log_filter()
@@ -76,6 +99,15 @@ def ensure_ctx() -> None:
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.enable_progress_bars = False
+    # Aggregator actors default to 0.0625 CPU per partition => one 16-way
+    # shuffle op RESERVES a full CPU for its (mostly idle) aggregator pool.
+    # A DAG with several exchanges (shuffle_agg x2 + shuffle_join x2 in the
+    # near-dup pipelines) then reserves every core on a small node and the
+    # map tasks starve — observed as a full deadlock at num_cpus=4.  The
+    # aggregators only burn CPU during finalization, so oversubscribing
+    # them is safe; reserve a token amount instead.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.005
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.005
     _install_log_filter()
 
 
@@ -106,7 +138,53 @@ def driver_agg(ds, partial_fn, final_fn):
     return final_fn(pd.concat(parts, ignore_index=True))
 
 
-def shuffle_agg(ds, keys: list[str], partial_fn, final_fn, num_partitions: int = 16):
+def auto_partitions() -> int:
+    """Shuffle fan-out sized to the cluster, not a constant.
+
+    2 partitions per CPU (floor 16, cap 512): every core gets final-combine
+    work without one partition gating the stage, and the count grows with
+    the cluster the way the 100-TB design point needs — per-partition state
+    is a vectorized pandas groupby whose memory is bounded by the partition's
+    KEY cardinality, not its row count, so CPU-proportional fan-out is the
+    binding knob.  (A fixed 16 was right at sf0.1/32 cpus but wrong at 100×.)
+    """
+    import ray
+
+    cpus = 8.0
+    if ray.is_initialized():
+        cpus = ray.cluster_resources().get("CPU", 8.0)
+    return max(16, min(512, int(2 * cpus)))
+
+
+def arrow_out(fn):
+    """Wrap a pandas-in/pandas-out stage fn so its OUTPUT blocks are plain
+    Arrow tables with no schema metadata.  Two reasons every stage feeding a
+    hash-shuffle exchange uses this:
+      * the exchange then moves Arrow blocks (zero-copy serialization)
+        instead of pickled pandas frames;
+      * pa.Table.from_pandas stamps a ``pandas`` metadata dict that makes
+        the schema UNHASHABLE (hash(schema) -> "unhashable type: 'dict'"),
+        which defeats Ray's schema-dedup fast path and logs a warning per
+        unify inside every aggregator actor — processes our logging filter
+        can't reach.  Stripping the metadata fixes the root cause.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def _f(df: pd.DataFrame):
+        out = fn(df)
+        if isinstance(out, pa.Table):
+            return out.replace_schema_metadata(None)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return _f
+
+
+def shuffle_agg(
+    ds, keys: list[str], partial_fn, final_fn, num_partitions: int | None = None
+):
     """Partial-aggregate -> hash-shuffle by ``keys`` -> per-block final.
 
     The scalable exchange for HIGH-cardinality aggregations: the shuffle
@@ -116,22 +194,27 @@ def shuffle_agg(ds, keys: list[str], partial_fn, final_fn, num_partitions: int =
     """
     ensure_ctx()
     return (
-        ds.map_batches(partial_fn, batch_format="pandas", batch_size=None)
-        .repartition(num_partitions, keys=keys, sort=False)
+        ds.map_batches(arrow_out(partial_fn), batch_format="pandas", batch_size=None)
+        .repartition(num_partitions or auto_partitions(), keys=keys, sort=False)
         .map_batches(final_fn, batch_format="pandas", batch_size=None)
     )
 
 
-def hash_partition_map(ds, keys: list[str], fn, num_partitions: int = 16):
+def hash_partition_map(ds, keys: list[str], fn, num_partitions: int | None = None):
     """Hash-partition by ``keys`` then apply ``fn`` per partition block.
 
     The map_groups replacement: ``fn`` (pandas in/out) sees every row of each
     key group in exactly one call, without Ray's per-group UDF dispatch
     (measured ~200 µs/group — prohibitive beyond ~10k groups)."""
     ensure_ctx()
-    return ds.repartition(num_partitions, keys=keys, sort=False).map_batches(
-        fn, batch_format="pandas", batch_size=None
-    )
+    # normalize input blocks to metadata-free Arrow before the exchange
+    # (native-format pass-through: Arrow blocks cross untouched, pandas
+    # blocks convert once) — see arrow_out for why
+    return ds.map_batches(
+        arrow_out(lambda b: b), batch_format=None, batch_size=None
+    ).repartition(
+        num_partitions or auto_partitions(), keys=keys, sort=False
+    ).map_batches(fn, batch_format="pandas", batch_size=None)
 
 
 def collect_arrow(ds, schema) -> Any:
@@ -152,28 +235,50 @@ def collect_arrow(ds, schema) -> Any:
     return pa.concat_tables([t.select(schema.names).cast(schema) for t in tbls])
 
 
+def _zip_merge_blocks(lt, rt, on, left_cols, right_cols, joined_cols, out_schema):
+    """Inner-join two co-partitioned Arrow blocks (runs as a Ray task)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        return out_schema.empty_table()
+    j = lt.to_pandas().merge(rt.to_pandas(), on=on, how="inner")[joined_cols]
+    if not len(j):
+        return out_schema.empty_table()
+    return pa.Table.from_pandas(j, preserve_index=False).cast(out_schema)
+
+
 def shuffle_join(
     left,
     right,
     on: str,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
 ):
     """Distributed hash equi-join of two LARGE datasets (neither broadcast):
-    tag each side, union, hash-partition by the key, then pandas-merge the
-    two sides inside each partition.  One shuffle total; the classic
-    repartition-join expressed in Ray Data primitives.  Column names must
-    be disjoint apart from ``on``.  Returns a Dataset of joined rows.
-    (Small-side joins should use broadcast + lookup_broadcast instead.)
+    a PARTITION-ZIP repartition join.  Each side is independently
+    hash-partitioned by the key into the same number of partitions (same
+    hash, same modulus => matching keys land in matching partition index),
+    then one Ray task per partition index inner-merges the two co-partition
+    blocks.  Compared with the tag-union-shuffle formulation this keeps
+    every exchanged block homogeneous and fully typed (no null-filled
+    columns, no float promotion of integer keys, no RefBundle schema-drift
+    warnings) and ships each side's columns exactly once.
 
-    Each side's column list is captured up front (pass ``left_cols`` /
-    ``right_cols`` to skip the one-block schema peek) so the per-partition
-    split selects columns EXPLICITLY — inferring them via ``dropna(axis=1)``
-    would also drop a real column that happens to be all-null within one
-    partition, and a one-sided partition would yield a zero-column frame.
+    Relies on Ray 2.49's hash-shuffle contract of exactly ONE output block
+    per partition (finalization does not split blocks; verified against the
+    installed source) — guarded by an explicit check so a future Ray that
+    splits blocks fails loudly rather than mis-zipping.
+
+    Column names must be disjoint apart from ``on``.  Pass ``left_cols`` /
+    ``right_cols`` to prune early and skip the schema peek.  Returns a
+    Dataset of joined rows.  (Small-side joins should use broadcast +
+    lookup_broadcast instead.)
     """
-    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
 
     ensure_ctx()
     if left_cols is None:
@@ -181,29 +286,49 @@ def shuffle_join(
     if right_cols is None:
         right_cols = list(right.schema().names)
     joined_cols = list(left_cols) + [c for c in right_cols if c != on]
+    n = num_partitions or auto_partitions()
 
-    def tag(side: int):
-        def _t(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__side"] = side
-            return df
+    def prep(ds, cols):
+        def _p(b):
+            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(
+                b, preserve_index=False
+            )
+            t = t.select(cols).replace_schema_metadata(None)
+            i = t.schema.get_field_index(on)
+            f = t.schema.field(i)
+            # integer keys arriving as float64 are a pandas NaN-promotion
+            # artifact from some upstream stage; restore before hashing
+            # (float 3.0 and int 3 hash to different partitions)
+            if pa.types.is_floating(f.type):
+                t = t.set_column(i, on, t.column(i).cast(pa.int64()))
+            return t
 
-        return _t
+        return (
+            ds.map_batches(_p, batch_format=None, batch_size=None)
+            .repartition(n, keys=[on], sort=False)
+            .materialize()
+        )
 
-    both = left.map_batches(
-        tag(0), batch_format="pandas", batch_size=None
-    ).union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
+    lm, rm = prep(left, left_cols), prep(right, right_cols)
+    lrefs, rrefs = lm.to_arrow_refs(), rm.to_arrow_refs()
+    if len(lrefs) != n or len(rrefs) != n:
+        raise RuntimeError(
+            f"hash shuffle no longer yields one block per partition "
+            f"({len(lrefs)}/{len(rrefs)} blocks for {n} partitions); "
+            "shuffle_join's zip contract is broken on this Ray version"
+        )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0][left_cols]
-        r = df[df["__side"] == 1][right_cols]
-        if not len(l) or not len(r):
-            return pd.DataFrame({c: [] for c in joined_cols})
-        return l.merge(r, on=on, how="inner")[joined_cols]
+    def field(name: str) -> pa.Field:
+        src = lm.schema().base_schema if name in left_cols else rm.schema().base_schema
+        return src.field(name)
 
-    return both.repartition(num_partitions, keys=[on], sort=False).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    out_schema = pa.schema([field(c) for c in joined_cols])
+    task = ray.remote(num_returns=1)(_zip_merge_blocks)
+    out_refs = [
+        task.remote(l, r, on, left_cols, right_cols, joined_cols, out_schema)
+        for l, r in zip(lrefs, rrefs)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 def round_col(values, digits: int):

@@ -1,0 +1,119 @@
+"""Vector tests for the CSS-subset selector (SURVEY.md §2.6 P3).
+
+Mirrors the upstream test style of ``tests/test_linkextractors.py`` (dozens
+of hand-written html/selector/expected triples) — the expected values here
+are derived BY HAND from the CSS semantics parsel implements, not from the
+implementation, so they are an independent gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scrapy__ray.functions.cssselect import (
+    SelectorError,
+    css_extract,
+    css_select,
+    parse_dom,
+)
+
+DOC = b"""<html><head><title>The Title</title><meta charset="utf-8"></head>
+<body>
+<h1 id="main" class="big hero">Heading</h1>
+<p class="intro">intro <b>bold</b> tail</p>
+<p class="intro outro">both</p>
+<p>plain</p>
+<ul class="nav">
+  <li><a href="/one">One</a></li>
+  <li class="sel"><a href="/two" rel="next" data-id="7">Two</a></li>
+</ul>
+<div><div class="note"><span>nested</span></div><span>shallow</span></div>
+<img src="/x.png" alt="pic">
+</body></html>"""
+
+VECTORS = [
+    # (selector, expected css_extract output)
+    ("title::text", ["The Title"]),
+    ("h1::text", ["Heading"]),
+    ("h1.big::text", ["Heading"]),
+    ("h1.big.hero::text", ["Heading"]),
+    ("h1.missing::text", []),
+    ("#main::text", ["Heading"]),
+    ("h1#main.big::text", ["Heading"]),
+    ("p::text", ["intro bold tail", "both", "plain"]),
+    ("p.intro::text", ["intro bold tail", "both"]),
+    ("p.intro.outro::text", ["both"]),
+    ("ul li a::attr(href)", ["/one", "/two"]),
+    ("ul > li > a::attr(href)", ["/one", "/two"]),
+    ("li.sel a::attr(href)", ["/two"]),
+    ("a[rel]::attr(href)", ["/two"]),
+    ("a[rel=next]::attr(href)", ["/two"]),
+    ('a[rel="next"]::attr(data-id)', ["7"]),
+    ("a[rel=prev]::attr(href)", []),
+    # ::attr skips matches lacking the attribute
+    ("a::attr(rel)", ["next"]),
+    # child vs descendant: BOTH spans have a div parent (outer div and
+    # div.note), so `div > span` matches both; restricting the parent
+    # compound separates them
+    ("div > span::text", ["nested", "shallow"]),
+    ("div.note > span::text", ["nested"]),
+    ("div > div > span::text", ["nested"]),
+    ("div span::text", ["nested", "shallow"]),
+    ("div.note span::text", ["nested"]),
+    # comma groups, document order, no duplicates
+    ("h1, p.intro::text", ["Heading", "intro bold tail", "both"]),
+    ("p, p.intro::text", ["intro bold tail", "both", "plain"]),
+    # void element attributes
+    ("img::attr(alt)", ["pic"]),
+    ("img::attr(src)", ["/x.png"]),
+    # universal
+    ("ul *::attr(href)", ["/one", "/two"]),
+]
+
+
+@pytest.mark.parametrize("selector,expected", VECTORS, ids=[v[0] for v in VECTORS])
+def test_vector(selector, expected):
+    assert css_extract(DOC, selector) == expected
+
+
+def test_malformed_unclosed_tags():
+    html = b"<ul><li>one<li>two</ul><p>after"
+    assert css_extract(html, "li::text") == ["one", "two"]
+    assert css_extract(html, "p::text") == ["after"]
+
+
+def test_entities_decoded():
+    assert css_extract(b"<p>a &amp; b &#169;</p>", "p::text") == ["a & b \xa9"]
+
+
+def test_nested_same_tag_close():
+    html = b"<div>a<div>b</div>c</div>"
+    assert css_extract(html, "div::text") == ["abc", "b"]
+
+
+def test_latin1_meta_charset():
+    html = '<html><head><meta charset="iso-8859-1"></head><body><p>caf\xe9</p></body></html>'.encode(
+        "latin-1"
+    )
+    assert css_extract(html, "p::text") == ["café"]
+
+
+def test_bom_utf8():
+    html = b"\xef\xbb\xbf<p>ok</p>"
+    assert css_extract(html, "p::text") == ["ok"]
+
+
+def test_element_without_pseudo_returns_text():
+    assert css_extract(b"<p>x<b>y</b></p>", "p") == ["xy"]
+
+
+def test_select_returns_nodes_in_doc_order():
+    root = parse_dom(DOC)
+    tags = [n.tag for n in css_select(root, "p, h1")]
+    assert tags == ["h1", "p", "p", "p"]
+
+
+def test_bad_selectors_raise():
+    for bad in ["", ">", "> p", "p >", "p ~ q", ":hover"]:
+        with pytest.raises(SelectorError):
+            css_select(parse_dom(DOC), bad)

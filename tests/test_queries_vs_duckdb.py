@@ -48,7 +48,12 @@ def _pairs():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as e
 
-    return e._all_queries()
+    # exactly what the driver sees: queries() + oracle_sql(), where
+    # oracle_sql() includes the materialized pure-Python oracles
+    # (scrapy__ray/oracle_ext.py) for the deterministic non-SQL queries
+    fns = e._all_queries()
+    sqls = e.oracle_sql()
+    return {n: (fn, sqls.get(n)) for n, (fn, _s) in fns.items()}
 
 
 SQL_QUERIES = [(n, fn, sql) for n, (fn, sql) in _pairs().items() if sql is not None]
