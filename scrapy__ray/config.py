@@ -109,6 +109,10 @@ class CrawlConfig:
     # per-task push fan-out (one RPC per touched shard) stays amortized
     # (fixed 4096 chunks measured 3x slower at 8 cpus: 8x the push RPCs).
     scheduled_chunk_rows: int = 2048
+    # Deferred-candidate rows a FrontierShard keeps in-heap between rounds;
+    # beyond this the pending table spills to a parquet sidecar (JOBDIR
+    # disk-queue analogue, scrapy/squeues.py).  0 disables spilling.
+    pending_spill_rows: int = 1_000_000
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)
     # SitemapSpider analogue (P6): when True, urls listed in the corpus's

@@ -185,6 +185,34 @@ def oracle_docs_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_docs_dup_clusters_minhash(sf_dir: str) -> pd.DataFrame:
+    """Union-find over the independently-computed MinHash pairs -> the
+    (doc_id, cluster_rep, keep) keep-set the distributed min-label
+    propagation must converge to."""
+    pairs = oracle_docs_minhash_lsh(sf_dir)
+    ids, _ = _read_docs(sf_dir)
+    parent = {d: d for d in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(d, find(d)) for d in ids]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "cluster_rep": pd.array([r[1] for r in rows], dtype="int64"),
+            "keep": [r[0] == r[1] for r in rows],
+        }
+    )
+
+
 # -------------------------------------------------------------- embeddings
 def _read_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -440,6 +468,7 @@ _SF_ORACLES = {
     "docs_langid": oracle_docs_langid,
     "docs_rolling_fingerprint": oracle_docs_rolling_fingerprint,
     "docs_minhash_lsh": oracle_docs_minhash_lsh,
+    "docs_dup_clusters_minhash": oracle_docs_dup_clusters_minhash,
     "emb_kmeans": oracle_emb_kmeans,
     "emb_ivf_topk": oracle_emb_ivf_topk,
     "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,

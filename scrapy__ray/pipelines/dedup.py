@@ -143,6 +143,20 @@ def docs_dup_clusters(sf_dir: str):
     return pairs_to_clusters(rd.from_arrow(pairs.select(["doc_a", "doc_b"])), nodes)
 
 
+def docs_dup_clusters_minhash(sf_dir: str):
+    """Keep-set over the MinHash+LSH near-dup pairs — the corpus-scale
+    chain (LSH detection is subquadratic where exact Jaccard is not).
+    Oracle: a pure-Python union-find over the independently-computed
+    MinHash pairs, materialized to parquet by oracle_ext."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.textops import docs_minhash_lsh
+
+    pairs = docs_minhash_lsh(sf_dir)
+    nodes = read_parquet(sf_dir, "documents", columns=["doc_id"])
+    return pairs_to_clusters(rd.from_arrow(pairs.select(["doc_a", "doc_b"])), nodes)
+
+
 def _dup_clusters_sql() -> str:
     from scrapy__ray.pipelines.textops import docs_jaccard_sql
 
@@ -170,4 +184,5 @@ DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 QUERIES = {
     "docs_dup_clusters": (docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
+    "docs_dup_clusters_minhash": (docs_dup_clusters_minhash, None),
 }

@@ -23,9 +23,17 @@ therefore a given fingerprint — maps to exactly one shard
 (``host_hash % num_shards``), so per-shard ordered dedup equals the oracle's
 global ordered dedup, and per-host politeness budgets never span shards.
 
-Scale note: pending rows are held as Python tuples (urls only, no bodies);
-at 10^10-URL scale this becomes a columnar spill file per shard — the
-checkpoint format (parquet pending + serialized seen-set) is already that.
+Scale posture (round-2): pending/pushed live as ARROW TABLES end to end —
+push() appends the pushed table without any per-row Python conversion,
+resolve() sorts with Arrow's stable multi-key kernel (C++, not a Python
+tuple sort) and does budget assignment with vectorized pandas; per-row
+Python survives only where the semantics are inherently per-row (the
+ordered seen-set test-and-insert and per-URL robots ``can_fetch``).
+Pending beyond ``cfg.pending_spill_rows`` spills to a parquet sidecar
+between rounds so the actor heap holds at most the working round.  The
+10^10-URL path beyond that is hierarchical per-host top-k pruning of the
+spill (only each host's next-budget rows need to re-enter a round); noted,
+not needed at sandbox scale.
 """
 
 from __future__ import annotations
@@ -35,20 +43,26 @@ import pickle
 import time
 import urllib.robotparser
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from scrapy__ray.config import CrawlConfig
 from scrapy__ray.schema import FRONTIER_COLS, FRONTIER_SCHEMA, SCHEDULED_SCHEMA
 from scrapy__ray.state.seen import SeenSet
 
-# tuple layout == FRONTIER_COLS order
-_URL, _HOST, _HH, _FP, _PRIO, _DEPTH, _DISC, _PARENT, _LIDX, _RETRY, _REDIR, _SKIP = range(12)
+#: The frozen total order (Arrow sort-key form): (-priority, disc_round,
+#: parent_url, link_idx).  Arrow's sort_indices is stable, matching the
+#: oracle's stable Python sort on the equivalent key tuple.
+_ORDER_KEYS = [
+    ("priority", "descending"),
+    ("disc_round", "ascending"),
+    ("parent_url", "ascending"),
+    ("link_idx", "ascending"),
+]
 
-
-def order_key(row: tuple) -> tuple:
-    """The frozen total order: (-priority, disc_round, parent_url, link_idx)."""
-    return (-row[_PRIO], row[_DISC], row[_PARENT], row[_LIDX])
+_EMPTY = FRONTIER_SCHEMA.empty_table()
 
 
 class FrontierShard:
@@ -65,8 +79,9 @@ class FrontierShard:
             capacity=1 << 20,
             keep_exact_sidecar=True,
         )
-        self.pending: list[tuple] = []  # deferred candidates (skip_dedup=True)
-        self._pushed: list[tuple] = []
+        self.pending: pa.Table = _EMPTY  # deferred candidates (skip_dedup=True)
+        self._pending_spill: str | None = None  # parquet sidecar beyond threshold
+        self._pushed: list[pa.Table] = []
         self._push_ids: set[str] = set()
         self._early_deduped = 0  # expand-side pre-dropped dups, next resolve
         # AutoThrottle state: host -> current delay (s); per-round int-µs
@@ -101,10 +116,11 @@ class FrontierShard:
                 acc = self._lat_acc.setdefault(host, [0, 0])
                 acc[0] += s
                 acc[1] += n
-        cols = [table[c].to_pylist() for c in FRONTIER_COLS]
-        rows = list(zip(*cols))
-        self._pushed.extend(rows)
-        return len(rows)
+        # columnar absorb: keep the Arrow table as-is (schema-aligned), no
+        # per-row Python conversion on the push path
+        if table.num_rows:
+            self._pushed.append(table.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA))
+        return table.num_rows
 
     # ---------------------------------------------------------------- robots
     def _allowed(self, host: str, url: str) -> bool:
@@ -120,6 +136,28 @@ class FrontierShard:
         return True if rp is None else rp.can_fetch(self.cfg.user_agent, url)
 
     # --------------------------------------------------------------- resolve
+    def _load_pending(self) -> pa.Table:
+        if self._pending_spill is not None:
+            t = pq.read_table(self._pending_spill)
+            os.unlink(self._pending_spill)
+            self._pending_spill = None
+            return t
+        return self.pending
+
+    def _store_pending(self, t: pa.Table) -> None:
+        """Keep deferred rows columnar; spill to a parquet sidecar past the
+        threshold so the actor heap holds at most the working round."""
+        spill_rows = getattr(self.cfg, "pending_spill_rows", 0) or 0
+        if spill_rows and t.num_rows > spill_rows:
+            path = f"/tmp/scrapy__ray_spill/shard-{self.shard_id}-{os.getpid()}.parquet"
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(t, path)
+            self.pending = _EMPTY
+            self._pending_spill = path
+        else:
+            self.pending = t
+            self._pending_spill = None
+
     def resolve(self, rnd: int, chunk_rows: int | None = None) -> list:
         t0 = time.monotonic()
         cfg = self.cfg
@@ -127,43 +165,62 @@ class FrontierShard:
             fetched=0, deduped=0, deferred=0, robots_denied=0, errors=0,
             retried=0, redirects=0, offsite=0, scheduled=0,
         )
-        rows = self.pending + self._pushed
-        self.pending = []
+        tables = [t for t in [self._load_pending()] + self._pushed if t.num_rows]
+        self.pending = _EMPTY
         self._pushed = []
         self._push_ids.clear()
         m["deduped"] += self._early_deduped
         self._early_deduped = 0
+        combined = (
+            pa.concat_tables(tables).combine_chunks() if tables else _EMPTY
+        )
         # candidates entering this round (the oracle's "frontier non-empty"
         # test) — the engine uses it to record a final all-deduped round
-        m["incoming"] = len(rows)
-        rows.sort(key=order_key)
+        n = combined.num_rows
+        m["incoming"] = n
 
-        # 1. dedup (ordered test-and-insert)
-        passed: list[tuple] = []
-        for r in rows:
-            if r[_SKIP]:
-                self.seen.insert(r[_FP])
-                passed.append(r)
-            elif self.seen.check_and_insert(r[_FP]):
-                m["deduped"] += 1
-            else:
-                passed.append(r)
+        if n:
+            # frozen total order, Arrow stable multi-key sort (C++):
+            # equal-key rows keep append order exactly like the previous
+            # stable Python tuple sort
+            combined = combined.take(pc.sort_indices(combined, sort_keys=_ORDER_KEYS))
 
-        # 2. robots
-        if cfg.robots_obey:
-            kept = []
-            for r in passed:
-                if self._allowed(r[_HOST], r[_URL]):
-                    kept.append(r)
-                else:
-                    m["robots_denied"] += 1
-            passed = kept
+        # 1. dedup (ordered test-and-insert — inherently sequential per row:
+        #    the Nth occurrence's fate depends on the N-1 before it)
+        if n:
+            fps = combined["fingerprint"].to_pylist()
+            skips = combined["skip_dedup"].to_numpy(zero_copy_only=False)
+            keep = np.ones(n, dtype=bool)
+            seen = self.seen
+            for i in range(n):
+                if skips[i]:
+                    seen.insert(fps[i])
+                elif seen.check_and_insert(fps[i]):
+                    keep[i] = False
+            m["deduped"] += int(n - keep.sum())
+            passed = combined.filter(pa.array(keep)) if not keep.all() else combined
+        else:
+            passed = combined
+
+        # 2. robots (per-URL can_fetch — path-sensitive, so per-row; hosts
+        #    without a robots.txt short-circuit to allowed)
+        if cfg.robots_obey and passed.num_rows:
+            hosts = passed["host"].to_pylist()
+            urls = passed["url"].to_pylist()
+            rmask = np.fromiter(
+                (self._allowed(h, u) for h, u in zip(hosts, urls)),
+                dtype=bool,
+                count=len(hosts),
+            )
+            m["robots_denied"] += int(len(hosts) - rmask.sum())
+            if not rmask.all():
+                passed = passed.filter(pa.array(rmask))
 
         # 2b. AutoThrottle delay update (from round-k latencies, before
         # round-k+1 scheduling — same timing as the oracle)
         if cfg.autothrottle_enabled and self._lat_acc:
-            for host, (s, n) in self._lat_acc.items():
-                observed = (s / n) / 1e6  # mean latency, seconds
+            for host, (s, n_) in self._lat_acc.items():
+                observed = (s / n_) / 1e6  # mean latency, seconds
                 target = observed / cfg.autothrottle_target_concurrency
                 d0 = self._host_delay.get(host, cfg.autothrottle_start_delay)
                 nd = (d0 + target) / 2.0
@@ -171,52 +228,65 @@ class FrontierShard:
                 self._host_delay[host] = nd
             self._lat_acc = {}
 
-        # 3. per-host budget -> scheduled | deferred (rows already in order)
-        def host_delay(host: str) -> float:
+        # 3. per-host budget -> scheduled | deferred, fully vectorized:
+        #    rank = order-preserving per-host cumcount (rows are sorted),
+        #    budget from each host's politeness delay
+        np_ = passed.num_rows
+        if np_:
+            import pandas as pd
+
+            hosts_s = pd.Series(passed["host"].to_pylist())
+            uniq = hosts_s.unique()
             if cfg.autothrottle_enabled:
-                d = self._host_delay.get(host, cfg.autothrottle_start_delay)
+                dmap = {
+                    h: self._host_delay.get(h, cfg.autothrottle_start_delay)
+                    for h in uniq
+                }
             else:
-                d = cfg.download_delay
+                dmap = dict.fromkeys(uniq, cfg.download_delay)
             # delay <= 0 (politeness off) => unbounded budget, not a
             # ZeroDivisionError; mirrored in CrawlConfig.per_host_budget
-            return d if d > 0 else 0.0
-
-        ranks: dict[str, int] = {}
-        sched: list[tuple] = []
-        seqs: list[int] = []
-        vtimes: list[float] = []
-        for r in passed:
-            rank = ranks.get(r[_HOST], 0)
-            ranks[r[_HOST]] = rank + 1
-            delay = host_delay(r[_HOST])
-            budget = (
-                max(1, int(cfg.round_duration / delay)) if delay > 0 else (1 << 62)
+            delay = hosts_s.map(dmap).to_numpy(dtype=np.float64)
+            rank = hosts_s.groupby(hosts_s, sort=False).cumcount().to_numpy()
+            budget = np.where(
+                delay > 0,
+                np.maximum(1, (cfg.round_duration / np.where(delay > 0, delay, 1.0)).astype(np.int64)),
+                1 << 62,
             )
-            if rank < budget:
-                sched.append(r)
-                seqs.append(rank)
-                vtimes.append(rnd * cfg.round_duration + rank * delay)
-            else:
+            sched_mask = rank < budget
+            sched_tbl = passed.filter(pa.array(sched_mask))
+            seqs = rank[sched_mask].astype(np.int32)
+            vtimes = rnd * cfg.round_duration + rank[sched_mask] * delay[sched_mask]
+            deferred = passed.filter(pa.array(~sched_mask))
+            if deferred.num_rows:
                 # deferred: mark skip_dedup so re-entry is a pure re-insert
-                self.pending.append(r[:_SKIP] + (True,))
-                m["deferred"] += 1
+                si = deferred.schema.get_field_index("skip_dedup")
+                deferred = deferred.set_column(
+                    si,
+                    "skip_dedup",
+                    pa.array(np.ones(deferred.num_rows, dtype=bool)),
+                )
+            self._store_pending(deferred)
+            m["deferred"] += deferred.num_rows
+        else:
+            sched_tbl = _EMPTY
+            seqs = np.array([], dtype=np.int32)
+            vtimes = np.array([], dtype=np.float64)
+            self._store_pending(_EMPTY)
 
-        m["scheduled"] = len(sched)
+        m["scheduled"] = sched_tbl.num_rows
         m["wall_s"] = time.monotonic() - t0
         self.metrics[rnd] = m
-        self.last_scheduled = len(sched)
+        self.last_scheduled = sched_tbl.num_rows
 
-        cols = list(zip(*sched)) if sched else [[] for _ in FRONTIER_COLS]
-        arrays = [
-            pa.array(list(col), type=f.type)
-            for col, f in zip(cols, FRONTIER_SCHEMA)
-        ]
-        arrays += [
-            pa.array([rnd] * len(sched), pa.int32()),
-            pa.array(seqs, pa.int32()),
-            pa.array(vtimes, pa.float64()),
-        ]
-        table = pa.Table.from_arrays(arrays, schema=SCHEDULED_SCHEMA)
+        table = (
+            sched_tbl.append_column(
+                "round", pa.array(np.full(sched_tbl.num_rows, rnd, dtype=np.int32))
+            )
+            .append_column("fetch_seq_in_host", pa.array(seqs, pa.int32()))
+            .append_column("fetch_vtime", pa.array(vtimes, pa.float64()))
+            .cast(SCHEDULED_SCHEMA)
+        )
 
         # Return the schedule as ~chunk_rows-row object-store slices rather
         # than one block: one-task-per-shard makes the slowest shard gate
@@ -235,9 +305,14 @@ class FrontierShard:
         return refs
 
     # ---------------------------------------------------------------- status
+    def _pending_table(self) -> pa.Table:
+        if self._pending_spill is not None:
+            return pq.read_table(self._pending_spill)
+        return self.pending
+
     def status(self, rnd: int) -> dict:
         m = dict(self.metrics.get(rnd, {}))
-        m["pending"] = len(self.pending)
+        m["pending"] = self._pending_table().num_rows
         m["seen"] = len(self.seen)
         m["last_scheduled"] = self.last_scheduled
         m["fp_false_positives"] = self.seen.false_positive_checks
@@ -247,24 +322,17 @@ class FrontierShard:
         return self.seen.exact_fingerprints()
 
     # ------------------------------------------------------------ checkpoint
-    def _rows_table(self, rows: list[tuple]) -> pa.Table:
-        cols = list(zip(*rows)) if rows else [[] for _ in FRONTIER_COLS]
-        return pa.Table.from_arrays(
-            [pa.array(list(c), type=f.type) for c, f in zip(cols, FRONTIER_SCHEMA)],
-            schema=FRONTIER_SCHEMA,
-        )
-
     def checkpoint(self, ckpt_dir: str, rnd: int) -> None:
         """Persist the full frontier state: deferred (pending) rows AND the
         candidates already pushed for round rnd+1 during round rnd's
         execution — both are needed to resume exactly."""
         os.makedirs(ckpt_dir, exist_ok=True)
         pq.write_table(
-            self._rows_table(self.pending),
+            self._pending_table(),
             os.path.join(ckpt_dir, f"pending-{self.shard_id}.parquet"),
         )
         pq.write_table(
-            self._rows_table(self._pushed),
+            pa.concat_tables(self._pushed) if self._pushed else _EMPTY,
             os.path.join(ckpt_dir, f"pushed-{self.shard_id}.parquet"),
         )
         with open(os.path.join(ckpt_dir, f"seen-{self.shard_id}.bin"), "wb") as f:
@@ -281,18 +349,16 @@ class FrontierShard:
                 f,
             )
 
-    def _read_rows(self, path: str) -> list[tuple]:
-        tbl = pq.read_table(path)
-        cols = [tbl[c].to_pylist() for c in FRONTIER_COLS]
-        return list(zip(*cols))
-
     def restore(self, ckpt_dir: str) -> int:
-        self.pending = self._read_rows(
-            os.path.join(ckpt_dir, f"pending-{self.shard_id}.parquet")
+        self._store_pending(
+            pq.read_table(
+                os.path.join(ckpt_dir, f"pending-{self.shard_id}.parquet")
+            ).cast(FRONTIER_SCHEMA)
         )
-        self._pushed = self._read_rows(
+        pushed = pq.read_table(
             os.path.join(ckpt_dir, f"pushed-{self.shard_id}.parquet")
-        )
+        ).cast(FRONTIER_SCHEMA)
+        self._pushed = [pushed] if pushed.num_rows else []
         with open(os.path.join(ckpt_dir, f"seen-{self.shard_id}.bin"), "rb") as f:
             self.seen = SeenSet.deserialize(f.read())
         with open(os.path.join(ckpt_dir, f"meta-{self.shard_id}.pkl"), "rb") as f:
