@@ -43,6 +43,7 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     from scrapy__ray.pipelines import (
         crawlq,
         dedup,
+        feedops,
         relational,
         simops,
         streamops,
@@ -50,7 +51,7 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     )
 
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
-    for mod in (relational, textops, dedup, simops, streamops, crawlq):
+    for mod in (relational, textops, dedup, feedops, simops, streamops, crawlq):
         out.update(mod.QUERIES)
     return out
 

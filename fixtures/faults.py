@@ -84,6 +84,24 @@ def encoding_variant(url: str) -> str:
     return "utf8"
 
 
+def set_cookies(url: str, status: int) -> dict[str, str]:
+    """Cookies the simulated server sets on this response (M9 model).
+
+    Frozen semantics shared by engine and oracle: every 200 response sets a
+    per-host session cookie ``sid``; responses whose fault byte is in
+    [5, 8] additionally set a per-url tracking cookie ``trk``.  Values are
+    deterministic sha1 prefixes, so cookie state is a pure function of the
+    set of (url, 200) responses observed — order-independent under the
+    max-value merge rule (scrapy__ray/config.py)."""
+    if status != STATUS_OK:
+        return {}
+    host = urlsplit(url).hostname or ""
+    out = {"sid": hashlib.sha1(f"sid:{host}".encode()).hexdigest()[:8]}
+    if 5 <= url_byte(url) <= 8:
+        out["trk"] = hashlib.sha1(f"trk:{url}".encode()).hexdigest()[:8]
+    return out
+
+
 def latency_ms(url: str) -> float:
     """Deterministic simulated latency (bench realism; no scheduling effect)."""
     return 5.0 + (hashlib.sha1(url.encode("utf-8")).digest()[1] / 255.0) * 45.0

@@ -45,6 +45,20 @@ Round k (a politeness epoch of ``round_duration`` virtual seconds):
  6. frontier_{k+1} = deferred ∪ retries ∪ redirects ∪ links.  Stop when
     empty, or round == max_rounds, or (checked between rounds)
     total fetched >= CLOSESPIDER_PAGECOUNT.
+
+COOKIES (M9, scrapy/downloadermiddlewares/cookies.py analogue; frozen):
+ * jar granularity = host (the default single-cookiejar Scrapy spider where
+   cookies are domain-scoped; per-request cookiejar meta keys are out of
+   scope).  The jar lives in the host's FrontierShard.
+ * responses observed during round k (fixtures/faults.py::set_cookies — the
+   simulated Set-Cookie headers) merge into the jar BETWEEN rounds; every
+   request scheduled in round k carries the jar as of the END of round k-1,
+   serialized "name=value; ..." sorted by name (results column
+   ``cookies_sent``).  BSP-barrier timing, same as AutoThrottle — a pinned,
+   documented divergence from Scrapy's per-response async timing, required
+   for deterministic equivalence under parallel fetch.
+ * merge rule: per cookie name keep the lexicographically GREATEST value
+   (order-independent; Scrapy's last-write-wins depends on arrival timing).
 """
 
 from __future__ import annotations
@@ -67,6 +81,7 @@ class CrawlConfig:
     download_delay: float = 1.0  # DOWNLOAD_DELAY, virtual seconds
     round_duration: float = 8.0  # politeness epoch length
     robots_obey: bool = True  # ROBOTSTXT_OBEY
+    cookies_enabled: bool = True  # COOKIES_ENABLED (M9; semantics above)
     retry_times: int = 2  # RETRY_TIMES
     retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
     redirect_max_times: int = 20  # REDIRECT_MAX_TIMES

@@ -51,6 +51,8 @@ class OracleResult:
     fetch_log: list[tuple] = field(default_factory=list)
     # url -> extracted text for every 200 fetch
     texts: dict[str, str] = field(default_factory=dict)
+    # (url, round) -> Cookie header sent with that fetch attempt (M9)
+    cookies_sent: dict[tuple, str] = field(default_factory=dict)
     seen: set[bytes] = field(default_factory=set)
     seen_urls: set[str] = field(default_factory=set)
     metrics: list[dict] = field(default_factory=list)
@@ -120,6 +122,8 @@ class OracleCrawl:
         cfg = self.cfg
         res = OracleResult()
         host_delay: dict[str, float] = {}  # AutoThrottle per-host state
+        jar: dict[str, dict[str, str]] = {}  # M9 cookie jar: host -> cookies
+        cookie_acc: dict[str, dict[str, str]] = {}  # observed this round
 
         def delay_of(host: str) -> float:
             if cfg.autothrottle_enabled:
@@ -156,6 +160,16 @@ class OracleCrawl:
                 errors=0, retried=0, redirects=0, offsite=0,
             )
             nxt: list[Candidate] = []
+
+            # cookie-jar merge: round-(k-1) Set-Cookies apply from round k
+            # (BSP-barrier timing; max-value rule — config.py COOKIES)
+            if cookie_acc:
+                for host, kv in cookie_acc.items():
+                    j = jar.setdefault(host, {})
+                    for k, v in kv.items():
+                        if k not in j or v > j[k]:
+                            j[k] = v
+                cookie_acc = {}
 
             # 1. DEDUP in global order-key order (same-fp rows share a shard,
             #    so per-shard and global processing agree).
@@ -214,6 +228,16 @@ class OracleCrawl:
                 elif len(self.page_html[url]) > cfg.download_maxsize:
                     status = faults.STATUS_TOOBIG
                 res.fetch_log.append((url, rnd, c.host, rank, status, c.depth))
+                if cfg.cookies_enabled:
+                    res.cookies_sent[(url, rnd)] = "; ".join(
+                        f"{k}={v}" for k, v in sorted(jar.get(c.host, {}).items())
+                    )
+                    observed = faults.set_cookies(url, status)
+                    if observed:
+                        j = cookie_acc.setdefault(c.host, {})
+                        for k, v in observed.items():
+                            if k not in j or v > j[k]:
+                                j[k] = v
                 if status == faults.STATUS_OK and cfg.autothrottle_enabled:
                     acc = lat_acc.setdefault(c.host, [0, 0])
                     acc[0] += faults.latency_us(url)

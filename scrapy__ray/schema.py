@@ -46,6 +46,9 @@ SCHEDULED_SCHEMA = pa.schema(
         ("round", pa.int32()),
         ("fetch_seq_in_host", pa.int32()),
         ("fetch_vtime", pa.float64()),
+        # Cookie header stamped by the owning shard's jar at schedule time
+        # (M9 CookiesMiddleware analogue); "" when no cookies / disabled
+        ("cookies", pa.string()),
     ]
 )
 
@@ -66,6 +69,7 @@ RESULTS_SCHEMA = pa.schema(
         ("retry_count", pa.int32()),
         ("redirect_count", pa.int32()),
         ("latency_ms", pa.float32()),
+        ("cookies_sent", pa.string()),
         ("extracted_text", pa.string()),
         ("n_links", pa.int32()),
     ]

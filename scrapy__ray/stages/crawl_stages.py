@@ -150,6 +150,7 @@ def expand_push_batch(
     mr_rows: list[int] = []  # meta-refresh rows: null their text in results
     host_cache: dict[str, tuple] = {}  # url -> (host, host_hash, fingerprint)
     lat_acc: dict[str, list[int]] = {}  # AutoThrottle: host -> [sum_us, n]
+    cookie_acc: dict[str, dict[str, str]] = {}  # M9: host -> observed cookies
 
     for i in range(n):
         st = cols["status"][i]
@@ -158,6 +159,13 @@ def expand_push_batch(
             acc = lat_acc.setdefault(cols["host"][i], [0, 0])
             acc[0] += faults.latency_us(url)
             acc[1] += 1
+        if cfg.cookies_enabled:
+            observed = faults.set_cookies(url, st)
+            if observed:
+                jar = cookie_acc.setdefault(cols["host"][i], {})
+                for k, v in observed.items():
+                    if k not in jar or v > jar[k]:  # max-value merge rule
+                        jar[k] = v
         if st == faults.STATUS_RETRY:
             n_links_col.append(0)
             if cols["retry_count"][i] < cfg.retry_times:
@@ -277,9 +285,11 @@ def expand_push_batch(
         by_shard.setdefault(c[2] % S, []).append(c)
     for sh in early_dedup:
         by_shard.setdefault(sh, [])
-    # latency feedback goes to the batch's OWN shard (all rows of a
+    # latency + cookie feedback goes to the batch's OWN shard (all rows of a
     # scheduled block share one shard; hosts map to exactly one shard)
-    own_shard = int(cols["host_hash"][0] % S) if (n and lat_acc) else None
+    own_shard = (
+        int(cols["host_hash"][0] % S) if (n and (lat_acc or cookie_acc)) else None
+    )
     if own_shard is not None:
         by_shard.setdefault(own_shard, [])
     push_refs = []
@@ -298,6 +308,7 @@ def expand_push_batch(
                 tbl,
                 early_dedup.get(sh, 0),
                 lat_acc if sh == own_shard else None,
+                cookie_acc if sh == own_shard else None,
             )
         )
     if stats is not None:
@@ -309,10 +320,12 @@ def expand_push_batch(
     keep = [
         "url", "host", "status", "round", "fetch_seq_in_host", "fetch_vtime",
         "depth", "priority", "parent_url", "retry_count", "redirect_count",
-        "latency_ms",
+        "latency_ms", "cookies",
     ]
-    out = batch.select(keep + ["extracted_text"]).append_column(
-        "n_links", pa.array(n_links_col, pa.int32())
+    out = (
+        batch.select(keep + ["extracted_text"])
+        .rename_columns(keep[:-1] + ["cookies_sent", "extracted_text"])
+        .append_column("n_links", pa.array(n_links_col, pa.int32()))
     )
     if mr_rows:
         texts = cols["extracted_text"]

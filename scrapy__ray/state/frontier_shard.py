@@ -88,6 +88,11 @@ class FrontierShard:
         # latency accumulator host -> [sum_us, n] (ints: order-independent)
         self._host_delay: dict[str, float] = {}
         self._lat_acc: dict[str, list[int]] = {}
+        # M9 cookie jar: host -> {name: value}; _cookie_acc stages cookies
+        # observed during the running round, merged at the next resolve
+        # (max-value rule — see config.py COOKIES semantics)
+        self._jar: dict[str, dict[str, str]] = {}
+        self._cookie_acc: dict[str, dict[str, str]] = {}
         self._robots_txt = robots_txt or {}
         self._robots: dict[str, urllib.robotparser.RobotFileParser | None] = {}
         self.metrics: dict[int, dict] = {}
@@ -100,6 +105,7 @@ class FrontierShard:
         table: pa.Table,
         early_deduped: int = 0,
         latencies: dict[str, list[int]] | None = None,
+        cookies: dict[str, dict[str, str]] | None = None,
     ) -> int:
         """Absorb candidate rows (idempotent by batch_id).  ``early_deduped``
         is the count of duplicates the expand task already dropped for this
@@ -116,6 +122,12 @@ class FrontierShard:
                 acc = self._lat_acc.setdefault(host, [0, 0])
                 acc[0] += s
                 acc[1] += n
+        if cookies:
+            for host, kv in cookies.items():
+                jar = self._cookie_acc.setdefault(host, {})
+                for k, v in kv.items():
+                    if k not in jar or v > jar[k]:  # max-value merge rule
+                        jar[k] = v
         # columnar absorb: keep the Arrow table as-is (schema-aligned), no
         # per-row Python conversion on the push path
         if table.num_rows:
@@ -216,6 +228,16 @@ class FrontierShard:
             if not rmask.all():
                 passed = passed.filter(pa.array(rmask))
 
+        # 2a. cookie-jar merge (round-k observed Set-Cookies apply to round
+        # k+1 requests — BSP-barrier timing, config.py COOKIES semantics)
+        if self._cookie_acc:
+            for host, kv in self._cookie_acc.items():
+                jar = self._jar.setdefault(host, {})
+                for k, v in kv.items():
+                    if k not in jar or v > jar[k]:
+                        jar[k] = v
+            self._cookie_acc = {}
+
         # 2b. AutoThrottle delay update (from round-k latencies, before
         # round-k+1 scheduling — same timing as the oracle)
         if cfg.autothrottle_enabled and self._lat_acc:
@@ -279,12 +301,21 @@ class FrontierShard:
         self.metrics[rnd] = m
         self.last_scheduled = sched_tbl.num_rows
 
+        if cfg.cookies_enabled and sched_tbl.num_rows:
+            jar_hdr = {
+                h: "; ".join(f"{k}={v}" for k, v in sorted(kv.items()))
+                for h, kv in self._jar.items()
+            }
+            cookie_col = [jar_hdr.get(h, "") for h in sched_tbl["host"].to_pylist()]
+        else:
+            cookie_col = [""] * sched_tbl.num_rows
         table = (
             sched_tbl.append_column(
                 "round", pa.array(np.full(sched_tbl.num_rows, rnd, dtype=np.int32))
             )
             .append_column("fetch_seq_in_host", pa.array(seqs, pa.int32()))
             .append_column("fetch_vtime", pa.array(vtimes, pa.float64()))
+            .append_column("cookies", pa.array(cookie_col, pa.string()))
             .cast(SCHEDULED_SCHEMA)
         )
 
@@ -345,6 +376,8 @@ class FrontierShard:
                     "early_deduped": self._early_deduped,
                     "host_delay": self._host_delay,
                     "lat_acc": self._lat_acc,
+                    "jar": self._jar,
+                    "cookie_acc": self._cookie_acc,
                 },
                 f,
             )
@@ -367,6 +400,8 @@ class FrontierShard:
         self._early_deduped = d.get("early_deduped", 0)
         self._host_delay = d.get("host_delay", {})
         self._lat_acc = d.get("lat_acc", {})
+        self._jar = d.get("jar", {})
+        self._cookie_acc = d.get("cookie_acc", {})
         self._push_ids.clear()
         return d["round"]
 

@@ -258,3 +258,58 @@ def test_json_sink(ray_session, mr_corpus):
     t = pq.read_table("/tmp/crawl_out/mr-parq/results")
     assert rows == t.num_rows
     assert summary.total_fetched == parq.total_fetched
+
+
+def test_cookie_vectors():
+    """M9 server model: deterministic, 200-only, host sid + b0-gated trk."""
+    url = "http://h1.example/p/0"
+    c = faults.set_cookies(url, 200)
+    assert set(c) >= {"sid"}
+    assert c == faults.set_cookies(url, 200)  # deterministic
+    assert faults.set_cookies(url, 404) == {}
+    assert faults.set_cookies(url, 503) == {}
+    # sid is per-host: same host, different page -> same sid
+    c2 = faults.set_cookies("http://h1.example/p/1", 200)
+    assert c2["sid"] == c["sid"]
+    assert faults.set_cookies("http://h2.example/p/0", 200)["sid"] != c["sid"]
+
+
+def test_cookies_engine_vs_oracle(ray_session):
+    """M9: per-(url, round) Cookie headers byte-identical engine vs oracle,
+    and cookies actually flow (jar non-empty after round 0)."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    cfg = CrawlConfig()
+    crawl(corpus, "/tmp/crawl_out/cookies-eq", cfg=cfg)
+    o = run_oracle(corpus, cfg)
+
+    t = pq.read_table(
+        "/tmp/crawl_out/cookies-eq/results", columns=["url", "round", "cookies_sent"]
+    )
+    engine = {
+        (u, r): c
+        for u, r, c in zip(
+            t["url"].to_pylist(), t["round"].to_pylist(), t["cookies_sent"].to_pylist()
+        )
+    }
+    assert engine == o.cookies_sent
+    # round 0 requests carry no cookies; later rounds carry the host sid
+    assert all(c == "" for (u, r), c in engine.items() if r == 0)
+    later = [c for (u, r), c in engine.items() if r >= 2]
+    assert later and any("sid=" in c for c in later)
+
+
+def test_cookies_disabled(ray_session):
+    """COOKIES_ENABLED=False: no header stamped anywhere, engine==oracle."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    cfg = CrawlConfig(cookies_enabled=False, max_rounds=6)
+    crawl(corpus, "/tmp/crawl_out/cookies-off", cfg=cfg)
+    o = run_oracle(corpus, cfg)
+    t = pq.read_table("/tmp/crawl_out/cookies-off/results", columns=["cookies_sent"])
+    assert set(t["cookies_sent"].to_pylist()) == {""}
+    assert o.cookies_sent == {}
