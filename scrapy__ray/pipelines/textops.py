@@ -395,16 +395,28 @@ def _shingles(text: str, n: int = 3) -> set[int]:
     return out
 
 
+_MINHASH_PUSHDOWN_MAX_IDS = 50_000
+
+
 def docs_minhash_lsh(sf_dir: str):
     """MinHash(128) + LSH(32x4) near-dup pairs, Jaccard>=0.5 verified on true
     shingle sets.  shingle->minhash per batch; band rows explode;
     hash-partition by (band, band_hash) buckets gives candidates; pair dedup
-    via a second hash shuffle; exact verify by SHUFFLE-JOINING the candidate
-    pairs back to a per-doc shingle-set dataset on doc_a then doc_b — no
-    driver-side corpus read, no whole-text broadcast (the round-1 version
-    broadcast every document text; at corpus scale that is a driver OOM).
+    via a second hash shuffle.  Exact verification is two-path by candidate
+    volume — LSH guarantees candidates ≪ corpus, so the choice is between
+    fixed exchange overhead and unbounded memory, never a corpus read:
+      * ≤ _MINHASH_PUSHDOWN_MAX_IDS distinct candidate docs: parquet
+        predicate-pushdown read of exactly those rows (row-group pruned,
+        O(candidates) — the approved pattern from simops._filtered_vecs),
+        shingles recomputed locally.  This skips two shuffle-joins whose
+        fixed cost dwarfs the data at small candidate counts.
+      * above the threshold: SHUFFLE-JOIN the candidate pairs against the
+        per-doc shingle-set dataset on doc_a then doc_b — no driver-side
+        corpus read, no whole-text broadcast at any scale (the round-1
+        version broadcast every document text; corpus-scale driver OOM).
     Approximate by construction -> parquet-materialized oracle; determinism
-    comes from the fixed PCG64(42) permutations."""
+    comes from the fixed PCG64(42) permutations (either path yields
+    byte-identical pairs)."""
     A, B = _minhash_params()
     rows_per_band = _MINHASH_K // _BANDS
 
@@ -441,10 +453,60 @@ def docs_minhash_lsh(sf_dir: str):
         ["band", "bh"],
         lambda df: _segment_pairs(df, ["band", "bh"]),
     )
-    # dedupe candidate pairs across bands before the (expensive) verify:
-    # partial drop_duplicates per block, hash-shuffle by pair, final dedup
+    # per-block pre-dedup, then count the candidate stream ONCE (cheap
+    # metadata after materialize) to pick the dedup+verify regime
+    pair2 = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    cands_md = cands.map_batches(
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        batch_format="pandas",
+        batch_size=None,
+    ).materialize()
+
+    if cands_md.count() <= 2 * _MINHASH_PUSHDOWN_MAX_IDS:
+        # SMALL regime (the LSH-typical one): cross-band pair dedup on the
+        # driver and shingle verification against a parquet
+        # predicate-pushdown read of exactly the candidate docs — skips
+        # three exchanges whose fixed cost dwarfs this data volume
+        import pyarrow.parquet as pq
+
+        cand_df = (
+            collect_arrow(cands_md, pair2)
+            .to_pandas()
+            .drop_duplicates(["doc_a", "doc_b"])
+        )
+        cand_ids = sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", [int(i) for i in cand_ids])],
+        )
+        sh = {
+            did: _shingles(text)
+            for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        }
+        out_a, out_b, out_j = [], [], []
+        for a, b in sorted(zip(cand_df["doc_a"], cand_df["doc_b"])):
+            sa, sb = sh.get(a), sh.get(b)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_THRESHOLD:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(round_col(out_j, 4), pa.float64()),
+            }
+        ).cast(_PAIR_SCHEMA)
+
+    # LARGE regime: nothing is ever collected to the driver — pair-keyed
+    # hash-shuffle dedup, then shuffle-join the pairs against the shingle
+    # dataset on each endpoint
     uniq = shuffle_agg(
-        cands,
+        cands_md,
         ["doc_a", "doc_b"],
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),

@@ -74,3 +74,14 @@ def test_rows_only_query_runs(ray_session, name, fn):
     df = _to_df(fn(SF_DIR))
     assert df.shape[0] >= 0
     assert df.shape[1] >= 1
+
+
+def test_minhash_large_regime_matches_small(ray_session, monkeypatch):
+    """Force the shuffle-join verify path (the corpus-scale regime) and
+    assert it yields byte-identical pairs to the pushdown fast path."""
+    import scrapy__ray.pipelines.textops as textops
+
+    small = _canon(_to_df(textops.docs_minhash_lsh(SF_DIR)))
+    monkeypatch.setattr(textops, "_MINHASH_PUSHDOWN_MAX_IDS", 0)
+    large = _canon(_to_df(textops.docs_minhash_lsh(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
