@@ -195,6 +195,13 @@ def _run_scaling() -> None:
 
     runs = {}
     for cpus in (8, 32):
+        # level the I/O field between legs: each leg writes several GB of
+        # results/checkpoints; without a sync, the second (faster) leg
+        # competes with the first leg's dirty-page writeback and the
+        # efficiency ratio absorbs the skew (observed run-to-run swings
+        # 0.68-0.87 on identical code correlating with dirty-page state)
+        subprocess.run(["sync"])
+        time.sleep(5)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         # taskset pins the whole process tree to that many PHYSICAL cores:
         # ray.init(num_cpus=8) alone only caps task scheduling slots —

@@ -208,7 +208,12 @@ class CrawlEngine:
             if cfg.max_pages is not None and self.total_fetched >= cfg.max_pages:
                 break
             # resolve returns a LIST of ~chunk_rows block refs per shard;
-            # chunk adapts to last round's volume: ~3 tasks per cpu
+            # chunk adapts to last round's volume: ~3 tasks per cpu.  The
+            # 2048-row floor guards the push-RPC fan-out (tasks x shards
+            # per round): A/B-measured on sf-scale at 32 cpus, floor 512
+            # (96 tasks/round) ran 22% SLOWER than floor 2048 (26
+            # tasks/round) — per-task push fan-out dominates the extra
+            # load-balance granularity.  Do not lower it.
             cpus = int(ray.cluster_resources().get("CPU", 8))
             chunk = max(
                 cfg.scheduled_chunk_rows,

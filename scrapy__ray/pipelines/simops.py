@@ -97,6 +97,75 @@ LIMIT 10
 """
 
 
+# ------------------------------------------------------- batched multi-ANN
+_MULTI_Q = 8
+
+
+def emb_ann_topk_multi(sf_dir: str):
+    """Batched ANN serving shape: top-10 cosine neighbors for EACH of the
+    first _MULTI_Q query vectors in one sweep — the query matrix is
+    ``ray.put`` once and every batch does a single (batch × dim) @ (dim ×
+    Q) matmul; per-query top-k finishes in a qid-keyed hash partition (one
+    small sort per partition).  At 10^10 rows this is the shape batch
+    inference uses: broadcast the small side, one pass over the big side."""
+    import pandas as pd
+
+    from scrapy__ray.pipelines.util import hash_partition_map
+
+    qvecs = _filtered_vecs(sf_dir, list(range(_MULTI_Q)))
+    qm = np.stack([qvecs[i] for i in range(_MULTI_Q)])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = broadcast(qm)
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        q = lookup_broadcast(q_ref)
+        ids, emb = _batch_matrix(t)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        en = emb / np.where(norms == 0, 1.0, norms)
+        cos = round_col((en @ q.T).ravel(), 4).reshape(len(ids), _MULTI_Q)
+        qid = np.tile(np.arange(_MULTI_Q, dtype=np.int64), len(ids))
+        vid = np.repeat(ids, _MULTI_Q)
+        keep = vid != qid
+        return pa.table(
+            {
+                "qid": pa.array(qid[keep], pa.int64()),
+                "vec_id": pa.array(vid[keep], pa.int64()),
+                "cos": pa.array(cos.ravel()[keep], pa.float64()),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+        return df.groupby("qid", as_index=False).head(10)
+
+    out = hash_partition_map(
+        ds.map_batches(score, batch_format="pyarrow"), ["qid"], topk
+    )
+    return collect_arrow(
+        out,
+        pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())]),
+    )
+
+
+EMB_ANN_MULTI_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {_MULTI_Q}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+"""
+
+
 # -------------------------------------------------------- label statistics
 def emb_label_stats(sf_dir: str):
     """Few label groups -> combiner + driver reduce, no shuffle."""
@@ -430,6 +499,7 @@ def emb_kmeans(sf_dir: str):
 
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
+    "emb_ann_topk_multi": (emb_ann_topk_multi, EMB_ANN_MULTI_SQL),
     "emb_kmeans": (emb_kmeans, None),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
     "emb_cosine_dups": (emb_cosine_dups, EMB_COS_DUP_SQL),

@@ -756,6 +756,85 @@ FROM b
 """
 
 
+# ------------------------------------------------- normalization + PII scrub
+_WS_COLLAPSE = re.compile(r"\s+")
+_EMAIL_RE = re.compile(r"[A-Za-z0-9_.]+@[A-Za-z0-9.-]+")
+
+
+def docs_normalize(sf_dir: str):
+    """Text normalization for training-data prep: trim, collapse internal
+    whitespace to single spaces, lowercase — one vectorizable map_batches
+    pass, no shuffle.  SQL mirror uses the identical transform chain."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = [
+            _WS_COLLAPSE.sub(" ", x.strip()).lower() for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": pa.array(out, pa.string()),
+                "n_chars_norm": pa.array([len(x) for x in out], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+DOCS_NORMALIZE_SQL = """
+SELECT doc_id,
+       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text,
+       len(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))::BIGINT AS n_chars_norm
+FROM documents
+"""
+
+
+def docs_scrub_pii(sf_dir: str):
+    """PII scrubbing stage: mask email addresses with <EMAIL> and count the
+    redactions.  The fixture corpus carries no PII, so the query plants a
+    deterministic contact line on every doc_id % 7 == 0 document BEFORE
+    scrubbing (mirrored exactly in the SQL), making the scrub path a real,
+    hash-checked transform instead of a no-op."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = [
+            (x + f" contact: user{d}@example.com" if d % 7 == 0 else x)
+            for d, x in zip(ids, t["text"].to_pylist())
+        ]
+        scrubbed, counts = [], []
+        for x in texts:
+            s, n = _EMAIL_RE.subn("<EMAIL>", x)
+            scrubbed.append(s)
+            counts.append(n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "scrubbed": pa.array(scrubbed, pa.string()),
+                "n_redacted": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+DOCS_SCRUB_PII_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || doc_id || '@example.com'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS scrubbed,
+       len(regexp_extract_all(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+'))::BIGINT AS n_redacted
+FROM planted
+"""
+
+
 # ----------------------------------------------------- multimodal stub
 class MediaDecodeStub:
     """Actor-pool stage for opaque binary media columns (SURVEY.md S6 media
@@ -810,5 +889,7 @@ QUERIES = {
     "docs_minhash_lsh": (docs_minhash_lsh, None),
     "docs_simhash": (docs_simhash, None),
     "docs_langid": (docs_langid, None),
+    "docs_normalize": (docs_normalize, DOCS_NORMALIZE_SQL),
+    "docs_scrub_pii": (docs_scrub_pii, DOCS_SCRUB_PII_SQL),
     "media_meta_stub": (media_meta_stub, MEDIA_META_SQL),
 }

@@ -1,0 +1,47 @@
+"""Unit tests for the dup-cluster keep-set operator (pipelines/dedup.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _run(pairs: list[tuple[int, int]], nodes: list[int]):
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.dedup import pairs_to_clusters
+
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    nodes_ds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.int64())}))
+    t = pairs_to_clusters(rd.from_arrow(pairs_t), nodes_ds)
+    return {
+        r["doc_id"]: (r["cluster_rep"], r["keep"]) for r in t.to_pylist()
+    }
+
+
+def test_two_components_and_singletons(ray_session):
+    # components: {1,2,3} via chain, {10,11}; singletons 20, 21
+    out = _run([(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 20, 21])
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[20] == (20, True)
+    assert out[21] == (21, True)
+
+
+def test_long_chain_converges(ray_session):
+    # a 12-node path graph needs several propagation rounds (diameter 11)
+    n = 12
+    out = _run([(i, i + 1) for i in range(n - 1)], list(range(n)))
+    assert all(out[i] == (0, i == 0) for i in range(n))
+
+
+def test_no_pairs_all_keep(ray_session):
+    out = _run([], [5, 6, 7])
+    assert out == {5: (5, True), 6: (6, True), 7: (7, True)}
