@@ -45,12 +45,36 @@ _CLUSTER_SCHEMA = pa.schema(
 )
 
 
+_SMALL_PAIRS_THRESHOLD = 200_000
+
+
 def pairs_to_clusters(pairs_ds, nodes_ds, max_iters: int = 50):
     """Resolve (doc_a, doc_b) pair Dataset + doc_id node Dataset into the
-    (doc_id, cluster_rep, keep) keep-set.  Fully distributed: per iteration
-    one label-propagation join keyed by node and one min-aggregation keyed
-    by node; the driver holds only the convergence scalar."""
+    (doc_id, cluster_rep, keep) keep-set.
+
+    Two regimes by PAIR volume (near-dup pairs ≪ corpus by construction —
+    the node side is never the discriminator and never collected):
+      * ≤ _SMALL_PAIRS_THRESHOLD pairs: union-find over the collected pair
+        set on the driver, then ONE distributed map over the nodes with the
+        broadcast rep map (O(pair-docs) small side — the classic
+        broadcast-join).  Skips ~4 shuffle executions per propagation
+        round whose fixed cost dwarfs this volume.
+      * above: iterated min-label propagation — per round one
+        label-propagation shuffle-join keyed by node and one
+        min-aggregation keyed by node; the driver holds only a convergence
+        scalar.  Converges in O(component diameter) rounds (near-dup
+        clusters are quasi-cliques: 2-3).
+    Both paths yield the identical labeling (component-minimum rep);
+    tests force each path and compare.
+
+    Caller contract: create the input datasets AFTER util.ensure_ctx() (any
+    util.read_parquet does this) — datasets snapshot their DataContext at
+    creation, and the distributed path's repartition(keys=...) needs
+    HASH_SHUFFLE in that snapshot."""
     import ray.data as rd
+
+    if pairs_ds.count() <= _SMALL_PAIRS_THRESHOLD:
+        return _clusters_small(pairs_ds, nodes_ds)
 
     # undirected edges, both directions, as (src, dst)
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -122,6 +146,48 @@ def pairs_to_clusters(pairs_ds, nodes_ds, max_iters: int = 50):
 
     return collect_arrow(
         labels.map_batches(finish, batch_format="pyarrow"), _CLUSTER_SCHEMA
+    )
+
+
+def _clusters_small(pairs_ds, nodes_ds):
+    """Driver union-find over a small pair set + one distributed labeling
+    pass over the nodes with the broadcast rep map."""
+    from scrapy__ray.pipelines.util import broadcast, lookup_broadcast
+
+    pairs = collect_arrow(
+        pairs_ds, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rep = {x: find(x) for x in list(parent)}
+    rep_ref = broadcast({k: v for k, v in rep.items() if k != v})
+
+    def label(t: pa.Table) -> pa.Table:
+        m = lookup_broadcast(rep_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = np.array([m.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_rep": pa.array(lab, pa.int64()),
+                "keep": pa.array(ids == lab, pa.bool_()),
+            }
+        )
+
+    return collect_arrow(
+        nodes_ds.map_batches(label, batch_format="pyarrow"), _CLUSTER_SCHEMA
     )
 
 

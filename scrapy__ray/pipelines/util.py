@@ -141,19 +141,23 @@ def driver_agg(ds, partial_fn, final_fn):
 def auto_partitions() -> int:
     """Shuffle fan-out sized to the cluster, not a constant.
 
-    2 partitions per CPU (floor 16, cap 512): every core gets final-combine
-    work without one partition gating the stage, and the count grows with
-    the cluster the way the 100-TB design point needs — per-partition state
-    is a vectorized pandas groupby whose memory is bounded by the partition's
-    KEY cardinality, not its row count, so CPU-proportional fan-out is the
-    binding knob.  (A fixed 16 was right at sf0.1/32 cpus but wrong at 100×.)
+    cpus/2 partitions (floor 16, cap 512).  Each partition costs one
+    aggregator-actor spawn PER EXECUTION, and that fixed cost is the
+    dominant term for moderate exchanges — measured on sf0.1 at 32 cpus,
+    the same query ran 5.8 s / 8.8 s / 12.5 s at 16 / 32 / 64 partitions
+    (near-linear in partition count, data constant).  cpus/2 keeps the
+    count growing with the cluster (a 256-core cluster gets 128-way
+    exchanges) without quadrupling spin-up on one node.  At the true
+    100-TB point, callers must pass an explicit ``num_partitions`` sized to
+    data_bytes / target_partition_bytes — the default optimizes the
+    exchange-count-heavy moderate-size regime.
     """
     import ray
 
     cpus = 8.0
     if ray.is_initialized():
         cpus = ray.cluster_resources().get("CPU", 8.0)
-    return max(16, min(512, int(2 * cpus)))
+    return max(16, min(512, int(cpus) // 2))
 
 
 def arrow_out(fn):
@@ -235,19 +239,6 @@ def collect_arrow(ds, schema) -> Any:
     return pa.concat_tables([t.select(schema.names).cast(schema) for t in tbls])
 
 
-def _zip_merge_blocks(lt, rt, on, left_cols, right_cols, joined_cols, out_schema):
-    """Inner-join two co-partitioned Arrow blocks (runs as a Ray task)."""
-    import pandas as pd
-    import pyarrow as pa
-
-    if lt.num_rows == 0 or rt.num_rows == 0:
-        return out_schema.empty_table()
-    j = lt.to_pandas().merge(rt.to_pandas(), on=on, how="inner")[joined_cols]
-    if not len(j):
-        return out_schema.empty_table()
-    return pa.Table.from_pandas(j, preserve_index=False).cast(out_schema)
-
-
 def shuffle_join(
     left,
     right,
@@ -257,28 +248,29 @@ def shuffle_join(
     right_cols: list[str] | None = None,
 ):
     """Distributed hash equi-join of two LARGE datasets (neither broadcast):
-    a PARTITION-ZIP repartition join.  Each side is independently
-    hash-partitioned by the key into the same number of partitions (same
-    hash, same modulus => matching keys land in matching partition index),
-    then one Ray task per partition index inner-merges the two co-partition
-    blocks.  Compared with the tag-union-shuffle formulation this keeps
-    every exchanged block homogeneous and fully typed (no null-filled
-    columns, no float promotion of integer keys, no RefBundle schema-drift
-    warnings) and ships each side's columns exactly once.
+    tag each side, union, hash-partition by the key in ONE exchange, then
+    pandas-merge the two sides inside each partition — the classic
+    repartition join.  Correctness does not depend on any block ORDER:
+    both sides travel through the same exchange and every output partition
+    holds all rows of its key range from both sides.  (A previous
+    partition-ZIP formulation — repartition each side separately and merge
+    block i with block i — was retired after it flaked: materialized block
+    order is finalization-completion order, not guaranteed partition
+    order, so index-zipping can silently misalign partitions.)
 
-    Relies on Ray 2.49's hash-shuffle contract of exactly ONE output block
-    per partition (finalization does not split blocks; verified against the
-    installed source) — guarded by an explicit check so a future Ray that
-    splits blocks fails loudly rather than mis-zipping.
+    Tag blocks are metadata-free Arrow with the other side's columns as
+    null columns (see arrow_out for why), and integer join keys arriving
+    as float64 (a pandas NaN-promotion artifact in chained joins) are
+    restored before hashing — float 3.0 and int 3 hash differently.
 
     Column names must be disjoint apart from ``on``.  Pass ``left_cols`` /
     ``right_cols`` to prune early and skip the schema peek.  Returns a
     Dataset of joined rows.  (Small-side joins should use broadcast +
     lookup_broadcast instead.)
     """
+    import numpy as np
+    import pandas as pd
     import pyarrow as pa
-    import ray
-    import ray.data as rd
 
     ensure_ctx()
     if left_cols is None:
@@ -286,49 +278,61 @@ def shuffle_join(
     if right_cols is None:
         right_cols = list(right.schema().names)
     joined_cols = list(left_cols) + [c for c in right_cols if c != on]
-    n = num_partitions or auto_partitions()
-
-    def prep(ds, cols):
-        def _p(b):
-            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(
-                b, preserve_index=False
-            )
-            t = t.select(cols).replace_schema_metadata(None)
-            i = t.schema.get_field_index(on)
-            f = t.schema.field(i)
-            # integer keys arriving as float64 are a pandas NaN-promotion
-            # artifact from some upstream stage; restore before hashing
-            # (float 3.0 and int 3 hash to different partitions)
-            if pa.types.is_floating(f.type):
-                t = t.set_column(i, on, t.column(i).cast(pa.int64()))
-            return t
-
-        return (
-            ds.map_batches(_p, batch_format=None, batch_size=None)
-            .repartition(n, keys=[on], sort=False)
-            .materialize()
-        )
-
-    lm, rm = prep(left, left_cols), prep(right, right_cols)
-    lrefs, rrefs = lm.to_arrow_refs(), rm.to_arrow_refs()
-    if len(lrefs) != n or len(rrefs) != n:
-        raise RuntimeError(
-            f"hash shuffle no longer yields one block per partition "
-            f"({len(lrefs)}/{len(rrefs)} blocks for {n} partitions); "
-            "shuffle_join's zip contract is broken on this Ray version"
-        )
-
-    def field(name: str) -> pa.Field:
-        src = lm.schema().base_schema if name in left_cols else rm.schema().base_schema
-        return src.field(name)
-
-    out_schema = pa.schema([field(c) for c in joined_cols])
-    task = ray.remote(num_returns=1)(_zip_merge_blocks)
-    out_refs = [
-        task.remote(l, r, on, left_cols, right_cols, joined_cols, out_schema)
-        for l, r in zip(lrefs, rrefs)
+    union_cols = [on] + [c for c in left_cols if c != on] + [
+        c for c in right_cols if c != on
     ]
-    return rd.from_arrow_refs(out_refs)
+
+    def tag(side: int, own: list[str]):
+        def _t(df: pd.DataFrame) -> pa.Table:
+            n = len(df)
+            cols = {}
+            for c in union_cols:
+                if c in own:
+                    arr = pa.Array.from_pandas(df[c])
+                    if c == on and pa.types.is_floating(arr.type):
+                        arr = arr.cast(pa.int64())
+                    cols[c] = arr
+                else:
+                    cols[c] = pa.nulls(n)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int32))
+            return pa.table(cols)
+
+        return _t
+
+    both = left.map_batches(
+        tag(0, left_cols), batch_format="pandas", batch_size=None
+    ).union(
+        right.map_batches(tag(1, right_cols), batch_format="pandas", batch_size=None)
+    )
+
+    def merge(block) -> pa.Table:
+        # split sides while still ARROW: the unified block's columns are
+        # typed int64/binary/... WITH nulls from the other side's rows;
+        # converting the whole block to pandas first would promote every
+        # null-bearing integer column to float64 and the float values
+        # would then hash/compare differently downstream (observed as
+        # duplicated keys after a chained aggregation).  After filtering
+        # to one side, that side's own columns are null-free, so
+        # to_pandas preserves the integer types.
+        import pyarrow.compute as pc
+
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or "__side" not in block.schema.names:
+            return pa.table({c: pa.nulls(0) for c in joined_cols})
+        side = block["__side"]
+        l = block.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        r = block.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+        if not len(l) or not len(r):
+            return pa.table({c: pa.nulls(0) for c in joined_cols})
+        out = l.merge(r, on=on, how="inner")[joined_cols]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return both.repartition(
+        num_partitions or auto_partitions(), keys=[on], sort=False
+    ).map_batches(merge, batch_format=None, batch_size=None)
 
 
 def round_col(values, digits: int):

@@ -9,6 +9,12 @@ def _run(pairs: list[tuple[int, int]], nodes: list[int]):
     import ray.data as rd
 
     from scrapy__ray.pipelines.dedup import pairs_to_clusters
+    from scrapy__ray.pipelines.util import ensure_ctx
+
+    # datasets snapshot their DataContext at creation: HASH_SHUFFLE must be
+    # set BEFORE from_arrow or the distributed path's repartition(keys=...)
+    # raises (read_parquet-based callers get this via util.read_parquet)
+    ensure_ctx()
 
     pairs_t = pa.table(
         {
@@ -35,11 +41,26 @@ def test_two_components_and_singletons(ray_session):
     assert out[21] == (21, True)
 
 
-def test_long_chain_converges(ray_session):
-    # a 12-node path graph needs several propagation rounds (diameter 11)
-    n = 12
+def test_long_chain_converges_distributed(ray_session, monkeypatch):
+    # force the distributed min-label path: a 12-node path graph needs
+    # several propagation rounds (diameter 11)
+    import scrapy__ray.pipelines.dedup as dedup
+
+    monkeypatch.setattr(dedup, "_SMALL_PAIRS_THRESHOLD", -1)
+    n = 5  # diameter 4: needs >1 propagation round, bounded test cost
     out = _run([(i, i + 1) for i in range(n - 1)], list(range(n)))
     assert all(out[i] == (0, i == 0) for i in range(n))
+
+
+def test_both_paths_identical(ray_session, monkeypatch):
+    import scrapy__ray.pipelines.dedup as dedup
+
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (3, 1)]
+    nodes = list(range(15))
+    small = _run(pairs, nodes)
+    monkeypatch.setattr(dedup, "_SMALL_PAIRS_THRESHOLD", -1)
+    large = _run(pairs, nodes)
+    assert small == large
 
 
 def test_no_pairs_all_keep(ray_session):
