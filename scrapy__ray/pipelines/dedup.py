@@ -223,6 +223,53 @@ def docs_dup_clusters_minhash(sf_dir: str):
     return pairs_to_clusters(rd.from_arrow(pairs.select(["doc_a", "doc_b"])), nodes)
 
 
+def emb_dup_clusters(sf_dir: str):
+    """Keep-set over the embedding-cosine near-dup pairs — same
+    ``pairs_to_clusters`` core, third detector modality (exact Jaccard,
+    MinHash, embedding cosine).  Oracle: recursive CTE over the identical
+    cosine-pair SQL."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.simops import emb_cosine_dups
+    from scrapy__ray.pipelines.util import ensure_ctx, read_parquet
+
+    ensure_ctx()
+    pairs = emb_cosine_dups(sf_dir)  # pa.Table (vec_a, vec_b, cos)
+    nodes = read_parquet(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    out = pairs_to_clusters(
+        rd.from_arrow(
+            pairs.select(["vec_a", "vec_b"]).rename_columns(["doc_a", "doc_b"])
+        ),
+        nodes,
+    )
+    return out.rename_columns(["vec_id", "cluster_rep", "keep"])
+
+
+def _emb_dup_clusters_sql() -> str:
+    from scrapy__ray.pipelines.simops import EMB_COS_DUP_SQL
+
+    pair_sql = EMB_COS_DUP_SQL.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pair_sql}
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS vec_id, MIN(r)::BIGINT AS cluster_rep, (node = MIN(r)) AS keep
+FROM reach GROUP BY node
+"""
+
+
 def _dup_clusters_sql() -> str:
     from scrapy__ray.pipelines.textops import docs_jaccard_sql
 
@@ -248,7 +295,10 @@ FROM reach GROUP BY node
 
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
+EMB_DUP_CLUSTERS_SQL = _emb_dup_clusters_sql()
+
 QUERIES = {
     "docs_dup_clusters": (docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
     "docs_dup_clusters_minhash": (docs_dup_clusters_minhash, None),
+    "emb_dup_clusters": (emb_dup_clusters, EMB_DUP_CLUSTERS_SQL),
 }

@@ -869,6 +869,57 @@ def media_meta_stub(sf_dir: str):
     )
 
 
+class FrameSampleStub:
+    """Actor-pool stage for the video-frame-sampling shape (S6/media at
+    scale): payloads are opaque byte streams, ``__init__`` stands in for
+    the once-per-actor codec load, and ``__call__`` samples 4 evenly-spaced
+    fixed-width frames per payload.  Real decoding is deterministic fake
+    slicing (no ffmpeg in this container); the Ray plumbing — actor pool,
+    SMALL batch_size (large payloads x concurrency must fit worker heap),
+    per-frame digests — is the real pattern."""
+
+    FRAMES = 4
+    FRAME_W = 16
+
+    def __init__(self):
+        self._md5 = hashlib.md5  # stands in for codec/model load
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, n_frames, digests = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            step = len(text) // self.FRAMES
+            frames = [
+                text[i * step : i * step + self.FRAME_W] for i in range(self.FRAMES)
+            ]
+            ids.append(did)
+            n_frames.append(len(frames))
+            digests.append(":".join(self._md5(f.encode()).hexdigest() for f in frames))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "frame_md5s": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def media_framesample_stub(sf_dir: str):
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+MEDIA_FRAMESAMPLE_SQL = """
+SELECT doc_id, 4::BIGINT AS n_frames,
+       md5(substring(text, 0*(len(text)//4)+1, 16)) || ':' ||
+       md5(substring(text, 1*(len(text)//4)+1, 16)) || ':' ||
+       md5(substring(text, 2*(len(text)//4)+1, 16)) || ':' ||
+       md5(substring(text, 3*(len(text)//4)+1, 16)) AS frame_md5s
+FROM documents
+"""
+
+
 MEDIA_META_SQL = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
        ((octet_length(encode(text)) % 64) + 1)::BIGINT AS fake_width,
@@ -892,4 +943,5 @@ QUERIES = {
     "docs_normalize": (docs_normalize, DOCS_NORMALIZE_SQL),
     "docs_scrub_pii": (docs_scrub_pii, DOCS_SCRUB_PII_SQL),
     "media_meta_stub": (media_meta_stub, MEDIA_META_SQL),
+    "media_framesample_stub": (media_framesample_stub, MEDIA_FRAMESAMPLE_SQL),
 }
