@@ -24,14 +24,28 @@ def _corpus() -> str:
     return fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
 
 
-def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
-    """Full pinned-config crawl; returns the fetch log (url, round, host,
-    fetch_seq_in_host, status, depth) — the crawl-ordering artifact."""
+_CRAWL_MEMO: dict[tuple, object] = {}
+
+
+def _pinned_crawl(out_name: str):
+    """Run the pinned-config crawl once per process and reuse its output:
+    crawl_fetch_log / crawl_metrics / crawl_host_summary all analyze the
+    SAME deterministic run, so re-crawling per query would triple the
+    driver's correctness wall for identical bytes."""
     from scrapy__ray.engine import crawl
 
     corpus = _corpus()
-    out = "/tmp/crawl_out/q-fetch-log"
-    crawl(corpus, out, cfg=CrawlConfig())
+    key = (corpus,)
+    if key not in _CRAWL_MEMO:
+        out = f"/tmp/crawl_out/{out_name}"
+        _CRAWL_MEMO[key] = (crawl(corpus, out, cfg=CrawlConfig()), out)
+    return _CRAWL_MEMO[key]
+
+
+def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
+    """Full pinned-config crawl; returns the fetch log (url, round, host,
+    fetch_seq_in_host, status, depth) — the crawl-ordering artifact."""
+    _summary, out = _pinned_crawl("q-pinned")
     res = pq.read_table(
         out + "/results",
         columns=["url", "round", "host", "fetch_seq_in_host", "status", "depth"],
@@ -66,11 +80,7 @@ def crawl_extract_identity(sf_dir: str):
 
 def crawl_metrics(sf_dir: str) -> pd.DataFrame:
     """Per-round crawl metrics table (fetched/deduped/deferred/... per round)."""
-    from scrapy__ray.engine import crawl
-
-    corpus = _corpus()
-    out = "/tmp/crawl_out/q-metrics"
-    summary = crawl(corpus, out, cfg=CrawlConfig())
+    summary, _out = _pinned_crawl("q-pinned")
     return pd.DataFrame(summary.round_metrics)
 
 
@@ -82,12 +92,9 @@ def crawl_host_summary(sf_dir: str):
     import numpy as np
     import ray.data as rd
 
-    from scrapy__ray.engine import crawl
     from scrapy__ray.pipelines.util import collect_arrow, ensure_ctx, shuffle_agg
 
-    corpus = _corpus()
-    out = "/tmp/crawl_out/q-host-summary"
-    crawl(corpus, out, cfg=CrawlConfig())
+    _summary, out = _pinned_crawl("q-pinned")
     ensure_ctx()  # BEFORE read_parquet: the dataset captures its DataContext
     ds = rd.read_parquet(
         out + "/results",
