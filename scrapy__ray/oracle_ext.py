@@ -489,11 +489,19 @@ def materialize(sf_dir: str) -> dict[str, str]:
     tag = sf_dir.strip("/").replace("/", "_")
     out_dir = f"/tmp/oracle_ext/{tag}"
     os.makedirs(out_dir, exist_ok=True)
+
+    def write(name: str, df: pd.DataFrame) -> str:
+        # atomic publish: a concurrent process (pytest collection + the
+        # driver share this fixed path) must never read a half-written file
+        path = f"{out_dir}/{name}.parquet"
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return path
+
     paths: dict[str, str] = {}
     for name, fn in _SF_ORACLES.items():
-        path = f"{out_dir}/{name}.parquet"
-        pq.write_table(pa.Table.from_pandas(fn(sf_dir), preserve_index=False), path)
-        paths[name] = path
+        paths[name] = write(name, fn(sf_dir))
     res, corpus = _oracle_crawl()
     for name, df in (
         ("crawl_fetch_log", oracle_crawl_fetch_log(res)),
@@ -502,16 +510,20 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_extract_identity", oracle_crawl_extract_identity(corpus)),
         ("crawl_css_extract", oracle_crawl_css_extract(corpus)),
     ):
-        path = f"{out_dir}/{name}.parquet"
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
-        paths[name] = path
+        paths[name] = write(name, df)
     _cache[sf_dir] = paths
     return paths
 
 
 def oracle_sql_ext(sf_dir: str | None = None) -> dict[str, str]:
     """SQL oracles for the materialized set: plain reads of the expected
-    parquet, runnable by any DuckDB connection regardless of view setup."""
+    parquet, runnable by any DuckDB connection regardless of view setup.
+
+    Scale contract: ``oracle_sql()`` takes no sf_dir by driver design, so
+    the expected rows are materialized for the scale the driver evaluates
+    correctness at — sf0.01 per the harness spec (override with
+    GRAFT_ORACLE_SF_DIR if a different harness evaluates elsewhere).  The
+    crawl_* oracles are sf-independent (pinned fixture corpus)."""
     sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return {
         name: f"SELECT * FROM read_parquet('{path}')"

@@ -27,7 +27,7 @@ def _corpus() -> str:
 _CRAWL_MEMO: dict[tuple, object] = {}
 
 
-def _pinned_crawl(out_name: str):
+def _pinned_crawl():
     """Run the pinned-config crawl once per process and reuse its output:
     crawl_fetch_log / crawl_metrics / crawl_host_summary all analyze the
     SAME deterministic run, so re-crawling per query would triple the
@@ -37,7 +37,7 @@ def _pinned_crawl(out_name: str):
     corpus = _corpus()
     key = (corpus,)
     if key not in _CRAWL_MEMO:
-        out = f"/tmp/crawl_out/{out_name}"
+        out = "/tmp/crawl_out/q-pinned"
         _CRAWL_MEMO[key] = (crawl(corpus, out, cfg=CrawlConfig()), out)
     return _CRAWL_MEMO[key]
 
@@ -45,7 +45,7 @@ def _pinned_crawl(out_name: str):
 def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
     """Full pinned-config crawl; returns the fetch log (url, round, host,
     fetch_seq_in_host, status, depth) — the crawl-ordering artifact."""
-    _summary, out = _pinned_crawl("q-pinned")
+    _summary, out = _pinned_crawl()
     res = pq.read_table(
         out + "/results",
         columns=["url", "round", "host", "fetch_seq_in_host", "status", "depth"],
@@ -80,7 +80,7 @@ def crawl_extract_identity(sf_dir: str):
 
 def crawl_metrics(sf_dir: str) -> pd.DataFrame:
     """Per-round crawl metrics table (fetched/deduped/deferred/... per round)."""
-    summary, _out = _pinned_crawl("q-pinned")
+    summary, _out = _pinned_crawl()
     return pd.DataFrame(summary.round_metrics)
 
 
@@ -94,7 +94,7 @@ def crawl_host_summary(sf_dir: str):
 
     from scrapy__ray.pipelines.util import collect_arrow, ensure_ctx, shuffle_agg
 
-    _summary, out = _pinned_crawl("q-pinned")
+    _summary, out = _pinned_crawl()
     ensure_ctx()  # BEFORE read_parquet: the dataset captures its DataContext
     ds = rd.read_parquet(
         out + "/results",
@@ -157,11 +157,27 @@ def crawl_css_extract(sf_dir: str):
     from scrapy__ray.functions.cssselect import css_extract, parse_dom
 
     corpus = _corpus()
-    ds = rd.read_parquet(corpus + "/pages", columns=["url", "html"])
+    # column-pruned read, plus the content_encoding sidecar when the gzip
+    # corpus variant carries one (schema peek on parquet metadata is free)
+    names = rd.read_parquet(corpus + "/pages").schema().names
+    cols = ["url", "html"] + (
+        ["content_encoding"] if "content_encoding" in names else []
+    )
+    ds = rd.read_parquet(corpus + "/pages", columns=cols)
 
     def sel(t: pa.Table) -> pa.Table:
+        import gzip as _gzip
+
+        htmls = t["html"].to_pylist()
+        if "content_encoding" in t.schema.names:
+            # M6 transport-level gzip: decode before parsing, exactly as
+            # the download path does (oracle side mirrors this)
+            htmls = [
+                _gzip.decompress(h) if enc == "gzip" else h
+                for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+            ]
         titles, h1s, n_a, anchors, paras = [], [], [], [], []
-        for html in t["html"].to_pylist():
+        for html in htmls:
             dom = parse_dom(html)
             ti = css_extract(dom, "title::text")
             h1 = css_extract(dom, "h1::text")

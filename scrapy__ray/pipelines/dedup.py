@@ -110,6 +110,7 @@ def pairs_to_clusters(pairs_ds, nodes_ds, max_iters: int = 50):
         return df.groupby("node", as_index=False)["label"].min()
 
     prev = label_sum(labels)
+    converged = False
     for _ in range(max_iters):
         # propagate: each edge (src, dst) carries src's label to dst
         contrib = shuffle_join(
@@ -130,8 +131,19 @@ def pairs_to_clusters(pairs_ds, nodes_ds, max_iters: int = 50):
         ).materialize()
         cur = label_sum(labels)
         if cur == prev:  # labels only ever decrease; equal sum == fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        # silent mid-propagation labels would emit multiple keep=True rows
+        # per true component — refuse rather than return wrong clusters
+        # (a diameter > max_iters component, e.g. a 300k-doc chain of
+        # pairwise near-identical paginated docs, is the realistic trigger)
+        raise RuntimeError(
+            f"pairs_to_clusters did not converge within {max_iters} "
+            "min-label propagation rounds; component diameter exceeds the "
+            "iteration budget — raise max_iters"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)

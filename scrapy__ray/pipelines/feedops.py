@@ -21,9 +21,9 @@ _COLS = ["doc_id", "lang", "source", "n_chars"]
 
 
 def _batch_rows(t: pa.Table) -> list[dict]:
-    return [
-        {c: t[c][i].as_py() for c in _COLS} for i in range(t.num_rows)
-    ]
+    # one to_pylist per column, not O(rows x cols) ChunkedArray scalar gets
+    cols = {c: t[c].to_pylist() for c in _COLS}
+    return [dict(zip(_COLS, vals)) for vals in zip(*(cols[c] for c in _COLS))]
 
 
 def _emit(parsed: list[dict[str, str]]) -> pa.Table:

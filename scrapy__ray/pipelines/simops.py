@@ -226,7 +226,16 @@ def _cos_block_pair(ta: pa.Table, tb: pa.Table | None) -> pa.Table:
     cos_r = round_col(cos.ravel(), 4).reshape(cos.shape)
     bi, aj = np.nonzero(cos_r >= COS_DUP_THRESHOLD)
     va, vb = ids_a[bi], ids_b[aj]
-    keep = va < vb
+    if tb is None:
+        # within-block: va < vb both dedups the symmetric matrix and drops
+        # the diagonal
+        keep = va < vb
+    else:
+        # cross-block: the two id sets are disjoint, so EVERY pair must be
+        # kept and merely oriented — filtering va < vb here would silently
+        # drop all pairs whenever the higher-id block happens to come first
+        # (materialized block order is completion order, not id order)
+        keep = va != vb
     lo = np.minimum(va[keep], vb[keep])
     hi = np.maximum(va[keep], vb[keep])
     return pa.table(

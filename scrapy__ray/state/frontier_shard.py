@@ -341,9 +341,15 @@ class FrontierShard:
             return pq.read_table(self._pending_spill)
         return self.pending
 
+    def _pending_rows(self) -> int:
+        """Row count without materializing a spill file (footer metadata)."""
+        if self._pending_spill is not None:
+            return pq.ParquetFile(self._pending_spill).metadata.num_rows
+        return self.pending.num_rows
+
     def status(self, rnd: int) -> dict:
         m = dict(self.metrics.get(rnd, {}))
-        m["pending"] = self._pending_table().num_rows
+        m["pending"] = self._pending_rows()
         m["seen"] = len(self.seen)
         m["last_scheduled"] = self.last_scheduled
         m["fp_false_positives"] = self.seen.false_positive_checks

@@ -66,3 +66,34 @@ def test_both_paths_identical(ray_session, monkeypatch):
 def test_no_pairs_all_keep(ray_session):
     out = _run([], [5, 6, 7])
     assert out == {5: (5, True), 6: (6, True), 7: (7, True)}
+
+
+def test_cos_block_pair_orientation_order_independent():
+    """Cross-block cosine pairs must survive regardless of which block has
+    the higher ids — materialized block order is completion order (the
+    va<vb filter once silently dropped every pair when the high-id block
+    came first)."""
+    import numpy as np
+
+    from scrapy__ray.pipelines.simops import _cos_block_pair
+
+    def block(ids, vecs):
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+            }
+        )
+
+    v = np.eye(3)[0]
+    hi = block([10, 11], [v, v])  # identical vectors -> cos 1.0
+    lo = block([1, 2], [v, v])
+    fwd = _cos_block_pair(lo, hi).to_pylist()
+    rev = _cos_block_pair(hi, lo).to_pylist()
+    key = lambda r: (r["vec_a"], r["vec_b"])
+    assert sorted(fwd, key=key) == sorted(rev, key=key)
+    assert len(fwd) == 4  # 2x2 cross pairs, all kept and oriented
+    assert all(r["vec_a"] < r["vec_b"] for r in fwd)
+    # diagonal case still dedups the symmetric matrix
+    diag = _cos_block_pair(block([1, 2], [v, v]), None).to_pylist()
+    assert diag == [{"vec_a": 1, "vec_b": 2, "cos": 1.0}]
