@@ -313,3 +313,27 @@ def test_cookies_disabled(ray_session):
     t = pq.read_table("/tmp/crawl_out/cookies-off/results", columns=["cookies_sent"])
     assert set(t["cookies_sent"].to_pylist()) == {""}
     assert o.cookies_sent == {}
+
+
+def test_pending_spill_equivalence(ray_session):
+    """Force the frontier's parquet spill on every round (threshold 1 row)
+    and assert the crawl is byte-equivalent to the oracle — spill/reload
+    must be a pure persistence detail."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    cfg = CrawlConfig(pending_spill_rows=1)
+    s = crawl(corpus, "/tmp/crawl_out/spill-eq", cfg=cfg)
+    o = run_oracle(corpus, CrawlConfig())  # spill threshold is engine-only
+    assert {k: s.totals[k] for k in o.totals()} == o.totals()
+    assert s.total_fetched == o.totals()["fetched"]
+    t = pq.read_table("/tmp/crawl_out/spill-eq/results", columns=["url", "extracted_text", "status"])
+    eng_texts = {
+        u: x
+        for u, x, st in zip(
+            t["url"].to_pylist(), t["extracted_text"].to_pylist(), t["status"].to_pylist()
+        )
+        if st == 200 and x is not None
+    }
+    assert eng_texts == o.texts
