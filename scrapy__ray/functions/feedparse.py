@@ -20,8 +20,10 @@ def iter_xml_nodes(xml: str, itertag: str) -> list[dict[str, str]]:
     common RSS/Atom access patterns; missing text -> "")."""
     root = ET.fromstring(xml)
     out: list[dict[str, str]] = []
-    it = root.iter(itertag) if root.tag != itertag else [root]
-    for node in it:
+    # root.iter(itertag) yields the root itself when it matches AND any
+    # nested itertag descendants — special-casing root.tag == itertag to
+    # [root] silently dropped nodes one nesting level deeper (advice r2)
+    for node in root.iter(itertag):
         row: dict[str, str] = {}
         for k, v in node.attrib.items():
             row[f"@{k}"] = v

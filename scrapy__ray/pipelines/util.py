@@ -262,6 +262,10 @@ def shuffle_join(
     null columns (see arrow_out for why), and integer join keys arriving
     as float64 (a pandas NaN-promotion artifact in chained joins) are
     restored before hashing — float 3.0 and int 3 hash differently.
+    Key contract: the join key must be integer-valued (every current
+    caller joins on int64 ids).  A float key column whose values are not
+    all integral would be silently truncated by the restore-cast, so the
+    tag stage raises TypeError instead of guessing.
 
     Column names must be disjoint apart from ``on``.  Pass ``left_cols`` /
     ``right_cols`` to prune early and skip the schema peek.  Returns a
@@ -290,6 +294,13 @@ def shuffle_join(
                 if c in own:
                     arr = pa.Array.from_pandas(df[c])
                     if c == on and pa.types.is_floating(arr.type):
+                        vals = arr.to_numpy(zero_copy_only=False)
+                        if not np.all(vals == np.floor(vals)):
+                            raise TypeError(
+                                f"shuffle_join key {on!r} is float with "
+                                "non-integral values; the int-restore cast "
+                                "would truncate — join on an integer key"
+                            )
                         arr = arr.cast(pa.int64())
                     cols[c] = arr
                 else:

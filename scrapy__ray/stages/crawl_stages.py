@@ -151,6 +151,7 @@ def expand_push_batch(
     host_cache: dict[str, tuple] = {}  # url -> (host, host_hash, fingerprint)
     lat_acc: dict[str, list[int]] = {}  # AutoThrottle: host -> [sum_us, n]
     cookie_acc: dict[str, dict[str, str]] = {}  # M9: host -> observed cookies
+    allow_re, deny_re = compiled_link_rules(cfg.link_allow, cfg.link_deny)
 
     for i in range(n):
         st = cols["status"][i]
@@ -225,7 +226,6 @@ def expand_push_batch(
             out_links = cols["out_links"][i]
             n_links_col.append(len(out_links))
             depth = cols["depth"][i]
-            allow_re, deny_re = compiled_link_rules(cfg.link_allow, cfg.link_deny)
             for l, link in enumerate(out_links):
                 if not link_passes_rules(link, allow_re, deny_re):
                     continue

@@ -53,3 +53,13 @@ def test_csv_blank_lines_skipped():
 
 def test_csv_empty_payload():
     assert iter_csv_rows("") == []
+
+
+def test_xml_root_itertag_with_nested_descendants():
+    # root matching itertag must not hide nested itertag descendants
+    # (advice r2: the [root] special case dropped them)
+    xml = "<item><a>top</a><item><a>nested</a></item></item>"
+    # identical to wrapping the same structure in an outer element:
+    wrapped = iter_xml_nodes("<r>" + xml + "</r>", "item")
+    assert iter_xml_nodes(xml, "item") == wrapped
+    assert wrapped == [{"a": "top", "item": ""}, {"a": "nested"}]
