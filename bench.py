@@ -107,22 +107,6 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     for name, fn in e.queries().items():
         if name.startswith("crawl_"):
             continue  # crawl is benched separately (corpus input, not sf_dir)
-        if name == "docs_dup_clusters":
-            # same rationale as docs_jaccard_dups below: the cluster
-            # operator's pair stage is the exact inverted-index expansion,
-            # quadratic on the tiny-vocabulary fixture at sf0.1.  The
-            # cluster resolution itself IS benched via
-            # docs_dup_clusters_minhash (subquadratic LSH pair stage).
-            sys.stderr.write("[bench] skipping docs_dup_clusters at bench scale\n")
-            continue
-        if name == "docs_jaccard_dups":
-            # EXCLUDED from the sf0.1 bench, not silently: the fixture corpus
-            # has a ~25-word vocabulary, so the exact inverted-index pair
-            # expansion is quadratic in docs-per-token (~265M pair rows at
-            # sf0.1). Correctness is still checked at sf0.01; the scale path
-            # for near-dup is docs_minhash_lsh, which IS benched.
-            sys.stderr.write("[bench] skipping docs_jaccard_dups at bench scale\n")
-            continue
         t0 = time.monotonic()
         res = fn(sf_dir)
         if hasattr(res, "materialize"):  # ray.data.Dataset — force execution

@@ -210,8 +210,10 @@ def docs_dup_clusters(sf_dir: str):
 
     Uses the exact-Jaccard detector so the whole chain — pair detection AND
     transitive resolution — is mirrored by the DuckDB oracle (recursive CTE
-    over the identical pair SQL).  The same ``pairs_to_clusters`` core
-    consumes MinHash/SimHash/cosine pair streams unchanged."""
+    over the identical pair SQL).  The pair stage runs with the production
+    JACCARD_MAX_DF document-frequency cap (subquadratic by default; the
+    oracle SQL applies the identical cap).  The same ``pairs_to_clusters``
+    core consumes MinHash/SimHash/cosine pair streams unchanged."""
     import ray.data as rd
 
     from scrapy__ray.pipelines.textops import docs_jaccard_dups

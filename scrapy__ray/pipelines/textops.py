@@ -219,7 +219,17 @@ def _df_capped_segments(df: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
     return df[counts <= max_df]
 
 
-def docs_jaccard_dups(sf_dir: str, max_df: int | None = None):
+# Production document-frequency cap for the exact-Jaccard pair expansion: a
+# token appearing in d documents emits d²/2 candidate pairs, so uncapped
+# hot tokens (stopwords) are quadratic in corpus size.  1000 bounds any
+# token's pair contribution at ~500k rows while leaving every
+# discriminative token intact — at sf0.01 oracle scale (max df 402) the
+# cap does not bind, so the correctness gate compares the full result.
+# Pass max_df=None explicitly for the uncapped (quadratic) variant.
+JACCARD_MAX_DF = 1000
+
+
+def docs_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     """Exact token-set Jaccard near-dup pairs via a distributed inverted
     index — no driver-side reads anywhere:
 
@@ -234,8 +244,10 @@ def docs_jaccard_dups(sf_dir: str, max_df: int | None = None):
     quadratic pair expansion — the standard hot-token defence at corpus
     scale (a token in d docs yields d² pairs).  The cap redefines the token
     universe for BOTH intersections and set sizes, so engine and SQL stay
-    exactly equal when the SQL applies the same df filter (see
-    docs_jaccard_sql(max_df)).  Default None keeps the driver oracle exact.
+    exactly equal for every ``max_df`` because the SQL oracle applies the
+    identical df filter (docs_jaccard_sql shares the default).  The
+    production default JACCARD_MAX_DF makes the operator subquadratic by
+    construction; ``max_df=None`` opts into the exact uncapped variant.
     """
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -334,10 +346,11 @@ def docs_jaccard_dups(sf_dir: str, max_df: int | None = None):
     )
 
 
-def docs_jaccard_sql(max_df: int | None = None) -> str:
+def docs_jaccard_sql(max_df: int | None = JACCARD_MAX_DF) -> str:
     """DuckDB mirror of docs_jaccard_dups, including the optional df cap —
     the capped token universe applies to sizes AND intersections, exactly as
-    in the engine, so engine==SQL holds for every ``max_df``."""
+    in the engine, so engine==SQL holds for every ``max_df`` (the default
+    mirrors JACCARD_MAX_DF; pass None for the uncapped variant)."""
     df_filter = (
         f"""tok0 AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
