@@ -278,7 +278,7 @@ def oracle_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def oracle_emb_cosine_dups_bucketed(sf_dir: str) -> pd.DataFrame:
-    n_buckets, probes, threshold = 16, 2, 0.45
+    n_buckets, probes, threshold = 16, 4, 0.45  # mirror simops constants
     ids, emb = _read_embeddings(sf_dir)
     cent = _seed_centroids_np(ids, emb, n_buckets)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)

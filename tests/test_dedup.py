@@ -97,3 +97,18 @@ def test_cos_block_pair_orientation_order_independent():
     # diagonal case still dedups the symmetric matrix
     diag = _cos_block_pair(block([1, 2], [v, v]), None).to_pylist()
     assert diag == [{"vec_a": 1, "vec_b": 2, "cos": 1.0}]
+
+
+def test_exact_cosine_guard_routes_to_bucketed(ray_session, monkeypatch):
+    """Above EXACT_COS_MAX_ROWS the exact all-pairs variant must refuse
+    (pointing at the bucketed path) unless force_exact=True opts in."""
+    import pytest
+
+    import scrapy__ray.pipelines.simops as simops
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(simops, "EXACT_COS_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="bucketed"):
+        simops.emb_cosine_dups(sf)
+    out = simops.emb_cosine_dups(sf, force_exact=True)
+    assert out.num_rows > 0
