@@ -5,17 +5,26 @@ The reference's most-used extraction surface is ``response.css(...)``
 absent in this environment, so this module implements the practically-used
 subset over a lightweight DOM built with stdlib ``html.parser``:
 
-  selector groups   ``h1, p.intro``          (comma = union, doc order)
-  compound          ``div.note#top[data-x=1]`` (tag, #id, .class, [attr],
-                                              [attr=value], ``*``)
-  combinators       ``ul li`` (descendant), ``ul > li`` (child)
+  selector groups   ``h1, p.intro``          (comma = union, doc order;
+                                              pseudo-elements apply PER
+                                              group, as in parsel)
+  compound          ``div.note#top[data-x=1]`` (tag, #id, .class, ``*``,
+                                              [attr] with the operators
+                                              ``= ~= |= ^= $= *=`` and
+                                              quoted values that may
+                                              contain spaces/``>``)
+  combinators       ``ul li`` (descendant), ``ul > li`` (child),
+                    ``h1 + p`` (adjacent sibling), ``h1 ~ p`` (general
+                    sibling)
   pseudo-elements   ``::text`` (recursive text), ``::attr(name)``
 
-Out of scope (documented): sibling combinators, :nth-child and friends,
-attribute ~=/^=/$=/*= operators, XPath.  Matching follows the CSS rule of
-evaluating the rightmost compound against every element and walking
-ancestors for the rest.  Results are in document order, deduplicated, like
-parsel's ``SelectorList``.
+Out of scope (documented): :nth-child and other pseudo-CLASSES,
+namespaces, case-insensitivity flags ([attr=v i]), XPath.  Matching
+follows the CSS rule of evaluating the rightmost compound against every
+element and walking left with full backtracking (a rejected ancestor
+candidate resumes the search higher up — greedy nearest-ancestor locking
+returned false negatives on mixed chains, advice r2).  Results are in
+document order, deduplicated, like parsel's ``SelectorList``.
 
 Encoding resolution is shared with the extract stage (functions/encoding.py,
 the P2 precedence rules), so ``css_extract(html_bytes, ...)`` sees exactly
@@ -127,12 +136,16 @@ def parse_dom(html: bytes | str, declared_encoding: str | None = None) -> Node:
 
 
 # ------------------------------------------------------------ selector AST
+class SelectorError(ValueError):
+    pass
+
+
 @dataclass(frozen=True)
 class Compound:
     tag: str | None  # None = any ('*')
     id_: str | None
     classes: tuple[str, ...]
-    attrs: tuple[tuple[str, str | None], ...]  # (name, value-or-None)
+    attrs: tuple[tuple[str, str, str | None], ...]  # (name, op, value)
 
     def matches(self, n: Node) -> bool:
         if not n.tag:
@@ -143,112 +156,263 @@ class Compound:
             return False
         if self.classes and not set(self.classes) <= n.classes():
             return False
-        for name, val in self.attrs:
+        for name, op, val in self.attrs:
             if name not in n.attrs:
                 return False
-            if val is not None and n.attrs[name] != val:
-                return False
+            have = n.attrs[name]
+            if op == "" or val is None:
+                continue  # presence-only
+            if op == "=":
+                if have != val:
+                    return False
+            elif op == "~=":
+                # whitespace-list contains; an empty value or one with
+                # whitespace can never match, per CSS
+                if not val or " " in val or val not in have.split():
+                    return False
+            elif op == "|=":
+                if have != val and not have.startswith(val + "-"):
+                    return False
+            elif op == "^=":
+                if not val or not have.startswith(val):
+                    return False
+            elif op == "$=":
+                if not val or not have.endswith(val):
+                    return False
+            elif op == "*=":
+                if not val or val not in have:
+                    return False
         return True
 
 
-_COMPOUND_RE = re.compile(
-    r"(?:(\*|[a-zA-Z][\w-]*))?"  # tag or *
-    r"((?:[#.][\w-]+|\[[^\]]+\])*)"  # id/class/attr suffixes
+_SUFFIX_RE = re.compile(
+    r"#([\w-]+)"
+    r"|\.([\w-]+)"
+    r"|\[((?:[^\]\"']|\"[^\"]*\"|'[^']*')*)\]"
 )
-_SUFFIX_RE = re.compile(r"#([\w-]+)|\.([\w-]+)|\[([^\]]+)\]")
+_ATTR_BODY_RE = re.compile(
+    r"\s*([\w-]+)\s*(?:(~=|\|=|\^=|\$=|\*=|=)\s*(.*?)\s*)?$"
+)
 _PSEUDO_RE = re.compile(r"::(text|attr\(([\w-]+)\))\s*$")
-
-
-class SelectorError(ValueError):
-    pass
+_TAG_RE = re.compile(r"\*|[a-zA-Z][\w-]*")
+_COMBINATORS = {">": "child", "+": "adjacent", "~": "sibling"}
 
 
 def _parse_compound(tok: str) -> Compound:
-    m = _COMPOUND_RE.fullmatch(tok)
-    if not m or (m.group(1) is None and not m.group(2)):
-        raise SelectorError(f"unsupported compound selector: {tok!r}")
-    tag = m.group(1)
-    tag = None if tag in (None, "*") else tag.lower()
+    m = _TAG_RE.match(tok)
+    tag_tok = m.group(0) if m else None
+    rest = tok[m.end() :] if m else tok
+    tag = None if tag_tok in (None, "*") else tag_tok.lower()
     id_: str | None = None
     classes: list[str] = []
-    attrs: list[tuple[str, str | None]] = []
-    for sm in _SUFFIX_RE.finditer(m.group(2) or ""):
+    attrs: list[tuple[str, str, str | None]] = []
+    pos = 0
+    for sm in _SUFFIX_RE.finditer(rest):
+        if sm.start() != pos:
+            raise SelectorError(f"unsupported compound selector: {tok!r}")
+        pos = sm.end()
         if sm.group(1):
             id_ = sm.group(1)
         elif sm.group(2):
             classes.append(sm.group(2))
         else:
-            body = sm.group(3)
-            if "=" in body:
-                name, val = body.split("=", 1)
-                val = val.strip("\"'")
-                attrs.append((name.strip().lower(), val))
-            else:
-                attrs.append((body.strip().lower(), None))
+            am = _ATTR_BODY_RE.fullmatch(sm.group(3))
+            if not am:
+                raise SelectorError(f"unsupported attribute selector: {tok!r}")
+            name = am.group(1).lower()
+            op = am.group(2) or ""
+            val = am.group(3)
+            if val is not None and len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+                val = val[1:-1]
+            attrs.append((name, op, val))
+    if pos != len(rest) or (tag_tok is None and not rest):
+        raise SelectorError(f"unsupported compound selector: {tok!r}")
     return Compound(tag, id_, tuple(classes), tuple(attrs))
 
 
+def _split_groups(selector: str) -> list[str]:
+    """Split a selector list on commas OUTSIDE brackets/quotes."""
+    groups: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in selector:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            groups.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    groups.append("".join(cur))
+    return groups
+
+
+def _tokenize_group(sel: str) -> list[str]:
+    """One group -> alternating compound / combinator tokens.  Character
+    scan so quoted attribute values may contain whitespace, '>', ',' etc.;
+    ``[...]`` is consumed atomically."""
+    toks: list[str] = []
+    i, n = 0, len(sel)
+    pending_ws = False
+    while i < n:
+        ch = sel[i]
+        if ch.isspace():
+            pending_ws = True
+            i += 1
+            continue
+        if ch in _COMBINATORS:
+            toks.append(ch)
+            pending_ws = False
+            i += 1
+            continue
+        if pending_ws and toks and toks[-1] not in _COMBINATORS:
+            toks.append(" ")  # descendant combinator
+        pending_ws = False
+        start = i
+        while i < n:
+            c = sel[i]
+            if c.isspace() or c in _COMBINATORS:
+                break
+            if c == "[":
+                j = i + 1
+                quote = None
+                while j < n:
+                    cj = sel[j]
+                    if quote:
+                        if cj == quote:
+                            quote = None
+                    elif cj in "\"'":
+                        quote = cj
+                    elif cj == "]":
+                        break
+                    j += 1
+                if j >= n:
+                    raise SelectorError(f"unclosed '[' in selector: {sel!r}")
+                i = j + 1
+            elif c in ":":
+                raise SelectorError(f"unsupported pseudo-class in: {sel!r}")
+            else:
+                i += 1
+        toks.append(sel[start:i])
+    return toks
+
+
 def _parse_chain(sel: str) -> list[tuple[str, Compound]]:
-    """One selector group -> [(combinator, compound)] with combinator in
-    {'descendant', 'child'} (first entry's combinator is 'descendant')."""
-    toks = sel.replace(">", " > ").split()
+    """One selector group -> [(combinator, compound)]; ``combinator`` is the
+    relation between this compound and the PREVIOUS one, one of
+    {'descendant', 'child', 'adjacent', 'sibling'} (first entry:
+    'descendant')."""
     chain: list[tuple[str, Compound]] = []
     comb = "descendant"
-    for tok in toks:
-        if tok == ">":
-            if not chain:
-                raise SelectorError(f"selector starts with '>': {sel!r}")
-            comb = "child"
+    have_comb = False  # an explicit combinator is pending
+    for tok in _tokenize_group(sel):
+        if tok in _COMBINATORS:
+            if not chain or have_comb:
+                raise SelectorError(f"misplaced combinator in: {sel!r}")
+            comb = _COMBINATORS[tok]
+            have_comb = True
             continue
+        if tok == " ":
+            continue  # descendant stays pending unless an explicit follows
         chain.append((comb, _parse_compound(tok)))
         comb = "descendant"
-    if comb == "child":
-        raise SelectorError(f"selector ends with '>': {sel!r}")
+        have_comb = False
+    if have_comb:
+        raise SelectorError(f"selector ends with a combinator: {sel!r}")
     if not chain:
         raise SelectorError(f"empty selector: {sel!r}")
     return chain
 
 
-def _chain_matches(chain: list[tuple[str, Compound]], n: Node) -> bool:
-    """Rightmost compound already matched ``n``; walk ancestors for the rest."""
-    idx = len(chain) - 1
-    if not chain[idx][1].matches(n):
+def _prev_element_sibling(n: Node) -> Node | None:
+    if n.parent is None:
+        return None
+    prev: Node | None = None
+    for item in n.parent.content:
+        if item is n:
+            return prev
+        if isinstance(item, Node):
+            prev = item
+    return None
+
+
+def _match_left(chain: list[tuple[str, Compound]], idx: int, node: Node) -> bool:
+    """``chain[idx]`` matched ``node``; check everything to the left.  Full
+    backtracking: a descendant/sibling step that locks onto a candidate
+    which fails further left RESUMES from the next candidate (the greedy
+    nearest-ancestor walk returned false negatives on e.g. 'div > span em'
+    when the nearest span's parent was not a div but a higher span
+    qualified — advice r2)."""
+    if idx == 0:
+        return True
+    comb = chain[idx][0]
+    comp = chain[idx - 1][1]
+    if comb == "child":
+        p = node.parent
+        return p is not None and comp.matches(p) and _match_left(chain, idx - 1, p)
+    if comb == "descendant":
+        p = node.parent
+        while p is not None:
+            if comp.matches(p) and _match_left(chain, idx - 1, p):
+                return True
+            p = p.parent
         return False
-    node = n
-    idx -= 1
-    while idx >= 0:
-        comb_right = chain[idx + 1][0]  # how chain[idx] relates to chain[idx+1]
-        comp = chain[idx][1]
-        if comb_right == "child":
-            node = node.parent
-            if node is None or not comp.matches(node):
-                return False
-        else:
-            node = node.parent
-            while node is not None and not comp.matches(node):
-                node = node.parent
-            if node is None:
-                return False
-        idx -= 1
-    return True
+    if comb == "adjacent":
+        s = _prev_element_sibling(node)
+        return s is not None and comp.matches(s) and _match_left(chain, idx - 1, s)
+    # general sibling
+    s = _prev_element_sibling(node)
+    while s is not None:
+        if comp.matches(s) and _match_left(chain, idx - 1, s):
+            return True
+        s = _prev_element_sibling(s)
+    return False
+
+
+def _chain_matches(chain: list[tuple[str, Compound]], n: Node) -> bool:
+    """Rightmost compound against ``n``, the rest with backtracking."""
+    idx = len(chain) - 1
+    return chain[idx][1].matches(n) and _match_left(chain, idx, n)
+
+
+def _parse_groups(selector: str) -> list[tuple[list[tuple[str, Compound]], tuple]]:
+    """Full selector -> [(chain, pseudo)] with a PER-GROUP pseudo-element
+    (parsel applies 'h1::text, p::attr(x)' per group, not to the union):
+    pseudo is ('text',) | ('attr', name) | ('element',)."""
+    out = []
+    for g in _split_groups(selector):
+        g = g.strip()
+        if not g:
+            continue
+        pseudo: tuple = ("element",)
+        m = _PSEUDO_RE.search(g)
+        if m:
+            pseudo = ("text",) if m.group(1) == "text" else ("attr", m.group(2).lower())
+            g = g[: m.start()].strip()
+        out.append((_parse_chain(g), pseudo))
+    if not out:
+        raise SelectorError(f"empty selector: {selector!r}")
+    return out
 
 
 def css_select(root: Node, selector: str) -> list[Node]:
     """All elements matching the selector (groups comma-separated), in
-    document order, deduplicated."""
-    sel = selector.strip()
-    m = _PSEUDO_RE.search(sel)
-    if m:
-        sel = sel[: m.start()].strip()
-    chains = [_parse_chain(g.strip()) for g in sel.split(",") if g.strip()]
-    if not chains:
-        raise SelectorError(f"empty selector: {selector!r}")
+    document order, deduplicated.  Pseudo-elements are stripped."""
+    groups = _parse_groups(selector)
     out: list[Node] = []
     seen: set[int] = set()
     for n in root.iter():
         if id(n) in seen:
             continue
-        for chain in chains:
+        for chain, _pseudo in groups:
             if _chain_matches(chain, n):
                 out.append(n)
                 seen.add(id(n))
@@ -262,13 +426,25 @@ def css_extract(
     """parsel-style ``response.css(sel).getall()``: ``::text`` yields each
     match's recursive text, ``::attr(name)`` yields the attribute value of
     matches that have it, no pseudo-element yields the element's text (the
-    pragmatic subset; outer-HTML reserialization is out of scope)."""
+    pragmatic subset; outer-HTML reserialization is out of scope).  Each
+    comma group applies ITS OWN pseudo-element; results are in document
+    order, deduplicated per (element, extraction)."""
     root = html if isinstance(html, Node) else parse_dom(html, declared_encoding)
-    m = _PSEUDO_RE.search(selector.strip())
-    nodes = css_select(root, selector)
-    if m and m.group(1) == "text":
-        return [n.text() for n in nodes]
-    if m and m.group(2):
-        attr = m.group(2).lower()
-        return [n.attrs[attr] for n in nodes if attr in n.attrs]
-    return [n.text() for n in nodes]
+    groups = _parse_groups(selector)
+    out: list[str] = []
+    seen: set[tuple[int, tuple]] = set()
+    for n in root.iter():
+        for chain, pseudo in groups:
+            # no-pseudo extraction IS the recursive text, so dedup it
+            # against an explicit ::text of the same element
+            kind = ("text",) if pseudo == ("element",) else pseudo
+            if (id(n), kind) in seen or not _chain_matches(chain, n):
+                continue
+            if kind == ("text",):
+                out.append(n.text())
+                seen.add((id(n), kind))
+            else:
+                if kind[1] in n.attrs:
+                    out.append(n.attrs[kind[1]])
+                seen.add((id(n), kind))
+    return out

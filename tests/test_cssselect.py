@@ -68,6 +68,28 @@ VECTORS = [
     ("img::attr(src)", ["/x.png"]),
     # universal
     ("ul *::attr(href)", ["/one", "/two"]),
+    # sibling combinators (round 3): h1 + p = adjacent, h1 ~ p = general
+    ("h1 + p::text", ["intro bold tail"]),
+    ("h1 ~ p::text", ["intro bold tail", "both", "plain"]),
+    ("p.intro + p::text", ["both", "plain"]),
+    ("p + p.intro::text", ["both"]),
+    ("ul + div span::text", ["nested", "shallow"]),
+    ("h1 + ul::text", []),  # adjacent must be the IMMEDIATELY preceding one
+    ("p ~ ul li a::attr(href)", ["/one", "/two"]),
+    # attribute operators (round 3)
+    ("a[rel^=ne]::attr(href)", ["/two"]),
+    ("a[rel$=xt]::attr(href)", ["/two"]),
+    ("a[rel*=ex]::attr(href)", ["/two"]),
+    ("a[rel^=xt]::attr(href)", []),
+    ("h1[class~=hero]::text", ["Heading"]),
+    ("h1[class~=her]::text", []),  # ~= is whole-word, not substring
+    ('a[href|="/two"]::attr(rel)', ["next"]),
+    # quoted attribute values containing whitespace / '>' must parse
+    ('a[data-id="7"]::attr(href)', ["/two"]),
+    # compact combinators without spaces
+    ("ul>li>a::attr(href)", ["/one", "/two"]),
+    ("h1+p::text", ["intro bold tail"]),
+    ("h1~p.intro::text", ["intro bold tail", "both"]),
 ]
 
 
@@ -114,6 +136,46 @@ def test_select_returns_nodes_in_doc_order():
 
 
 def test_bad_selectors_raise():
-    for bad in ["", ">", "> p", "p >", "p ~ q", ":hover"]:
+    for bad in ["", ">", "> p", "p >", "p ~", "+ p", "p > > q", ":hover",
+                "p:first-child", "a[unclosed"]:
         with pytest.raises(SelectorError):
             css_select(parse_dom(DOC), bad)
+
+
+def test_descendant_backtracking():
+    """'div > span em': the em's NEAREST span ancestor has a q parent, but
+    a higher span has the div parent — greedy nearest-ancestor locking
+    returned a false negative here (advice r2)."""
+    html = b"<div><span><q><span><em>x</em></span></q></span></div>"
+    assert css_extract(html, "div > span em::text") == ["x"]
+    # and the chain still fails when NO span ancestor has a div parent
+    html2 = b"<section><span><q><span><em>x</em></span></q></span></section>"
+    assert css_extract(html2, "div > span em::text") == []
+
+
+def test_quoted_attr_value_with_space_and_gt():
+    html = b'<p title="a > b">one</p><p title="c">two</p>'
+    assert css_extract(html, 'p[title="a > b"]::text') == ["one"]
+    assert css_extract(html, 'p[title="a > b"], p[title=c]::text') == [
+        "one",
+        "two",
+    ]
+
+
+def test_per_group_pseudo_elements():
+    # parsel applies each group's pseudo independently
+    assert css_extract(DOC, "h1::text, li.sel a::attr(href)") == [
+        "Heading",
+        "/two",
+    ]
+    # same element, text + attr groups: both extractions survive dedup
+    assert css_extract(DOC, "a[rel]::attr(rel), a[rel]::text") == [
+        "next",
+        "Two",
+    ]
+
+
+def test_sibling_of_text_nodes_skipped():
+    # text between siblings must not break adjacency
+    html = b"<div><h2>t</h2> some text <p>x</p></div>"
+    assert css_extract(html, "h2 + p::text") == ["x"]
