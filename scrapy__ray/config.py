@@ -125,8 +125,11 @@ class CrawlConfig:
     # (fixed 4096 chunks measured 3x slower at 8 cpus: 8x the push RPCs).
     scheduled_chunk_rows: int = 2048
     # Deferred-candidate rows a FrontierShard keeps in-heap between rounds;
-    # beyond this the pending table spills to a parquet sidecar (JOBDIR
-    # disk-queue analogue, scrapy/squeues.py).  0 disables spilling.
+    # beyond this the pending set compacts into a (host, order-key)-sorted
+    # parquet base (JOBDIR disk-queue analogue, scrapy/squeues.py) from
+    # which each resolve reads only every host's next-budget head rows —
+    # O(scheduled), not O(pending) (frontier_shard.py docstring has the
+    # exactness proof).  0 disables spilling.
     pending_spill_rows: int = 1_000_000
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)

@@ -29,11 +29,32 @@ resolve() sorts with Arrow's stable multi-key kernel (C++, not a Python
 tuple sort) and does budget assignment with vectorized pandas; per-row
 Python survives only where the semantics are inherently per-row (the
 ordered seen-set test-and-insert and per-URL robots ``can_fetch``).
-Pending beyond ``cfg.pending_spill_rows`` spills to a parquet sidecar
-between rounds so the actor heap holds at most the working round.  The
-10^10-URL path beyond that is hierarchical per-host top-k pruning of the
-spill (only each host's next-budget rows need to re-enter a round); noted,
-not needed at sandbox scale.
+
+Spill layout (round-3, the 10^10-URL path): pending beyond
+``cfg.pending_spill_rows`` compacts into a parquet BASE file sorted by
+``(host, order-key)`` with an in-memory per-host ``(offset, count,
+consumed)`` index (hosts ≪ rows).  Each resolve() reads ONLY each host's
+next-``budget`` head rows from the base — O(scheduled) rows via row-group
+pruning, never O(pending) — so a shard whose backlog is 10^6× its per-round
+schedule re-reads none of it.  Correctness of head-reading (byte-identity
+with the full-read path, proven by the forced-spill equivalence test):
+
+  * every base row has ``skip_dedup=True`` (it was deferred after passing
+    dedup) so dedup can never drop it, and it passed robots once against
+    rules that are static for the crawl, so robots can never drop it;
+  * therefore the ``budget_h`` head rows of host h read from the base all
+    survive to the budget step and outrank (same frozen order key, base
+    sorted by it) any unread base row of h — an unread row can never make
+    the round's top-``budget_h`` and deferring it unread is exact.
+
+Head rows that lose the budget race to higher-priority pushed rows return
+to the in-memory pending and re-compact later; ``consumed`` advances by
+rows read regardless, so the base is append-consumed and dropped when
+drained.  Compaction (sort + rewrite) is O(pending) but runs only when the
+in-memory side exceeds the threshold, amortizing it over the rows that
+triggered it; a leveled multi-generation base would amortize further at
+the extreme tail and is a documented extension, not needed for the read
+bound.
 """
 
 from __future__ import annotations
@@ -64,6 +85,13 @@ _ORDER_KEYS = [
 
 _EMPTY = FRONTIER_SCHEMA.empty_table()
 
+#: Spill-base parquet row-group size: the granularity of the head read.
+#: Small groups keep the per-host overshoot (rows materialized beyond the
+#: budget heads) bounded at ~one group per active host.
+_SPILL_RG_ROWS = 4096
+
+_SPILL_DIR = "/tmp/scrapy__ray_spill"
+
 
 class FrontierShard:
     def __init__(
@@ -80,7 +108,16 @@ class FrontierShard:
             keep_exact_sidecar=True,
         )
         self.pending: pa.Table = _EMPTY  # deferred candidates (skip_dedup=True)
-        self._pending_spill: str | None = None  # parquet sidecar beyond threshold
+        # spill base: (host, order)-sorted parquet + per-host consume index
+        self._base_path: str | None = None
+        self._base_gen = 0
+        self._base_hosts: list[str] = []
+        self._base_off = np.zeros(0, dtype=np.int64)
+        self._base_cnt = np.zeros(0, dtype=np.int64)
+        self._base_consumed = np.zeros(0, dtype=np.int64)
+        self._base_rg_starts = np.zeros(1, dtype=np.int64)
+        self._spill_rows_read = 0  # physical rows materialized from the base
+        self._spill_rows_written = 0
         self._pushed: list[pa.Table] = []
         self._push_ids: set[str] = set()
         self._early_deduped = 0  # expand-side pre-dropped dups, next resolve
@@ -147,28 +184,137 @@ class FrontierShard:
             self._robots[host] = rp
         return True if rp is None else rp.can_fetch(self.cfg.user_agent, url)
 
-    # --------------------------------------------------------------- resolve
-    def _load_pending(self) -> pa.Table:
-        if self._pending_spill is not None:
-            t = pq.read_table(self._pending_spill)
-            os.unlink(self._pending_spill)
-            self._pending_spill = None
-            return t
-        return self.pending
+    # ------------------------------------------------------- spill base mgmt
+    def _budget_for(self, host: str) -> int:
+        """Per-host fetch budget for the CURRENT delay state — must match
+        the vectorized budget computation in resolve() step 3 exactly (int
+        truncation included), since it bounds how many base rows are read."""
+        cfg = self.cfg
+        if cfg.autothrottle_enabled:
+            d = self._host_delay.get(host, cfg.autothrottle_start_delay)
+        else:
+            d = cfg.download_delay
+        if d <= 0:
+            return 1 << 62
+        return max(1, int(cfg.round_duration / d))
+
+    def _drop_base(self) -> None:
+        if self._base_path is not None and os.path.exists(self._base_path):
+            os.unlink(self._base_path)
+        self._base_path = None
+        self._base_hosts = []
+        self._base_off = np.zeros(0, dtype=np.int64)
+        self._base_cnt = np.zeros(0, dtype=np.int64)
+        self._base_consumed = np.zeros(0, dtype=np.int64)
+        self._base_rg_starts = np.zeros(1, dtype=np.int64)
+
+    def _base_remaining(self) -> int:
+        if self._base_path is None:
+            return 0
+        return int((self._base_cnt - self._base_consumed).sum())
+
+    def _base_unconsumed_table(self) -> pa.Table:
+        """Full remaining base rows — O(pending); used only by compaction
+        and checkpointing, never by resolve()."""
+        if self._base_path is None:
+            return _EMPTY
+        t = pq.read_table(self._base_path)
+        if self._base_consumed.sum():
+            pos = np.arange(t.num_rows, dtype=np.int64)
+            hi = np.searchsorted(self._base_off, pos, "right") - 1
+            keep = pos >= self._base_off[hi] + self._base_consumed[hi]
+            t = t.filter(pa.array(keep))
+        return t.cast(FRONTIER_SCHEMA)
+
+    def _compact(self) -> None:
+        """Merge in-memory pending + unconsumed base rows into a fresh base
+        sorted by (host, order-key) with a per-host offset index."""
+        parts = [
+            t for t in (self._base_unconsumed_table(), self.pending) if t.num_rows
+        ]
+        self.pending = _EMPTY
+        self._drop_base()
+        if not parts:
+            return
+        full = pa.concat_tables(parts).combine_chunks()
+        full = full.take(
+            pc.sort_indices(
+                full, sort_keys=[("host", "ascending")] + _ORDER_KEYS
+            )
+        )
+        self._base_gen += 1
+        os.makedirs(_SPILL_DIR, exist_ok=True)
+        path = (
+            f"{_SPILL_DIR}/shard-{self.shard_id}-{os.getpid()}"
+            f"-{self._base_gen}.parquet"
+        )
+        pq.write_table(full, path, row_group_size=_SPILL_RG_ROWS)
+        self._spill_rows_written += full.num_rows
+        hosts = np.asarray(full["host"].to_pylist(), dtype=object)
+        change = np.nonzero(hosts[1:] != hosts[:-1])[0] + 1
+        offs = np.concatenate([[0], change]).astype(np.int64)
+        self._base_path = path
+        self._base_hosts = [str(h) for h in hosts[offs]]
+        self._base_off = offs
+        self._base_cnt = np.diff(
+            np.concatenate([offs, [len(hosts)]])
+        ).astype(np.int64)
+        self._base_consumed = np.zeros(len(offs), dtype=np.int64)
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        self._base_rg_starts = np.concatenate([[0], np.cumsum(rg_rows)]).astype(
+            np.int64
+        )
+
+    def _read_base_heads(self) -> pa.Table:
+        """Each host's next-``budget`` pending rows from the sorted base —
+        the O(scheduled) read (module docstring has the exactness proof).
+        Advances ``consumed`` by the rows taken: they either schedule or
+        return to the in-memory pending."""
+        if self._base_path is None:
+            return _EMPTY
+        rem = self._base_cnt - self._base_consumed
+        act = np.nonzero(rem > 0)[0]
+        if not len(act):
+            self._drop_base()
+            return _EMPTY
+        budgets = np.array(
+            [self._budget_for(self._base_hosts[i]) for i in act], dtype=np.int64
+        )
+        takes = np.minimum(rem[act], budgets)
+        starts = self._base_off[act] + self._base_consumed[act]
+        stops = starts + takes
+        rg_first = np.searchsorted(self._base_rg_starts, starts, "right") - 1
+        rg_last = np.searchsorted(self._base_rg_starts, stops - 1, "right") - 1
+        rgs = sorted(
+            {int(g) for a, b in zip(rg_first, rg_last) for g in range(a, b + 1)}
+        )
+        pf = pq.ParquetFile(self._base_path)
+        tbl = pf.read_row_groups(rgs)
+        self._spill_rows_read += tbl.num_rows
+        abs_pos = np.concatenate(
+            [
+                np.arange(self._base_rg_starts[g], self._base_rg_starts[g + 1])
+                for g in rgs
+            ]
+        )
+        ii = np.searchsorted(starts, abs_pos, "right") - 1
+        sel = (ii >= 0) & (abs_pos < stops[np.clip(ii, 0, None)])
+        heads = tbl.filter(pa.array(sel)).cast(FRONTIER_SCHEMA)
+        self._base_consumed[act] += takes
+        if not self._base_remaining():
+            self._drop_base()
+        return heads
 
     def _store_pending(self, t: pa.Table) -> None:
-        """Keep deferred rows columnar; spill to a parquet sidecar past the
-        threshold so the actor heap holds at most the working round."""
+        """Keep newly deferred rows columnar in-heap; past the threshold,
+        compact them (plus any base remainder) into the sorted spill base."""
+        self.pending = t
         spill_rows = getattr(self.cfg, "pending_spill_rows", 0) or 0
         if spill_rows and t.num_rows > spill_rows:
-            path = f"/tmp/scrapy__ray_spill/shard-{self.shard_id}-{os.getpid()}.parquet"
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(t, path)
-            self.pending = _EMPTY
-            self._pending_spill = path
-        else:
-            self.pending = t
-            self._pending_spill = None
+            self._compact()
+
+    # --------------------------------------------------------------- resolve
 
     def resolve(self, rnd: int, chunk_rows: int | None = None) -> list:
         t0 = time.monotonic()
@@ -177,7 +323,34 @@ class FrontierShard:
             fetched=0, deduped=0, deferred=0, robots_denied=0, errors=0,
             retried=0, redirects=0, offsite=0, scheduled=0,
         )
-        tables = [t for t in [self._load_pending()] + self._pushed if t.num_rows]
+        # State merges FIRST (cookie jar + AutoThrottle delays): the base
+        # head read below sizes per-host reads with the SAME delays the
+        # budget step uses, so read-budget >= schedule-budget always holds.
+        # Same BSP-barrier timing as before — both merges depend only on
+        # round-(k-1) accumulators, nothing earlier in resolve touched them.
+        if self._cookie_acc:
+            for host, kv in self._cookie_acc.items():
+                jar = self._jar.setdefault(host, {})
+                for k, v in kv.items():
+                    if k not in jar or v > jar[k]:
+                        jar[k] = v
+            self._cookie_acc = {}
+        if cfg.autothrottle_enabled and self._lat_acc:
+            for host, (s, n_) in self._lat_acc.items():
+                observed = (s / n_) / 1e6  # mean latency, seconds
+                target = observed / cfg.autothrottle_target_concurrency
+                d0 = self._host_delay.get(host, cfg.autothrottle_start_delay)
+                nd = (d0 + target) / 2.0
+                nd = min(max(nd, cfg.download_delay), cfg.autothrottle_max_delay)
+                self._host_delay[host] = nd
+            self._lat_acc = {}
+
+        base_before = self._base_remaining()
+        heads = self._read_base_heads()
+        unread = base_before - heads.num_rows  # stays deferred, never touched
+        tables = [
+            t for t in [self.pending, heads] + self._pushed if t.num_rows
+        ]
         self.pending = _EMPTY
         self._pushed = []
         self._push_ids.clear()
@@ -187,9 +360,11 @@ class FrontierShard:
             pa.concat_tables(tables).combine_chunks() if tables else _EMPTY
         )
         # candidates entering this round (the oracle's "frontier non-empty"
-        # test) — the engine uses it to record a final all-deduped round
+        # test) — the engine uses it to record a final all-deduped round.
+        # Unread base rows are part of the frontier even though resolve
+        # never materialized them.
         n = combined.num_rows
-        m["incoming"] = n
+        m["incoming"] = n + unread
 
         if n:
             # frozen total order, Arrow stable multi-key sort (C++):
@@ -228,27 +403,9 @@ class FrontierShard:
             if not rmask.all():
                 passed = passed.filter(pa.array(rmask))
 
-        # 2a. cookie-jar merge (round-k observed Set-Cookies apply to round
-        # k+1 requests — BSP-barrier timing, config.py COOKIES semantics)
-        if self._cookie_acc:
-            for host, kv in self._cookie_acc.items():
-                jar = self._jar.setdefault(host, {})
-                for k, v in kv.items():
-                    if k not in jar or v > jar[k]:
-                        jar[k] = v
-            self._cookie_acc = {}
-
-        # 2b. AutoThrottle delay update (from round-k latencies, before
-        # round-k+1 scheduling — same timing as the oracle)
-        if cfg.autothrottle_enabled and self._lat_acc:
-            for host, (s, n_) in self._lat_acc.items():
-                observed = (s / n_) / 1e6  # mean latency, seconds
-                target = observed / cfg.autothrottle_target_concurrency
-                d0 = self._host_delay.get(host, cfg.autothrottle_start_delay)
-                nd = (d0 + target) / 2.0
-                nd = min(max(nd, cfg.download_delay), cfg.autothrottle_max_delay)
-                self._host_delay[host] = nd
-            self._lat_acc = {}
+        # (cookie-jar merge and AutoThrottle delay update — formerly steps
+        # 2a/2b — run at the TOP of resolve so the base head read sees the
+        # same delays; semantics unchanged, see comment there)
 
         # 3. per-host budget -> scheduled | deferred, fully vectorized:
         #    rank = order-preserving per-host cumcount (rows are sorted),
@@ -289,12 +446,15 @@ class FrontierShard:
                     pa.array(np.ones(deferred.num_rows, dtype=bool)),
                 )
             self._store_pending(deferred)
-            m["deferred"] += deferred.num_rows
+            # unread base rows are deferred too — they carry to round k+1
+            # without ever being materialized this round
+            m["deferred"] += deferred.num_rows + unread
         else:
             sched_tbl = _EMPTY
             seqs = np.array([], dtype=np.int32)
             vtimes = np.array([], dtype=np.float64)
             self._store_pending(_EMPTY)
+            m["deferred"] += unread
 
         m["scheduled"] = sched_tbl.num_rows
         m["wall_s"] = time.monotonic() - t0
@@ -337,15 +497,19 @@ class FrontierShard:
 
     # ---------------------------------------------------------------- status
     def _pending_table(self) -> pa.Table:
-        if self._pending_spill is not None:
-            return pq.read_table(self._pending_spill)
-        return self.pending
+        """Full deferred set (in-memory + base remainder) — checkpoint only."""
+        parts = [
+            t
+            for t in (self.pending, self._base_unconsumed_table())
+            if t.num_rows
+        ]
+        if not parts:
+            return _EMPTY
+        return pa.concat_tables(parts).combine_chunks()
 
     def _pending_rows(self) -> int:
-        """Row count without materializing a spill file (footer metadata)."""
-        if self._pending_spill is not None:
-            return pq.ParquetFile(self._pending_spill).metadata.num_rows
-        return self.pending.num_rows
+        """Row count without materializing the spill base (index counts)."""
+        return self.pending.num_rows + self._base_remaining()
 
     def status(self, rnd: int) -> dict:
         m = dict(self.metrics.get(rnd, {}))
@@ -353,6 +517,8 @@ class FrontierShard:
         m["seen"] = len(self.seen)
         m["last_scheduled"] = self.last_scheduled
         m["fp_false_positives"] = self.seen.false_positive_checks
+        m["spill_rows_read"] = self._spill_rows_read
+        m["spill_rows_written"] = self._spill_rows_written
         return m
 
     def seen_fingerprints(self) -> set[bytes]:
