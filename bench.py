@@ -65,8 +65,14 @@ def _bench_crawl_cfg():
     """
     from scrapy__ray.config import CrawlConfig
 
+    # checkpoint_every_n=8: per-round checkpoints write the full
+    # pending+seen state (GBs over a bench run) and the resulting dirty-page
+    # writeback was the prime suspect for the 0.68-0.87 scaling-efficiency
+    # swings on identical code (BASELINE.md round-2 noise caveat).  Crash
+    # recovery still loses at most 7 rounds; resume stays byte-identical.
     return CrawlConfig(
-        depth_limit=0, round_duration=64.0, dedup="cuckoo", num_shards=32
+        depth_limit=0, round_duration=64.0, dedup="cuckoo", num_shards=32,
+        checkpoint_every_n=8,
     )
 
 

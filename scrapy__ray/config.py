@@ -131,6 +131,14 @@ class CrawlConfig:
     # O(scheduled), not O(pending) (frontier_shard.py docstring has the
     # exactness proof).  0 disables spilling.
     pending_spill_rows: int = 1_000_000
+    # Checkpoint cadence: persist shard state + _COMMITTED every N completed
+    # rounds (plus once at run end).  Checkpoints are pure snapshots, so a
+    # crash loses at most N-1 rounds of work and the resume is still
+    # byte-identical (the engine re-runs from the last committed round and
+    # drops any later partial outputs).  Each checkpoint writes the full
+    # pending+seen state — GBs per round on big crawls — so the bench runs
+    # with a coarser cadence while the correctness fixtures keep 1.
+    checkpoint_every_n: int = 1
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)
     # SitemapSpider analogue (P6): when True, urls listed in the corpus's

@@ -204,6 +204,11 @@ class CrawlEngine:
             dict(m) for m in getattr(self, "_prior_round_metrics", [])
         ]
         rnd = self.start_round
+        last_done: int | None = None  # last round with a results barrier
+        self._last_ckpt: int | None = None
+        # once the final all-deduped resolve has consumed shard state, a
+        # snapshot would no longer correspond to any completed round
+        state_past_last_done = False
         while rnd < cfg.max_rounds:
             if cfg.max_pages is not None and self.total_fetched >= cfg.max_pages:
                 break
@@ -231,6 +236,7 @@ class CrawlEngine:
                 # robots-denied and nothing got scheduled (a crawl that
                 # saturates by dedup ends this way).  Mirror it: record the
                 # shard-derived metrics for this final round, then stop.
+                state_past_last_done = True
                 if any(st.get("incoming", 0) for st in shard_stats):
                     m = {k: 0 for k in _METRIC_KEYS}
                     for st in shard_stats:
@@ -280,6 +286,7 @@ class CrawlEngine:
                     "(expected parquet | json | csv)"
                 )
 
+            last_done = rnd
             fetch_m = ray.get(self.stats.get_round.remote(rnd))
             self.total_fetched += fetch_m.get("fetched", 0)
             m = {k: 0 for k in _METRIC_KEYS}
@@ -291,20 +298,22 @@ class CrawlEngine:
             m["round"] = rnd
             round_metrics.append(m)
 
-            ckpt = self._ckpt_dir(rnd)
-            ray.get([s.checkpoint.remote(ckpt, rnd) for s in self.shards])
-            with open(os.path.join(ckpt, "state.json"), "w") as f:
-                json.dump(
-                    {
-                        "round": rnd,
-                        "total_fetched": self.total_fetched,
-                        "round_metrics": round_metrics,
-                    },
-                    f,
-                )
-            with open(os.path.join(ckpt, "_COMMITTED"), "w") as f:
-                f.write("ok")
+            # checkpoint cadence: every Nth completed round (snapshots are
+            # self-contained, so skipping intermediates only bounds how much
+            # work a crash replays — resume stays byte-identical)
+            if (rnd + 1) % max(1, cfg.checkpoint_every_n) == 0:
+                self._checkpoint(rnd, round_metrics)
             rnd += 1
+
+        # final checkpoint if the cadence skipped the last completed round
+        # (skipped when the trailing all-deduped resolve already consumed
+        # shard state — an older checkpoint then resumes identically)
+        if (
+            last_done is not None
+            and self._last_ckpt != last_done
+            and not state_past_last_done
+        ):
+            self._checkpoint(last_done, round_metrics)
 
         wall = time.monotonic() - t_start
         totals = {k: sum(m[k] for m in round_metrics) for k in _METRIC_KEYS}
@@ -318,6 +327,24 @@ class CrawlEngine:
             urls_per_sec=(self.total_fetched / wall if wall > 0 else 0.0),
             wall_s=wall,
         )
+
+    def _checkpoint(self, rnd: int, round_metrics: list[dict]) -> None:
+        import ray
+
+        ckpt = self._ckpt_dir(rnd)
+        ray.get([s.checkpoint.remote(ckpt, rnd) for s in self.shards])
+        with open(os.path.join(ckpt, "state.json"), "w") as f:
+            json.dump(
+                {
+                    "round": rnd,
+                    "total_fetched": self.total_fetched,
+                    "round_metrics": round_metrics,
+                },
+                f,
+            )
+        with open(os.path.join(ckpt, "_COMMITTED"), "w") as f:
+            f.write("ok")
+        self._last_ckpt = rnd
 
     def _write_metrics(self, round_metrics: list[dict]) -> None:
         cols = {

@@ -144,6 +144,45 @@ def test_resume_from_checkpoint(ray_session, small_corpus):
     assert ma.to_pydict() == mb.to_pydict()
 
 
+def test_resume_with_checkpoint_cadence(ray_session, small_corpus):
+    """checkpoint_every_n > 1: the partial run commits only every 4th round
+    (plus the final one), so the resume replays the uncommitted tail — the
+    final outputs must still be byte-identical to an uninterrupted run."""
+    from scrapy__ray.engine import crawl
+
+    cfg = CrawlConfig(checkpoint_every_n=4)
+    full = crawl(small_corpus, "/tmp/crawl_out/cad-full", cfg=cfg)
+
+    # stop after 6 rounds: rounds 0-3 committed by cadence, 4-5 by the
+    # final-round checkpoint at round 5 -> delete round-5's checkpoint to
+    # simulate a crash BETWEEN cadence points, forcing a genuine replay
+    import glob
+    import shutil
+
+    cfg6 = CrawlConfig(checkpoint_every_n=4, max_rounds=6)
+    crawl(small_corpus, "/tmp/crawl_out/cad-part", cfg=cfg6)
+    for d in glob.glob("/tmp/crawl_out/cad-part/ckpt/round=0000[45]"):
+        shutil.rmtree(d)
+    resumed = crawl(
+        small_corpus, "/tmp/crawl_out/cad-part", cfg=cfg, resume=True
+    )
+    assert resumed.total_fetched == full.total_fetched
+
+    a = _engine_results("/tmp/crawl_out/cad-full")
+    b = _engine_results("/tmp/crawl_out/cad-part")
+    key = lambda t: sorted(
+        zip(
+            t["url"].to_pylist(), t["round"].to_pylist(),
+            t["fetch_seq_in_host"].to_pylist(), t["status"].to_pylist(),
+            t["extracted_text"].to_pylist(),
+        )
+    )
+    assert key(a) == key(b)
+    ma = pq.read_table("/tmp/crawl_out/cad-full/metrics.parquet")
+    mb = pq.read_table("/tmp/crawl_out/cad-part/metrics.parquet")
+    assert ma.to_pydict() == mb.to_pydict()
+
+
 def test_cuckoo_mode_close_to_exact(ray_session, small_corpus):
     """Cuckoo dedup: same crawl within the FP bound (here: no FPs expected
     at this scale); FP counter reported."""
