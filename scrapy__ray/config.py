@@ -139,6 +139,14 @@ class CrawlConfig:
     # pending+seen state — GBs per round on big crawls — so the bench runs
     # with a coarser cadence while the correctness fixtures keep 1.
     checkpoint_every_n: int = 1
+    # S5 HTTP-cache analogue (HTTPCACHE_ENABLED; scrapy/extensions/
+    # httpcache.py::FilesystemCacheStorage + DummyPolicy — cache every
+    # response, serve every hit).  Fetch results persist under
+    # <out_dir>/httpcache keyed by request fingerprint, so a resume that
+    # replays rounds past the last committed checkpoint refetches NOTHING
+    # (zero corpus/network lookups for pre-crash work — tested by deleting
+    # the corpus pages before the resume).  Off by default, like upstream.
+    http_cache: bool = False
     user_agent: str = "scrapy__ray"
     concurrency: int | None = None  # fetch/extract pool size (None = auto)
     # SitemapSpider analogue (P6): when True, urls listed in the corpus's

@@ -256,6 +256,11 @@ class CrawlEngine:
                         fetch_batch,
                         corpus_dir=self.corpus_dir,
                         download_maxsize=cfg.download_maxsize,
+                        cache_dir=(
+                            os.path.join(self.out_dir, "httpcache")
+                            if cfg.http_cache
+                            else None
+                        ),
                     ),
                     batch_format="pyarrow",
                     batch_size=None,

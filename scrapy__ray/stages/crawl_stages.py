@@ -37,33 +37,76 @@ import fixtures.gen as fxgen
 
 
 # ------------------------------------------------------------------- fetch
+def _cache_path(cache_dir: str, fp: bytes, rc: int) -> str:
+    """S5 HTTP-cache layout (scrapy/extensions/httpcache.py::
+    FilesystemCacheStorage): fingerprint-keyed, first-byte sharded dirs.
+    The key also includes the retry attempt because the simulated fault
+    model is attempt-dependent (a 503 first try succeeds on retry); a real
+    deployment keys on the fingerprint alone, per the DummyPolicy."""
+    h = fp.hex()
+    return f"{cache_dir}/{h[:2]}/{h}-{rc}.pkl"
+
+
 def fetch_batch(
-    batch: pa.Table, *, corpus_dir: str, download_maxsize: int = 1 << 30
+    batch: pa.Table,
+    *,
+    corpus_dir: str,
+    download_maxsize: int = 1 << 30,
+    cache_dir: str | None = None,
 ) -> pa.Table:
     """Simulated fetch: corpus lookup + deterministic fault model.
-    Bodies over ``download_maxsize`` abort (status TOOBIG -> errors)."""
+    Bodies over ``download_maxsize`` abort (status TOOBIG -> errors).
+
+    ``cache_dir`` enables the S5 HTTP-cache analogue (DummyPolicy: cache
+    everything, serve every hit): each fetch result persists keyed by
+    request fingerprint, and a replayed round — a resume re-executing work
+    past the last committed checkpoint — is served entirely from the cache
+    with ZERO corpus (network) lookups.  Writes are atomic (tmp + rename)
+    so a crash mid-write can only lose an entry, never corrupt one."""
+    import os
+    import pickle
+
     urls = batch["url"].to_pylist()
     hhs = batch["host_hash"].to_pylist()
     hosts = batch["host"].to_pylist()
     retries = batch["retry_count"].to_pylist()
+    fps = batch["fingerprint"].to_pylist() if cache_dir else [b""] * len(urls)
     n_pages = host_page_counts(corpus_dir)
 
     statuses, htmls, locations, lat = [], [], [], []
-    for url, hh, host, rc in zip(urls, hhs, hosts, retries):
-        html = lookup_html(corpus_dir, hh, url)
-        if html is None:
-            status = faults.STATUS_NOTFOUND
-        elif len(html) > download_maxsize:
-            status = faults.STATUS_TOOBIG
+    for url, hh, host, rc, fp in zip(urls, hhs, hosts, retries, fps):
+        cached = None
+        if cache_dir:
+            try:
+                with open(_cache_path(cache_dir, fp, rc), "rb") as f:
+                    cached = pickle.load(f)
+            except (OSError, pickle.PickleError, EOFError):
+                cached = None
+        if cached is not None:
+            status, html, loc = cached
         else:
-            status = faults.status_of(url, rc)
-        loc = (
-            faults.redirect_target(url, host, n_pages.get(host, 0))
-            if status == faults.STATUS_REDIRECT
-            else ""
-        )
+            html = lookup_html(corpus_dir, hh, url)
+            if html is None:
+                status = faults.STATUS_NOTFOUND
+            elif len(html) > download_maxsize:
+                status = faults.STATUS_TOOBIG
+            else:
+                status = faults.status_of(url, rc)
+            loc = (
+                faults.redirect_target(url, host, n_pages.get(host, 0))
+                if status == faults.STATUS_REDIRECT
+                else ""
+            )
+            html = html if status == faults.STATUS_OK else None
+            if cache_dir:
+                path = _cache_path(cache_dir, fp, rc)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump((status, html, loc), f)
+                os.replace(tmp, path)
         statuses.append(status)
-        htmls.append(html if status == faults.STATUS_OK else None)
+        htmls.append(html)
         locations.append(loc)
         lat.append(faults.latency_ms(url))
 

@@ -183,6 +183,63 @@ def test_resume_with_checkpoint_cadence(ray_session, small_corpus):
     assert ma.to_pydict() == mb.to_pydict()
 
 
+def _key(t):
+    return sorted(
+        zip(
+            t["url"].to_pylist(), t["round"].to_pylist(),
+            t["fetch_seq_in_host"].to_pylist(), t["status"].to_pylist(),
+            t["extracted_text"].to_pylist(),
+        )
+    )
+
+
+def test_http_cache_resume_zero_refetch(ray_session, small_corpus):
+    """S5 HTTP cache (DummyPolicy): a resume that replays rounds past the
+    last committed checkpoint must refetch NOTHING — proven by handing the
+    resumed engine a corpus whose pages are GONE.  Any corpus lookup would
+    turn into a 404 and change the fetch log; byte-identity means every
+    replayed fetch was served from the fingerprint-keyed cache."""
+    import glob
+    import shutil
+
+    from scrapy__ray.engine import crawl
+
+    cfg = CrawlConfig(http_cache=True, checkpoint_every_n=4)
+    out = "/tmp/crawl_out/cache-run"
+    full = crawl(small_corpus, out, cfg=cfg)
+    want = _key(_engine_results(out))
+
+    # keep only the earliest committed checkpoint -> the resume replays
+    # every later round
+    ckpts = sorted(glob.glob(os.path.join(out, "ckpt", "round=*")))
+    assert len(ckpts) >= 2, "need a multi-checkpoint run for a real replay"
+    for d in ckpts[1:]:
+        shutil.rmtree(d)
+
+    # a corpus clone WITHOUT pages (fresh path also defeats the per-process
+    # partition cache, which is keyed by corpus_dir)
+    gutted = "/tmp/crawl_out/cache-gutted-corpus"
+    if os.path.exists(gutted):
+        shutil.rmtree(gutted)
+    shutil.copytree(small_corpus, gutted, ignore=shutil.ignore_patterns("pages"))
+
+    resumed = crawl(gutted, out, cfg=cfg, resume=True)
+    assert resumed.total_fetched == full.total_fetched
+    assert _key(_engine_results(out)) == want
+
+    # control: the same replay WITHOUT the cache must detect the gutted
+    # corpus (404s) — proving this test can actually catch refetches
+    cfg_nc = CrawlConfig(checkpoint_every_n=4)
+    out2 = "/tmp/crawl_out/cache-control"
+    crawl(small_corpus, out2, cfg=cfg_nc)
+    want2 = _key(_engine_results(out2))
+    ckpts2 = sorted(glob.glob(os.path.join(out2, "ckpt", "round=*")))
+    for d in ckpts2[1:]:
+        shutil.rmtree(d)
+    crawl(gutted, out2, cfg=cfg_nc, resume=True)
+    assert _key(_engine_results(out2)) != want2
+
+
 def test_cuckoo_mode_close_to_exact(ray_session, small_corpus):
     """Cuckoo dedup: same crawl within the FP bound (here: no FPs expected
     at this scale); FP counter reported."""
