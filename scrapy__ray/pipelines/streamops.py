@@ -31,8 +31,11 @@ def events_asof_orders(sf_dir: str):
     up per event_type.  Ray Data has no as-of join; this composes one from
     a tagged union -> hash-partition by key -> per-partition pd.merge_asof
     (each partition holds every row of its keys, so backward matching is
-    exact).  Lags accumulate as integer microseconds so parallel partials
-    sum exactly."""
+    exact).  Lags accumulate exactly via vectorized (whole-days,
+    remainder-µs) int64 partials — a raw µs sum overflows int64 at ~10^5
+    decade-scale lags (caught by the sf0.1 slow leg as negative averages)
+    — merged at the driver with Python arbitrary-precision ints, matching
+    DuckDB's HUGEINT SUM."""
     ensure_ctx()
     ev = read_parquet(sf_dir, "events", columns=["user_id", "ts", "event_type"])
     od = read_parquet(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
@@ -82,12 +85,18 @@ def events_asof_orders(sf_dir: str):
             m.loc[matched, "ts"].values.astype("datetime64[us]").astype("int64")
             - m.loc[matched, "order_ts"].values.astype("datetime64[us]").astype("int64")
         )
+        # overflow-safe exact accumulation: split each lag into whole days
+        # and a <1-day µs remainder; both per-type sums stay orders of
+        # magnitude below 2^63 for any realistic partition (days sum is
+        # rows x ~10^4, remainder sum rows x 8.64e10)
+        _DAY_US = 86_400_000_000
         g = pd.DataFrame(
             {
                 "event_type": m["event_type"].values,
                 "n_events": 1,
                 "n_matched": matched.astype("int64").values,
-                "lag_us": lag,
+                "lag_days_i": lag // _DAY_US,
+                "lag_rem_us": lag % _DAY_US,
             }
         )
         return g.groupby("event_type", as_index=False).sum()
@@ -95,13 +104,25 @@ def events_asof_orders(sf_dir: str):
     part = hash_partition_map(both, ["user_id"], asof_partial)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        # few rows (partitions x event types): exact Python-int merge —
+        # int64 would overflow the total µs sum at 10^5+ decade-scale lags
+        df = df.copy()
+        for c in ("n_events", "n_matched", "lag_days_i", "lag_rem_us"):
+            df[c] = df[c].astype(object)
         return df.groupby("event_type", as_index=False).sum()
 
     out = driver_agg(part, lambda d: d, final)
-    avg_days = np.where(
-        out["n_matched"].values > 0,
-        out["lag_us"].values / out["n_matched"].values / 86_400_000_000.0,
-        np.nan,
+    _DAY_US = 86_400_000_000
+    lag_us_total = [
+        int(d) * _DAY_US + int(r)
+        for d, r in zip(out["lag_days_i"], out["lag_rem_us"])
+    ]
+    avg_days = np.array(
+        [
+            float(t) / float(n) / 86_400_000_000.0 if n > 0 else np.nan
+            for t, n in zip(lag_us_total, out["n_matched"])
+        ],
+        dtype=np.float64,
     )
     return pa.table(
         {
