@@ -193,11 +193,15 @@ def _segment_pairs(df: pd.DataFrame, seg_cols: list[str]) -> pd.DataFrame:
     bounds = np.concatenate(
         [[0], np.nonzero(key[1:] != key[:-1])[0] + 1, [len(key)]]
     )
+    # skip singleton segments BEFORE the Python loop: with near-unique
+    # features (n-gram shingles) almost every posting list has df=1 and
+    # cannot pair — iterating them dominated wall time (measured 8x on the
+    # shingle variant)
+    lens = np.diff(bounds)
+    pairing = np.nonzero(lens >= 2)[0]
     out_a, out_b = [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        seg = ids[s:e]
-        if len(seg) < 2:
-            continue
+    for gi in pairing:
+        seg = ids[bounds[gi] : bounds[gi + 1]]
         a, b = np.meshgrid(seg, seg, indexing="ij")
         m = a < b
         out_a.append(a[m])
@@ -229,6 +233,15 @@ def _df_capped_segments(df: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
 JACCARD_MAX_DF = 1000
 
 
+def _ngrams(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-gram shingles (contract mirrored by the SQL oracle:
+    docs with fewer than n tokens contribute none)."""
+    toks = _tokens(text)
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    } if len(toks) >= n else set()
+
+
 def docs_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     """Exact token-set Jaccard near-dup pairs via a distributed inverted
     index — no driver-side reads anywhere:
@@ -249,12 +262,29 @@ def docs_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     production default JACCARD_MAX_DF makes the operator subquadratic by
     construction; ``max_df=None`` opts into the exact uncapped variant.
     """
+    return _set_jaccard_pairs(sf_dir, lambda text: set(_tokens(text)), max_df)
+
+
+def docs_ngram_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
+    """Exact 3-gram-shingle Jaccard near-dup pairs — the n-gram variant of
+    the dedup family (same distributed inverted-index core, feature = word
+    trigram instead of token).  Shingles are near-unique by construction
+    (document frequency is naturally tiny), so this is the well-conditioned
+    exact detector on corpora whose token vocabulary is stopword-dense;
+    MinHash+LSH (docs_minhash_lsh) approximates exactly this measure."""
+    return _set_jaccard_pairs(sf_dir, _ngrams, max_df)
+
+
+def _set_jaccard_pairs(sf_dir: str, feature_fn, max_df: int | None):
+    """Shared set-similarity core: ``feature_fn(text) -> set[str]`` defines
+    the universe; everything downstream (inverted index, df cap, pair
+    counting, size join, threshold) is feature-agnostic."""
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         toks, ids = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for w in set(_tokens(text)):
+            for w in feature_fn(text):
                 toks.append(w)
                 ids.append(did)
         return pa.table({"w": pa.array(toks, pa.string()), "doc_id": pa.array(ids, pa.int64())})
@@ -382,6 +412,157 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 
 
 DOCS_JACCARD_SQL = docs_jaccard_sql()
+
+
+def docs_ngram_jaccard_sql(max_df: int | None = JACCARD_MAX_DF) -> str:
+    """DuckDB mirror of docs_ngram_jaccard_dups: identical 3-gram shingle
+    contract (docs under 3 tokens contribute nothing) and df cap."""
+    shingles = """sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(arr)-1, 1)),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents WHERE trim(text) <> '')
+  WHERE len(arr) >= 3
+)"""
+    df_filter = (
+        f"""{shingles},
+dfreq AS (SELECT w, COUNT(*) AS df FROM sh0 GROUP BY w),
+tok AS (SELECT doc_id, sh0.w FROM sh0 JOIN dfreq ON dfreq.w = sh0.w
+        WHERE df <= {max_df})"""
+        if max_df is not None
+        else shingles.replace("sh0 AS", "tok AS")
+    )
+    return f"""
+WITH {df_filter},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::DOUBLE AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+DOCS_NGRAM_JACCARD_SQL = docs_ngram_jaccard_sql()
+
+
+# ------------------------------------------------------- global top-k n-grams
+_TOPK_NGRAMS = 20
+
+
+def docs_topk_ngrams(sf_dir: str):
+    """Global top-20 word trigrams by occurrence count — the canonical
+    high-cardinality top-k: per-block partial counts (combiner) ->
+    hash-shuffle by shingle -> exact per-partition counts -> per-partition
+    top-20 -> driver merges partitions x 20 rows.  A shingle lives in
+    exactly one partition, so the global top-20 is a subset of the union of
+    per-partition top-20s.  Ties break on the shingle string, mirrored by
+    the SQL ORDER BY."""
+    ds = read_parquet(sf_dir, "documents", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t["text"].to_pylist():
+            toks = _tokens(text)
+            out.extend(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        return pa.table({"shingle": pa.array(out, pa.string())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shingle", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def topk_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shingle", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "shingle"], ascending=[False, True])
+        return g.head(_TOPK_NGRAMS)
+
+    per_part = shuffle_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["shingle"], partial, topk_final,
+    )
+    merged = collect_arrow(
+        per_part,
+        pa.schema([("shingle", pa.string()), ("n", pa.int64())]),
+    ).to_pandas()
+    merged = merged.sort_values(["n", "shingle"], ascending=[False, True]).head(
+        _TOPK_NGRAMS
+    )
+    return pa.table(
+        {
+            "shingle": pa.array(merged["shingle"], pa.string()),
+            "n": pa.array(merged["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+DOCS_TOPK_NGRAMS_SQL = f"""
+WITH sh AS (
+  SELECT unnest(list_transform(range(1, greatest(len(arr)-1, 1)),
+         i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents WHERE trim(text) <> '')
+  WHERE len(arr) >= 3
+)
+SELECT shingle, COUNT(*) AS n FROM sh GROUP BY shingle
+ORDER BY n DESC, shingle LIMIT {_TOPK_NGRAMS}
+"""
+
+
+# --------------------------------------------------- stratified sampling
+_STRATA_K = 3
+
+
+def docs_sample_stratified(sf_dir: str):
+    """Deterministic stratified sample: k documents per language, selected
+    by md5(doc_id) rank — the standard reproducible-sampling pattern for
+    training-data curation (hash rank is stable across runs, cluster
+    layouts, and engines, unlike RANDOM()).  One hash-shuffle by the
+    stratum key; each partition holds whole strata, so the per-partition
+    rank-and-head is exact."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "h": pa.array(
+                    [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["doc_id", "lang"]]
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", as_index=False).head(_STRATA_K)[
+            ["doc_id", "lang"]
+        ]
+
+    out = hash_partition_map(
+        ds.map_batches(hashed, batch_format="pyarrow"), ["lang"], pick
+    )
+    return collect_arrow(
+        out, pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    )
+
+
+DOCS_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= {_STRATA_K}
+"""
 
 
 # ----------------------------------------------------- MinHash + LSH dups
@@ -947,6 +1128,9 @@ QUERIES = {
     "docs_stats_by_lang": (docs_stats_by_lang, DOCS_STATS_BY_LANG_SQL),
     "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
+    "docs_ngram_jaccard_dups": (docs_ngram_jaccard_dups, DOCS_NGRAM_JACCARD_SQL),
+    "docs_topk_ngrams": (docs_topk_ngrams, DOCS_TOPK_NGRAMS_SQL),
+    "docs_sample_stratified": (docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
     "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
     "docs_bpe_tokens": (docs_bpe_tokens, DOCS_BPE_TOKENS_SQL),
     "docs_rolling_fingerprint": (docs_rolling_fingerprint, None),
