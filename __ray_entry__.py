@@ -44,6 +44,7 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         crawlq,
         dedup,
         feedops,
+        qualityops,
         relational,
         simops,
         streamops,
@@ -51,7 +52,9 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     )
 
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
-    for mod in (relational, textops, dedup, feedops, simops, streamops, crawlq):
+    for mod in (
+        relational, textops, qualityops, dedup, feedops, simops, streamops, crawlq
+    ):
         out.update(mod.QUERIES)
     return out
 

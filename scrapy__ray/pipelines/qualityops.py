@@ -1,0 +1,635 @@
+"""Corpus-quality operators for LLM training-data curation.
+
+Three pipelines over the ``documents`` table, each with an exact DuckDB SQL
+oracle (identical column names, shared tokenization contract from
+``textops``: tokens = regex split of trim(text) on \\s+; n_chars =
+len(regexp_replace(trim(text), '\\s+', '', 'g'))):
+
+* ``docs_repetition_signals`` — Gopher-style repetition filters (Rae et al.
+  2021, "Scaling Language Models", table A1): fraction of characters in the
+  most frequent word {2,3,4}-gram, fraction of characters in duplicated
+  5-grams, and duplicate-token fraction.  The fixture corpus has no
+  newlines, so the line/paragraph variants of the Gopher family degenerate
+  (every doc is one line) and are folded into the token-level signals.
+* ``docs_decontaminate`` — benchmark n-gram decontamination: flag every
+  corpus document sharing a 5-gram with a FIXED, SMALL benchmark set
+  (modeled as doc_id < 25 — the standard eval-set holdout shape).  The
+  benchmark side is read with parquet predicate pushdown and broadcast via
+  ``ray.put`` ONCE; at the 100 TB design point the corpus side streams and
+  the benchmark set (an eval suite, not a corpus slice) stays O(MBs).
+* ``docs_tfidf_top_terms`` — distributed TF-IDF, top-3 terms per document:
+  per-doc term counts in one map_batches pass (no shuffle: a document is
+  one row), document frequency via partial-count -> hash-shuffle by term,
+  then a LARGE x LARGE ``shuffle_join`` on the term (the vocabulary of a
+  100 TB corpus does not fit a broadcast side), and a final hash partition
+  by doc_id for the exact per-doc top-k.
+
+No reference file citations: /root/reference is empty (SURVEY.md §0); the
+Gopher signal definitions follow the published paper.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from scrapy__ray.pipelines.util import (
+    broadcast,
+    collect_arrow,
+    hash_partition_map,
+    lookup_broadcast,
+    read_parquet,
+    round_col,
+    shuffle_agg,
+    shuffle_join,
+)
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def _round4(x: float) -> float:
+    # scalar half-away-from-zero, matching SQL ROUND(x, 4) (round_col's
+    # contract) for per-row computed fractions
+    return float(np.sign(x) * np.floor(abs(x) * 1e4 + 0.5) / 1e4)
+
+
+# ------------------------------------------------- Gopher repetition signals
+_REP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}  # Gopher table A1 top-ngram caps
+_DUP5_THRESH = 0.15  # Gopher dup-ngram cap (n=5 row)
+
+
+def docs_repetition_signals(sf_dir: str):
+    """Per-document repetition metrics: for n in {2,3,4} the fraction of
+    non-space characters covered by the single most frequent word n-gram
+    (count x chars(ngram) / n_chars, tie broken to the lexicographically
+    smallest ngram; occurrences are counted with overlap, so a degenerate
+    'a b a b ...' doc can exceed 1.0 — the filter direction is unaffected),
+    the fraction of characters in duplicate 5-grams (occurrences beyond
+    the first, capped at 1.0), the duplicate-token fraction, and the
+    Gopher keep flag.  One vectorizable map_batches pass
+    per block — a per-document metric needs no shuffle, so this streams at
+    any corpus size."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = {
+            "top_2gram_char_frac": [],
+            "top_3gram_char_frac": [],
+            "top_4gram_char_frac": [],
+            "dup_5gram_char_frac": [],
+            "dup_token_frac": [],
+            "keep": [],
+        }
+        for text in t["text"].to_pylist():
+            ws = _tokens(text)
+            n_chars = sum(len(w) for w in ws)
+            tops = {}
+            for n in (2, 3, 4):
+                if len(ws) < n or not n_chars:
+                    tops[n] = 0.0
+                    continue
+                c = collections.Counter(
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
+                g, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                tops[n] = _round4(cnt * len(g.replace(" ", "")) / n_chars)
+            if len(ws) < 5 or not n_chars:
+                dup5 = 0.0
+            else:
+                c5 = collections.Counter(
+                    " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+                )
+                extra = sum(
+                    (cnt - 1) * len(g.replace(" ", ""))
+                    for g, cnt in c5.items()
+                    if cnt > 1
+                )
+                dup5 = _round4(min(1.0, extra / n_chars))
+            dupt = _round4(1.0 - len(set(ws)) / len(ws)) if ws else 0.0
+            keep = (
+                tops[2] <= _REP_THRESH[2]
+                and tops[3] <= _REP_THRESH[3]
+                and tops[4] <= _REP_THRESH[4]
+                and dup5 <= _DUP5_THRESH
+            )
+            out["top_2gram_char_frac"].append(tops[2])
+            out["top_3gram_char_frac"].append(tops[3])
+            out["top_4gram_char_frac"].append(tops[4])
+            out["dup_5gram_char_frac"].append(dup5)
+            out["dup_token_frac"].append(dupt)
+            out["keep"].append(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                **{
+                    k: pa.array(v, pa.float64())
+                    for k, v in out.items()
+                    if k != "keep"
+                },
+                "keep": pa.array(out["keep"], pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
+def _ngram_cte(n: int, src: str = "base") -> str:
+    """SQL fragment: explode ``arr`` (1-based) into word n-grams."""
+    joined = " || ' ' || ".join(f"arr[i+{k}]" for k in range(n))
+    return (
+        f"SELECT doc_id, unnest(list_transform(range(1, len(arr) - {n - 2}), "
+        f"i -> {joined.replace('arr[i+0]', 'arr[i]')})) AS g "
+        f"FROM {src} WHERE len(arr) >= {n}"
+    )
+
+
+DOCS_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr,
+         len(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars
+  FROM documents
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(2)}) GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(3)}) GROUP BY 1, 2),
+c4 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(4)}) GROUP BY 1, 2),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(5)}) GROUP BY 1, 2),
+t2 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS chars FROM c2
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+t3 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS chars FROM c3
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+t4 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS chars FROM c4
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+d5 AS (SELECT doc_id, SUM((c - 1) * len(replace(g, ' ', ''))) AS chars
+       FROM c5 WHERE c > 1 GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id,
+    ROUND(COALESCE(t2.chars, 0)::DOUBLE / NULLIF(b.n_chars, 0), 4) AS top_2gram_char_frac,
+    ROUND(COALESCE(t3.chars, 0)::DOUBLE / NULLIF(b.n_chars, 0), 4) AS top_3gram_char_frac,
+    ROUND(COALESCE(t4.chars, 0)::DOUBLE / NULLIF(b.n_chars, 0), 4) AS top_4gram_char_frac,
+    CASE WHEN b.n_chars = 0 THEN 0.0
+         ELSE ROUND(LEAST(1.0, COALESCE(d5.chars, 0)::DOUBLE / b.n_chars), 4)
+    END AS dup_5gram_char_frac,
+    CASE WHEN len(arr) = 0 THEN 0.0
+         ELSE ROUND((len(arr) - len(list_distinct(arr)))::DOUBLE / len(arr), 4)
+    END AS dup_token_frac
+  FROM base b
+  LEFT JOIN t2 ON b.doc_id = t2.doc_id
+  LEFT JOIN t3 ON b.doc_id = t3.doc_id
+  LEFT JOIN t4 ON b.doc_id = t4.doc_id
+  LEFT JOIN d5 ON b.doc_id = d5.doc_id
+)
+SELECT doc_id,
+  COALESCE(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+  COALESCE(top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+  COALESCE(top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+  COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+  dup_token_frac,
+  (COALESCE(top_2gram_char_frac, 0.0) <= {_REP_THRESH[2]}
+   AND COALESCE(top_3gram_char_frac, 0.0) <= {_REP_THRESH[3]}
+   AND COALESCE(top_4gram_char_frac, 0.0) <= {_REP_THRESH[4]}
+   AND COALESCE(dup_5gram_char_frac, 0.0) <= {_DUP5_THRESH}) AS keep
+FROM f
+"""
+
+
+# ------------------------------------------------------- decontamination
+_DECON_BENCH_MAX = 25  # doc_id < 25 models the fixed benchmark/eval set
+_DECON_N = 5
+
+
+def _bench_shingles(sf_dir: str) -> frozenset[str]:
+    """Benchmark-side 5-gram set via parquet predicate pushdown: row-group
+    statistics prune the scan to the benchmark ids — at the design point
+    the corpus is 10^10 docs and this must read O(benchmark), not O(corpus)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filters=[("doc_id", "<", _DECON_BENCH_MAX)],
+    )
+    out: set[str] = set()
+    for text in t["text"].to_pylist():
+        ws = _tokens(text)
+        out.update(
+            " ".join(ws[i : i + _DECON_N]) for i in range(len(ws) - _DECON_N + 1)
+        )
+    return frozenset(out)
+
+
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: for every non-benchmark document, the
+    number of distinct 5-grams it shares with the benchmark set and a
+    contaminated flag.  The benchmark shingle set is built once on the
+    driver (pushdown read of the fixed benchmark rows), ``ray.put`` once,
+    and read from the object store inside every map task — the canonical
+    broadcast-small-side pattern; the corpus side streams block by block."""
+    ref = broadcast(_bench_shingles(sf_dir))
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def check(t: pa.Table) -> pa.Table:
+        bench = lookup_broadcast(ref)
+        ids, hits = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did < _DECON_BENCH_MAX:
+                continue
+            ws = _tokens(text)
+            grams = {
+                " ".join(ws[i : i + _DECON_N])
+                for i in range(len(ws) - _DECON_N + 1)
+            }
+            ids.append(did)
+            hits.append(len(grams & bench))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bench_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM documents
+),
+dg AS (SELECT DISTINCT doc_id, g FROM ({_ngram_cte(_DECON_N)})),
+bench AS (SELECT DISTINCT g FROM dg WHERE doc_id < {_DECON_BENCH_MAX}),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n_bench_hits
+  FROM dg JOIN bench USING (g)
+  WHERE dg.doc_id >= {_DECON_BENCH_MAX}
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_bench_hits, 0)::BIGINT AS n_bench_hits,
+       COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {_DECON_BENCH_MAX}
+"""
+
+
+# ------------------------------------------------------------------ TF-IDF
+_TFIDF_K = 3
+
+
+def docs_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (smooth idf: ln((1+N)/(1+df)) + 1).
+
+    Shape: (1) per-doc term counts in one map_batches pass — a document is
+    a single row, so tf needs no exchange; (2) document frequency =
+    partial per-block counts -> hash-shuffle by term (one row per
+    (term, block) moves); (3) tf x idf via ``shuffle_join`` on the term —
+    both sides are corpus-scale (a 100 TB corpus's vocabulary cannot be
+    broadcast), so the repartition join is the right exchange; (4) hash
+    partition by doc_id, exact per-doc top-3 on (rounded tfidf DESC, term).
+    Ranking uses the ROUNDED score on both engine and oracle sides so the
+    selected set is identical under float formatting differences."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no scan
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for term, c in collections.Counter(
+                w.lower() for w in _tokens(text)
+            ).items():
+                ids.append(did)
+                terms.append(term)
+                tfs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(term_counts, batch_format="pyarrow")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False).size()
+        return g.rename(columns={"size": "df"})
+
+    def df_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False)["df"].sum()
+
+    docfreq = shuffle_agg(tf, ["term"], df_partial, df_final)
+
+    joined = shuffle_join(
+        tf, docfreq, on="term",
+        left_cols=["term", "doc_id", "tf"], right_cols=["term", "df"],
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": [], "term": [], "tfidf": []})
+        idf = np.log((1.0 + n_docs) / (1.0 + df["df"].to_numpy(np.float64))) + 1.0
+        df = df.assign(tfidf=round_col(df["tf"].to_numpy(np.float64) * idf, 4))
+        df = df.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("doc_id", as_index=False).head(_TFIDF_K)[
+            ["doc_id", "term", "tfidf"]
+        ]
+
+    out = hash_partition_map(joined, ["doc_id"], topk)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()), ("tfidf", pa.float64())]
+        ),
+    )
+
+
+DOCS_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, lower(w) AS term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {_TFIDF_K}
+"""
+
+
+# ------------------------------------------------------- source mixing
+def docs_source_mix(sf_dir: str):
+    """Data-mixing weights per source: document/token counts, the source's
+    share of the corpus, and the up/down-sampling weight that would flatten
+    the mix to uniform-over-sources (weight = target_frac / actual_frac) —
+    the bookkeeping every multi-source pretraining mix needs.  Source
+    cardinality is tiny (corpus provenance labels), so this is the
+    combiner + driver-reduce shape: one row per (source, block) moves."""
+    from scrapy__ray.pipelines.util import driver_agg
+
+    ds = read_parquet(sf_dir, "documents", columns=["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ntok = [len(_tokens(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"source": t["source"], "n_tokens": pa.array(ntok, pa.int64())}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+        )
+        total = g["n_docs"].sum()
+        frac = g["n_docs"].to_numpy(np.float64) / total
+        target = 1.0 / len(g)
+        return g.assign(
+            doc_frac=round_col(frac, 4), mix_weight=round_col(target / frac, 4)
+        ).sort_values("source")
+
+    return driver_agg(ds.map_batches(counts, batch_format="pyarrow"), partial, final)
+
+
+DOCS_SOURCE_MIX_SQL = """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM s)
+SELECT source, n_docs, n_tokens::BIGINT AS n_tokens,
+       ROUND(n_docs::DOUBLE / t.total, 4) AS doc_frac,
+       ROUND((1.0 / t.n_sources) / (n_docs::DOUBLE / t.total), 4) AS mix_weight
+FROM s CROSS JOIN t
+ORDER BY source
+"""
+
+
+# ------------------------------------------------- composed curation keep-set
+def docs_curation_pipeline(sf_dir: str):
+    """Flagship composed curation: the keep-set a pretraining corpus build
+    actually wants — quality filter AND repetition filter AND benchmark
+    decontamination AND exact-dedup canonicality, over the non-benchmark
+    corpus (doc_id >= the benchmark holdout).
+
+    Shape: ONE fused map_batches pass computes text_hash + the three
+    per-document flags (the benchmark shingle set rides along as a
+    broadcast object — no extra read of the corpus per filter, unlike
+    running the four queries separately); one hash-shuffle by text_hash
+    finds each content group's canonical (min) doc_id; one shuffle_join
+    brings the canonical id back to the rows.  Two exchanges total for a
+    four-filter pipeline — at 100 TB the fusion is the difference between
+    one corpus scan and four."""
+    from scrapy__ray.pipelines.textops import _PUNCT
+
+    ref = broadcast(_bench_shingles(sf_dir))
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        bench = lookup_broadcast(ref)
+        ids, hashes, q_ok, r_ok, unc = [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did < _DECON_BENCH_MAX:
+                continue
+            ws = _tokens(text)
+            n = len(ws)
+            n_chars = sum(len(w) for w in ws)
+            n_punct = sum(1 for ch in text if ch in _PUNCT)
+            pr = n_punct / n_chars if n_chars else 0.0
+            tops = {}
+            for gn in (2, 3, 4):
+                if n < gn or not n_chars:
+                    tops[gn] = 0.0
+                    continue
+                c = collections.Counter(
+                    " ".join(ws[i : i + gn]) for i in range(n - gn + 1)
+                )
+                g, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                tops[gn] = _round4(cnt * len(g.replace(" ", "")) / n_chars)
+            if n < 5 or not n_chars:
+                dup5 = 0.0
+            else:
+                c5 = collections.Counter(
+                    " ".join(ws[i : i + 5]) for i in range(n - 4)
+                )
+                extra = sum(
+                    (cnt - 1) * len(g.replace(" ", ""))
+                    for g, cnt in c5.items()
+                    if cnt > 1
+                )
+                dup5 = _round4(min(1.0, extra / n_chars))
+            grams = {
+                " ".join(ws[i : i + _DECON_N])
+                for i in range(n - _DECON_N + 1)
+            }
+            ids.append(did)
+            hashes.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            q_ok.append(n >= 10 and pr < 0.3)
+            r_ok.append(
+                tops[2] <= _REP_THRESH[2]
+                and tops[3] <= _REP_THRESH[3]
+                and tops[4] <= _REP_THRESH[4]
+                and dup5 <= _DUP5_THRESH
+            )
+            unc.append(not (grams & bench))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_hash": pa.array(hashes, pa.string()),
+                "quality_ok": pa.array(q_ok, pa.bool_()),
+                "repetition_ok": pa.array(r_ok, pa.bool_()),
+                "uncontaminated": pa.array(unc, pa.bool_()),
+            }
+        )
+
+    flagged = ds.map_batches(flags, batch_format="pyarrow")
+
+    def canon_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min")
+        )
+
+    def canon_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False)["keep_doc_id"].min()
+
+    canonical = shuffle_agg(
+        flagged.select_columns(["text_hash", "doc_id"]),
+        ["text_hash"], canon_partial, canon_final,
+    )
+
+    joined = shuffle_join(
+        flagged, canonical, on="text_hash",
+        left_cols=[
+            "text_hash", "doc_id", "quality_ok", "repetition_ok", "uncontaminated"
+        ],
+        right_cols=["text_hash", "keep_doc_id"],
+    )
+
+    def verdict(df: pd.DataFrame) -> pa.Table:
+        is_canon = df["doc_id"].to_numpy() == df["keep_doc_id"].to_numpy()
+        keep = (
+            df["quality_ok"].to_numpy(bool)
+            & df["repetition_ok"].to_numpy(bool)
+            & df["uncontaminated"].to_numpy(bool)
+            & is_canon
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "quality_ok": pa.array(df["quality_ok"].to_numpy(bool)),
+                "repetition_ok": pa.array(df["repetition_ok"].to_numpy(bool)),
+                "uncontaminated": pa.array(df["uncontaminated"].to_numpy(bool)),
+                "is_canonical": pa.array(is_canon),
+                "keep": pa.array(keep),
+            }
+        )
+
+    out = joined.map_batches(verdict, batch_format="pandas", batch_size=None)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("quality_ok", pa.bool_()),
+                ("repetition_ok", pa.bool_()),
+                ("uncontaminated", pa.bool_()),
+                ("is_canonical", pa.bool_()),
+                ("keep", pa.bool_()),
+            ]
+        ),
+    )
+
+
+DOCS_CURATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr,
+         len(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars
+  FROM documents WHERE doc_id >= {_DECON_BENCH_MAX}
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(2)}) GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(3)}) GROUP BY 1, 2),
+c4 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(4)}) GROUP BY 1, 2),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngram_cte(5)}) GROUP BY 1, 2),
+t2 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS chars FROM c2
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+t3 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS chars FROM c3
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+t4 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS chars FROM c4
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+d5 AS (SELECT doc_id, SUM((c - 1) * len(replace(g, ' ', ''))) AS chars
+       FROM c5 WHERE c > 1 GROUP BY doc_id),
+full_base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM documents
+),
+dg AS (SELECT DISTINCT doc_id, g FROM ({_ngram_cte(_DECON_N, 'full_base')})),
+bench AS (SELECT DISTINCT g FROM dg WHERE doc_id < {_DECON_BENCH_MAX}),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n FROM dg JOIN bench USING (g)
+  WHERE dg.doc_id >= {_DECON_BENCH_MAX} GROUP BY dg.doc_id
+),
+f AS (
+  SELECT b.doc_id,
+    (len(b.arr) >= 10 AND
+     (CASE WHEN b.n_chars = 0 THEN 0.0 ELSE
+       (len(b.text) - len(regexp_replace(b.text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))::DOUBLE
+       / b.n_chars END) < 0.3) AS quality_ok,
+    (COALESCE(ROUND(t2.chars::DOUBLE / NULLIF(b.n_chars, 0), 4), 0.0) <= {_REP_THRESH[2]}
+     AND COALESCE(ROUND(t3.chars::DOUBLE / NULLIF(b.n_chars, 0), 4), 0.0) <= {_REP_THRESH[3]}
+     AND COALESCE(ROUND(t4.chars::DOUBLE / NULLIF(b.n_chars, 0), 4), 0.0) <= {_REP_THRESH[4]}
+     AND (CASE WHEN b.n_chars = 0 THEN 0.0
+               ELSE ROUND(LEAST(1.0, COALESCE(d5.chars, 0)::DOUBLE / b.n_chars), 4)
+          END) <= {_DUP5_THRESH}) AS repetition_ok,
+    COALESCE(h.n, 0) = 0 AS uncontaminated,
+    b.doc_id = MIN(b.doc_id) OVER (PARTITION BY md5(b.text)) AS is_canonical
+  FROM base b
+  LEFT JOIN t2 ON b.doc_id = t2.doc_id
+  LEFT JOIN t3 ON b.doc_id = t3.doc_id
+  LEFT JOIN t4 ON b.doc_id = t4.doc_id
+  LEFT JOIN d5 ON b.doc_id = d5.doc_id
+  LEFT JOIN hits h ON b.doc_id = h.doc_id
+)
+SELECT doc_id, quality_ok, repetition_ok, uncontaminated, is_canonical,
+       (quality_ok AND repetition_ok AND uncontaminated AND is_canonical) AS keep
+FROM f
+"""
+
+
+QUERIES = {
+    "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
+    "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
+    "docs_tfidf_top_terms": (docs_tfidf_top_terms, DOCS_TFIDF_SQL),
+    "docs_source_mix": (docs_source_mix, DOCS_SOURCE_MIX_SQL),
+    "docs_curation_pipeline": (docs_curation_pipeline, DOCS_CURATION_SQL),
+}

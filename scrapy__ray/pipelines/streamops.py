@@ -198,7 +198,70 @@ def events_approx_users(sf_dir: str):
     )
 
 
+# -------------------------------------------- histogram-sketch quantiles
+_QBIN_WIDTH = 100.0
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def lineitem_price_quantiles(sf_dir: str):
+    """Approximate quantiles of l_extendedprice from a fixed-width histogram
+    sketch: each block reduces to (bin -> count) with bin = floor(price /
+    100) — a mergeable sketch like the HLL above, so the whole corpus
+    aggregates with NO shuffle, only O(#bins x #blocks) tiny partials to
+    the driver.  The p-quantile is the lower edge of the first bin whose
+    cumulative count reaches ceil(p x N): deterministic (unlike sampled or
+    t-digest quantiles), error bounded by the bin width, and therefore
+    exactly mirrorable in SQL for a hash-checked oracle."""
+    import math
+
+    ds = read_parquet(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) / _QBIN_WIDTH
+        ).astype(np.int64)
+        g = pd.DataFrame({"bin": bins}).groupby("bin", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False)["c"].sum().sort_values("bin")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        bins = g["bin"].to_numpy()
+        qs, vals = [], []
+        for q in _QUANTILES:
+            rank = math.ceil(q * n)
+            idx = int(np.searchsorted(cum, rank))
+            qs.append(q)
+            vals.append(bins[idx] * _QBIN_WIDTH)
+        return pd.DataFrame({"quantile": qs, "approx_price": vals})
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "quantile": pa.array(out["quantile"], pa.float64()),
+            "approx_price": pa.array(out["approx_price"], pa.float64()),
+        }
+    )
+
+
+LINEITEM_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT floor(l_extendedprice / {_QBIN_WIDTH})::BIGINT AS bin, COUNT(*) AS c
+  FROM lineitem GROUP BY 1
+),
+n AS (SELECT SUM(c) AS n FROM b),
+cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cc FROM b),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _QUANTILES)}]) AS quantile)
+SELECT qs.quantile, MIN(cum.bin) * {_QBIN_WIDTH} AS approx_price
+FROM qs CROSS JOIN n
+JOIN cum ON cum.cc >= ceiling(qs.quantile * n.n)
+GROUP BY qs.quantile
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
+    "lineitem_price_quantiles": (lineitem_price_quantiles, LINEITEM_QUANTILES_SQL),
 }
