@@ -16,10 +16,17 @@ subset over a lightweight DOM built with stdlib ``html.parser``:
   combinators       ``ul li`` (descendant), ``ul > li`` (child),
                     ``h1 + p`` (adjacent sibling), ``h1 ~ p`` (general
                     sibling)
+  pseudo-classes    ``:first-child :last-child :only-child``,
+                    ``:nth-child(an+b|odd|even) :nth-last-child(..)``,
+                    ``:first-of-type :last-of-type :nth-of-type(..)``,
+                    ``:not(compound)`` (argument is a full compound —
+                    a superset of CSS3's single-simple-selector rule —
+                    but may not itself contain :not or a combinator)
   pseudo-elements   ``::text`` (recursive text), ``::attr(name)``
 
-Out of scope (documented): :nth-child and other pseudo-CLASSES,
-namespaces, case-insensitivity flags ([attr=v i]), XPath.  Matching
+Out of scope (documented): dynamic/tree pseudo-classes beyond the above
+(:hover, :empty, :root, :lang, ...), namespaces, case-insensitivity
+flags ([attr=v i]), XPath.  Matching
 follows the CSS rule of evaluating the rightmost compound against every
 element and walking left with full backtracking (a rejected ancestor
 candidate resumes the search higher up — greedy nearest-ancestor locking
@@ -140,12 +147,39 @@ class SelectorError(ValueError):
     pass
 
 
+def _elem_index(n: Node, *, of_type: bool, from_end: bool) -> int:
+    """1-based position of ``n`` among its parent's ELEMENT children
+    (optionally only those sharing its tag), counted from the front or the
+    back — the :nth-child / :nth-of-type index.  A parentless node (the
+    synthetic root) is position 1."""
+    if n.parent is None:
+        return 1
+    sibs = [
+        c
+        for c in n.parent.content
+        if isinstance(c, Node) and (not of_type or c.tag == n.tag)
+    ]
+    idx = next(i for i, c in enumerate(sibs) if c is n)
+    return len(sibs) - idx if from_end else idx + 1
+
+
+def _nth_matches(a: int, b: int, pos: int) -> bool:
+    """True if pos == a*k + b for some integer k >= 0 (CSS an+b)."""
+    if a == 0:
+        return pos == b
+    k, r = divmod(pos - b, a)
+    return r == 0 and k >= 0
+
+
 @dataclass(frozen=True)
 class Compound:
     tag: str | None  # None = any ('*')
     id_: str | None
     classes: tuple[str, ...]
     attrs: tuple[tuple[str, str, str | None], ...]  # (name, op, value)
+    # pseudo-classes: ("nth", a, b, of_type, from_end) | ("only-child",)
+    # | ("not", Compound)
+    pseudos: tuple[tuple, ...] = ()
 
     def matches(self, n: Node) -> bool:
         if not n.tag:
@@ -182,6 +216,22 @@ class Compound:
             elif op == "*=":
                 if not val or val not in have:
                     return False
+        for ps in self.pseudos:
+            if ps[0] == "nth":
+                _, a, b, of_type, from_end = ps
+                if not _nth_matches(
+                    a, b, _elem_index(n, of_type=of_type, from_end=from_end)
+                ):
+                    return False
+            elif ps[0] == "only-child":
+                if (
+                    _elem_index(n, of_type=False, from_end=False) != 1
+                    or _elem_index(n, of_type=False, from_end=True) != 1
+                ):
+                    return False
+            else:  # ("not", Compound)
+                if ps[1].matches(n):
+                    return False
         return True
 
 
@@ -189,7 +239,40 @@ _SUFFIX_RE = re.compile(
     r"#([\w-]+)"
     r"|\.([\w-]+)"
     r"|\[((?:[^\]\"']|\"[^\"]*\"|'[^']*')*)\]"
+    r"|:([\w-]+)(?:\(((?:[^()\"']|\"[^\"]*\"|'[^']*')*)\))?"
 )
+_NTH_RE = re.compile(
+    r"^\s*(?:(odd|even)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?|([+-]?\d+))\s*$",
+    re.IGNORECASE,
+)
+#: :name -> ("nth", a, b, of_type, from_end) for the argument-free forms
+_POSITIONAL_PSEUDOS = {
+    "first-child": (0, 1, False, False),
+    "last-child": (0, 1, False, True),
+    "first-of-type": (0, 1, True, False),
+    "last-of-type": (0, 1, True, True),
+}
+_NTH_PSEUDOS = {
+    "nth-child": (False, False),
+    "nth-last-child": (False, True),
+    "nth-of-type": (True, False),
+    "nth-last-of-type": (True, True),
+}
+
+
+def _parse_nth(arg: str, tok: str) -> tuple[int, int]:
+    """CSS an+b formula -> (a, b); accepts odd/even/n/2n/-n+3/+3/2n + 1."""
+    m = _NTH_RE.match(arg)
+    if not m:
+        raise SelectorError(f"unsupported nth formula in: {tok!r}")
+    if m.group(1):
+        return (2, 1) if m.group(1).lower() == "odd" else (2, 0)
+    if m.group(5) is not None:
+        return (0, int(m.group(5)))
+    coef = m.group(2)
+    a = 1 if coef in ("", "+") else -1 if coef == "-" else int(coef)
+    b = int(m.group(4)) * (1 if m.group(3) == "+" else -1) if m.group(3) else 0
+    return (a, b)
 _ATTR_BODY_RE = re.compile(
     r"\s*([\w-]+)\s*(?:(~=|\|=|\^=|\$=|\*=|=)\s*(.*?)\s*)?$"
 )
@@ -206,6 +289,7 @@ def _parse_compound(tok: str) -> Compound:
     id_: str | None = None
     classes: list[str] = []
     attrs: list[tuple[str, str, str | None]] = []
+    pseudos: list[tuple] = []
     pos = 0
     for sm in _SUFFIX_RE.finditer(rest):
         if sm.start() != pos:
@@ -215,6 +299,31 @@ def _parse_compound(tok: str) -> Compound:
             id_ = sm.group(1)
         elif sm.group(2):
             classes.append(sm.group(2))
+        elif sm.group(4):
+            name = sm.group(4).lower()
+            arg = sm.group(5)
+            if name in _POSITIONAL_PSEUDOS:
+                if arg is not None:
+                    raise SelectorError(f":{name} takes no argument: {tok!r}")
+                pseudos.append(("nth", *_POSITIONAL_PSEUDOS[name]))
+            elif name == "only-child":
+                if arg is not None:
+                    raise SelectorError(f":{name} takes no argument: {tok!r}")
+                pseudos.append(("only-child",))
+            elif name in _NTH_PSEUDOS:
+                if arg is None:
+                    raise SelectorError(f":{name} needs an argument: {tok!r}")
+                a, b = _parse_nth(arg, tok)
+                pseudos.append(("nth", a, b, *_NTH_PSEUDOS[name]))
+            elif name == "not":
+                if arg is None or not arg.strip():
+                    raise SelectorError(f":not needs an argument: {tok!r}")
+                inner = _parse_compound(arg.strip())
+                if any(p[0] == "not" for p in inner.pseudos):
+                    raise SelectorError(f"nested :not unsupported: {tok!r}")
+                pseudos.append(("not", inner))
+            else:
+                raise SelectorError(f"unsupported pseudo-class :{name} in: {tok!r}")
         else:
             am = _ATTR_BODY_RE.fullmatch(sm.group(3))
             if not am:
@@ -227,7 +336,7 @@ def _parse_compound(tok: str) -> Compound:
             attrs.append((name, op, val))
     if pos != len(rest) or (tag_tok is None and not rest):
         raise SelectorError(f"unsupported compound selector: {tok!r}")
-    return Compound(tag, id_, tuple(classes), tuple(attrs))
+    return Compound(tag, id_, tuple(classes), tuple(attrs), tuple(pseudos))
 
 
 def _split_groups(selector: str) -> list[str]:
@@ -297,8 +406,32 @@ def _tokenize_group(sel: str) -> list[str]:
                 if j >= n:
                     raise SelectorError(f"unclosed '[' in selector: {sel!r}")
                 i = j + 1
-            elif c in ":":
-                raise SelectorError(f"unsupported pseudo-class in: {sel!r}")
+            elif c == ":":
+                if i + 1 < n and sel[i + 1] == ":":
+                    raise SelectorError(
+                        f"pseudo-element only allowed at selector end: {sel!r}"
+                    )
+                i += 1
+                while i < n and (sel[i].isalnum() or sel[i] in "-_"):
+                    i += 1
+                if i < n and sel[i] == "(":
+                    depth = 1
+                    i += 1
+                    quote = None
+                    while i < n and depth:
+                        cj = sel[i]
+                        if quote:
+                            if cj == quote:
+                                quote = None
+                        elif cj in "\"'":
+                            quote = cj
+                        elif cj == "(":
+                            depth += 1
+                        elif cj == ")":
+                            depth -= 1
+                        i += 1
+                    if depth:
+                        raise SelectorError(f"unclosed '(' in selector: {sel!r}")
             else:
                 i += 1
         toks.append(sel[start:i])

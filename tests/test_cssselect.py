@@ -90,6 +90,34 @@ VECTORS = [
     ("ul>li>a::attr(href)", ["/one", "/two"]),
     ("h1+p::text", ["intro bold tail"]),
     ("h1~p.intro::text", ["intro bold tail", "both"]),
+    # pseudo-classes (round 3).  body's element children are
+    # h1=1, p.intro=2, p.intro.outro=3, p=4, ul=5, div=6, img=7.
+    ("li:first-child a::attr(href)", ["/one"]),
+    ("li:last-child a::attr(href)", ["/two"]),
+    ("h1:first-child::text", ["Heading"]),
+    ("p:first-of-type::text", ["intro bold tail"]),
+    ("p:last-of-type::text", ["plain"]),
+    ("p:nth-child(2)::text", ["intro bold tail"]),
+    ("p:nth-child(odd)::text", ["both"]),
+    ("p:nth-child(even)::text", ["intro bold tail", "plain"]),
+    ("p:nth-child(2n)::text", ["intro bold tail", "plain"]),
+    ("p:nth-child(2n + 1)::text", ["both"]),  # spaces inside the formula
+    ("p:nth-child(n+3)::text", ["both", "plain"]),
+    ("p:nth-child(-n+3)::text", ["intro bold tail", "both"]),
+    ("p:nth-of-type(2)::text", ["both"]),
+    ("p:nth-last-of-type(1)::text", ["plain"]),
+    ("ul li:nth-child(2) a::attr(href)", ["/two"]),
+    ("div span:only-child::text", ["nested"]),
+    ("li a:only-child::attr(href)", ["/one", "/two"]),
+    # :not
+    ("p:not(.intro)::text", ["plain"]),
+    ("p:not([class])::text", ["plain"]),
+    ("li:not(.sel) a::attr(href)", ["/one"]),
+    ("a:not([rel])::attr(href)", ["/one"]),
+    ("p:not(.intro):not(.outro)::text", ["plain"]),
+    # pseudo-class composed with combinators
+    ("ul.nav > li:last-child > a::attr(data-id)", ["7"]),
+    ("h1 ~ p:last-of-type::text", ["plain"]),
 ]
 
 
@@ -137,7 +165,9 @@ def test_select_returns_nodes_in_doc_order():
 
 def test_bad_selectors_raise():
     for bad in ["", ">", "> p", "p >", "p ~", "+ p", "p > > q", ":hover",
-                "p:first-child", "a[unclosed"]:
+                "a[unclosed", "p:nth-child", "p:nth-child(x)",
+                "p:nth-child(2n+", "p:first-child(2)", "p:not()",
+                "p:not(:not(a))", "p:not(a b)", "p::text em"]:
         with pytest.raises(SelectorError):
             css_select(parse_dom(DOC), bad)
 

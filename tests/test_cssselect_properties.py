@@ -92,3 +92,60 @@ def test_descendant_combinator_matches_generated_structure(root, outer, inner):
         if n.tag == inner and has_ancestor(n, outer, parents)
     ]
     assert css_extract(doc.encode(), f"{outer} {inner}::text") == expected
+
+def _parents(root):
+    parents = {}
+    for n in root.walk():
+        for c in n.children:
+            parents[id(c)] = n
+    return parents
+
+
+@given(trees(), st.sampled_from(TAGS), st.integers(-3, 4), st.integers(-2, 5))
+@settings(max_examples=60, deadline=None)
+def test_nth_child_matches_generated_structure(root, tag, a, b):
+    doc = f"<html><body>{root.html()}</body></html>"
+    parents = _parents(root)
+
+    def pos(n):  # 1-based position among element siblings (root: body child 1)
+        p = parents.get(id(n))
+        if p is None:
+            return 1
+        # identity, not ==: Gen is a dataclass, equal-valued siblings compare ==
+        return next(i for i, c in enumerate(p.children) if c is n) + 1
+
+    def nth(p):
+        if a == 0:
+            return p == b
+        k, r = divmod(p - b, a)
+        return r == 0 and k >= 0
+
+    expected = [n.full_text() for n in root.walk() if n.tag == tag and nth(pos(n))]
+    assert css_extract(doc.encode(), f"{tag}:nth-child({a}n{b:+d})::text") == expected
+
+
+@given(trees(), st.sampled_from(TAGS))
+@settings(max_examples=60, deadline=None)
+def test_first_last_of_type_matches_generated_structure(root, tag):
+    doc = f"<html><body>{root.html()}</body></html>"
+    parents = _parents(root)
+
+    def of_type_sibs(n):
+        p = parents.get(id(n))
+        return [c for c in p.children if c.tag == n.tag] if p else [n]
+
+    first = [n.full_text() for n in root.walk()
+             if n.tag == tag and of_type_sibs(n)[0] is n]
+    last = [n.full_text() for n in root.walk()
+            if n.tag == tag and of_type_sibs(n)[-1] is n]
+    assert css_extract(doc.encode(), f"{tag}:first-of-type::text") == first
+    assert css_extract(doc.encode(), f"{tag}:last-of-type::text") == last
+
+
+@given(trees(), st.sampled_from(TAGS), st.sampled_from(CLASSES))
+@settings(max_examples=60, deadline=None)
+def test_not_class_matches_generated_structure(root, tag, cls):
+    doc = f"<html><body>{root.html()}</body></html>"
+    expected = [n.full_text() for n in root.walk()
+                if n.tag == tag and cls not in n.classes]
+    assert css_extract(doc.encode(), f"{tag}:not(.{cls})::text") == expected
