@@ -463,6 +463,50 @@ def oracle_crawl_extract_identity(corpus: str) -> pd.DataFrame:
 
 
 # ----------------------------------------------------------- materializer
+def oracle_docs_importance_weights(sf_dir: str) -> pd.DataFrame:
+    """Single-process DSIR mirror (Xie et al. 2023 spec pinned in
+    pipelines/qualityops.py): hashed unigram+bigram buckets (blake2b mod
+    4096), Laplace-smoothed log(p_en/q_all) per bucket fixed to 1e-6 int64
+    units, per-doc weight = exact integer sum over feature occurrences.
+    Plain Python loops + math.log — no shared pipeline code."""
+    import math
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    langs = tbl.column("lang").to_pylist()
+    B = 4096
+
+    def buckets(text: str) -> list[int]:
+        toks = _tokens(text)
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [_h64(f.encode()) % B for f in feats]
+
+    per_doc = [buckets(t) for t in texts]
+    c_all = [0] * B
+    c_tgt = [0] * B
+    for bs, lang in zip(per_doc, langs):
+        for b in bs:
+            c_all[b] += 1
+            if lang == "en":
+                c_tgt[b] += 1
+    tgt_tot = float(sum(c_tgt) + B)
+    all_tot = float(sum(c_all) + B)
+    ratio_int = []
+    for k in range(B):
+        r = (math.log((c_tgt[k] + 1) / tgt_tot)
+             - math.log((c_all[k] + 1) / all_tot)) * 1_000_000
+        ratio_int.append(int(math.copysign(math.floor(abs(r) + 0.5), r)))
+    rows = []
+    for doc_id, bs in zip(ids, per_doc):
+        w = sum(ratio_int[b] for b in bs)
+        rows.append((doc_id, len(bs), float(_round_away(w / 1_000_000, 4))))
+    return pd.DataFrame(rows, columns=["doc_id", "n_feat", "log_weight"])
+
+
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
     "docs_langid": oracle_docs_langid,
@@ -473,6 +517,7 @@ _SF_ORACLES = {
     "emb_ivf_topk": oracle_emb_ivf_topk,
     "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,
     "events_approx_users": oracle_events_approx_users,
+    "docs_importance_weights": oracle_docs_importance_weights,
 }
 
 _cache: dict[str, dict[str, str]] = {}

@@ -40,6 +40,7 @@ import pyarrow as pa
 from scrapy__ray.pipelines.util import (
     broadcast,
     collect_arrow,
+    driver_agg,
     hash_partition_map,
     lookup_broadcast,
     read_parquet,
@@ -626,10 +627,259 @@ FROM f
 """
 
 
+# ------------------------------------------------------- sequence packing
+_SEQ_LEN = 512  # tokens per training sequence
+_PACK_BUCKET = 1024  # docs per prefix-sum bucket (level-1 unit)
+
+
+def docs_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: concatenate every document's token
+    stream in doc_id order and chunk the stream into fixed _SEQ_LEN-token
+    training sequences; emit one row per (document x sequence) overlap:
+    (doc_id, seq_id, tok_start [offset inside the sequence], tok_count).
+    Documents straddle sequence boundaries, exactly like production LLM
+    pretraining packing; empty docs contribute nothing.
+
+    Distribution: the global token offset of each document is a prefix sum
+    over doc_id order — computed in two levels so nothing is ever
+    sequential over the corpus:
+      1. one map pass reduces each doc to (doc_id, n_tok) — 16-byte rows;
+         the narrow counts table is materialized once (the only reuse);
+      2. bucket sums (bucket = doc_id // _PACK_BUCKET) fold to the driver
+         via mergeable partials; the driver cumsums #buckets scalars (at
+         10^10 docs / 1024 ≈ 10^7 buckets — a few hundred MB is the
+         documented ceiling; a third level amortizes beyond) and
+         broadcasts the exclusive bucket offsets with ray.put;
+      3. one hash exchange of the counts table by bucket co-locates each
+         bucket's ≤1024 docs; within a partition the per-doc start is
+         bucket_offset + within-bucket cumsum, and span rows are emitted
+         fully vectorized (np.repeat + segmented arange).
+    The text column never crosses an exchange."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ntok = np.fromiter(
+            (len(_tokens(t)) for t in df["text"]), np.int64, len(df)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tok": ntok,
+                "bucket": df["doc_id"].to_numpy(np.int64) // _PACK_BUCKET,
+            }
+        )
+
+    cnt = ds.map_batches(counts, batch_format="pandas").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)["n_tok"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)["n_tok"].sum()
+
+    sums = driver_agg(cnt, partial, final).sort_values("bucket")
+    max_bucket = int(sums["bucket"].max()) if len(sums) else 0
+    offsets = np.zeros(max_bucket + 2, np.int64)
+    np.add.at(offsets, sums["bucket"].to_numpy(np.int64) + 1,
+              sums["n_tok"].to_numpy(np.int64))
+    offsets = np.cumsum(offsets)  # offsets[b] = tokens before bucket b
+    off_ref = broadcast(offsets)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        off = lookup_broadcast(off_ref)
+        df = df.sort_values(["bucket", "doc_id"])
+        ntok = df["n_tok"].to_numpy(np.int64)
+        bucket = df["bucket"].to_numpy(np.int64)
+        cum = np.cumsum(ntok) - ntok  # within-partition exclusive cumsum
+        # reset the cumsum at each bucket boundary (a partition holds many)
+        starts_idx = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        base = np.repeat(cum[starts_idx], np.diff(np.r_[starts_idx, len(cum)]))
+        tok_begin = off[bucket] + (cum - base)
+        tok_end = tok_begin + ntok
+        keep = ntok > 0
+        tok_begin, tok_end = tok_begin[keep], tok_end[keep]
+        doc_id = df["doc_id"].to_numpy(np.int64)[keep]
+        lo = tok_begin // _SEQ_LEN
+        hi = (tok_end - 1) // _SEQ_LEN
+        reps = (hi - lo + 1).astype(np.int64)
+        if not len(reps):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "seq_id": pd.Series([], dtype="int64"),
+                 "tok_start": pd.Series([], dtype="int64"),
+                 "tok_count": pd.Series([], dtype="int64")}
+            )
+        ridx = np.repeat(np.arange(len(reps)), reps)
+        intra = np.arange(reps.sum()) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        seq = lo[ridx] + intra
+        a = np.maximum(tok_begin[ridx], seq * _SEQ_LEN)
+        b = np.minimum(tok_end[ridx], (seq + 1) * _SEQ_LEN)
+        return pd.DataFrame(
+            {"doc_id": doc_id[ridx], "seq_id": seq,
+             "tok_start": a - seq * _SEQ_LEN, "tok_count": b - a}
+        )
+
+    out = hash_partition_map(cnt, ["bucket"], emit)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("seq_id", pa.int64()),
+                ("tok_start", pa.int64()),
+                ("tok_count", pa.int64()),
+            ]
+        ),
+    )
+
+
+DOCS_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_begin
+  FROM t
+),
+s AS (SELECT doc_id, tok_begin, tok_begin + n_tok AS tok_end FROM c WHERE n_tok > 0),
+ex AS (
+  SELECT doc_id, tok_begin, tok_end,
+         unnest(generate_series(tok_begin // {_SEQ_LEN}, (tok_end - 1) // {_SEQ_LEN}))::BIGINT AS seq_id
+  FROM s
+)
+SELECT doc_id, seq_id,
+       (GREATEST(tok_begin, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN})::BIGINT AS tok_start,
+       (LEAST(tok_end, (seq_id + 1) * {_SEQ_LEN})
+        - GREATEST(tok_begin, seq_id * {_SEQ_LEN}))::BIGINT AS tok_count
+FROM ex
+"""
+
+
+# ------------------------------------------- DSIR-style importance weights
+# Data Selection via Importance Resampling (Xie et al. 2023): score each
+# document by how much more likely its hashed-ngram bag is under a TARGET
+# distribution than under the RAW corpus distribution.
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_LANG = "en"
+_DSIR_SCALE = 1_000_000  # per-bucket log-ratios fixed to 1e-6 integers
+
+
+def _dsir_buckets(text: str) -> np.ndarray:
+    """Hashed feature-occurrence buckets of a doc: unigrams + bigrams of the
+    shared whitespace tokens, blake2b-hashed mod _DSIR_BUCKETS."""
+    import hashlib
+
+    toks = _tokens(text)
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(f.encode(), digest_size=8).digest(), "big"
+            )
+            % _DSIR_BUCKETS
+            for f in feats
+        ),
+        np.int64,
+        len(feats),
+    )
+
+
+def docs_importance_weights(sf_dir: str):
+    """Per-document DSIR importance weight: with Laplace-smoothed hashed-
+    ngram distributions p (docs with lang == 'en', the target) and q (whole
+    corpus), weight = sum over the doc's feature occurrences of
+    log(p_bucket) - log(q_bucket).  The per-bucket log-ratio is fixed to an
+    int64 of 1e-6 units BEFORE the per-doc sum, so the sum is exact integer
+    arithmetic — order-independent across block boundaries and bit-equal to
+    the single-process oracle (a float sum would differ in the last ulp
+    between numpy pairwise and sequential summation).
+
+    Scale: two streaming passes over the corpus.  Pass 1 folds per-block
+    (bucket, count_all, count_target) partials — at most _DSIR_BUCKETS rows
+    per block — to the driver (mergeable sketch, no shuffle).  The driver
+    builds the 4096-entry log-ratio table and broadcasts it once; pass 2
+    scores each doc independently.  Feature hashing is the same per-token
+    blake2b work as the MinHash stage — CPU-bound map, no exchange at all."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c_all = np.zeros(_DSIR_BUCKETS, np.int64)
+        c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+        for text, lang in zip(df["text"], df["lang"]):
+            b = _dsir_buckets(text)
+            np.add.at(c_all, b, 1)
+            if lang == _DSIR_TARGET_LANG:
+                np.add.at(c_tgt, b, 1)
+        nz = np.flatnonzero(c_all)
+        return pd.DataFrame(
+            {"bucket": nz, "c_all": c_all[nz], "c_tgt": c_tgt[nz]}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)[["c_all", "c_tgt"]].sum()
+
+    counts = driver_agg(ds, partial, final)
+    c_all = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_all[counts["bucket"].to_numpy(np.int64)] = counts["c_all"]
+    c_tgt[counts["bucket"].to_numpy(np.int64)] = counts["c_tgt"]
+    ratio_int = dsir_ratio_table(c_all, c_tgt)
+    ref = broadcast(ratio_int)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rt = lookup_broadcast(ref)
+        n_feat = np.empty(len(df), np.int64)
+        w_int = np.empty(len(df), np.int64)
+        for i, text in enumerate(df["text"]):
+            b = _dsir_buckets(text)
+            n_feat[i] = len(b)
+            w_int[i] = int(rt[b].sum())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_feat": n_feat,
+                "log_weight": round_col(w_int / _DSIR_SCALE, 4),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas")
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_feat", pa.int64()),
+                ("log_weight", pa.float64()),
+            ]
+        ),
+    )
+
+
+def dsir_ratio_table(c_all: np.ndarray, c_tgt: np.ndarray) -> np.ndarray:
+    """Shared SPEC (not shared runtime code — pure numpy, used by both the
+    pipeline and the independent oracle): Laplace-smoothed per-bucket
+    log(p_target/q_all), fixed to int64 units of 1/_DSIR_SCALE with
+    half-away-from-zero rounding."""
+    tgt_tot = float(c_tgt.sum() + _DSIR_BUCKETS)
+    all_tot = float(c_all.sum() + _DSIR_BUCKETS)
+    ratio = np.log((c_tgt + 1) / tgt_tot) - np.log((c_all + 1) / all_tot)
+    scaled = ratio * _DSIR_SCALE
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
     "docs_tfidf_top_terms": (docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_source_mix": (docs_source_mix, DOCS_SOURCE_MIX_SQL),
     "docs_curation_pipeline": (docs_curation_pipeline, DOCS_CURATION_SQL),
+    "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),
+    "docs_importance_weights": (docs_importance_weights, None),
 }

@@ -120,3 +120,94 @@ def test_bench_boundary_constant_consistency():
     # the SQL literals are generated from the same constants the engine uses
     assert f"doc_id < {_DECON_BENCH_MAX}" in DOCS_DECONTAMINATE_SQL
     assert f"doc_id >= {_DECON_BENCH_MAX}" in DOCS_CURATION_SQL
+
+
+# ------------------------------------------------------- sequence packing
+def test_pack_sequences_sql_semantics(con):
+    """Pin the packing contract on the edge docs: empty/whitespace docs
+    emit nothing; spans are contiguous, cover every doc's tokens exactly
+    once, and respect the _SEQ_LEN boundary."""
+    from scrapy__ray.pipelines.qualityops import DOCS_PACK_SQL, _SEQ_LEN
+
+    rows = con.execute(DOCS_PACK_SQL).fetchall()
+    by_doc = collections.defaultdict(int)
+    for doc_id, seq_id, tok_start, tok_count in rows:
+        assert 0 <= tok_start < _SEQ_LEN
+        assert 1 <= tok_count <= _SEQ_LEN - tok_start
+        by_doc[doc_id] += tok_count
+    # every non-empty doc's token count is fully covered, empties absent
+    for doc_id, text in _DOCS:
+        n = len(_tokens(text))
+        if n == 0:
+            assert doc_id not in by_doc
+        else:
+            assert by_doc[doc_id] == n
+    # global stream: sequence s gets exactly _SEQ_LEN tokens except the last
+    per_seq = collections.defaultdict(int)
+    for _d, s, _ts, tc in rows:
+        per_seq[s] += tc
+    seqs = sorted(per_seq)
+    total = sum(len(_tokens(t)) for _i, t in _DOCS)
+    assert seqs == list(range(total // _SEQ_LEN + (1 if total % _SEQ_LEN else 0)))
+    for s in seqs[:-1]:
+        assert per_seq[s] == _SEQ_LEN
+    assert per_seq[seqs[-1]] == total - _SEQ_LEN * (len(seqs) - 1)
+
+
+def test_pack_sequences_straddle():
+    """A doc longer than _SEQ_LEN straddles sequences with correct offsets."""
+    from scrapy__ray.pipelines.qualityops import DOCS_PACK_SQL, _SEQ_LEN
+
+    c = duckdb.connect()
+    long_text = " ".join(["w"] * (_SEQ_LEN + 7))
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, 'a b c', 'en', 's', 0), (2, '{long_text}', 'en', 's', 0)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    rows = sorted(c.execute(DOCS_PACK_SQL).fetchall())
+    # doc 1: tokens 0..2 of seq 0; doc 2: tokens 3.._SEQ_LEN-1 of seq 0
+    # (that's _SEQ_LEN-3 tokens) then 10 tokens at the start of seq 1
+    assert rows == [
+        (1, 0, 0, 3),
+        (2, 0, 3, _SEQ_LEN - 3),
+        (2, 1, 0, 10),
+    ]
+
+
+# ------------------------------------------- DSIR importance weights
+def test_dsir_ratio_table_spec():
+    """The shared spec function: Laplace smoothing, target/raw asymmetry,
+    integer fixing — checked against hand-computed values."""
+    import math
+
+    import numpy as np
+
+    from scrapy__ray.pipelines.qualityops import _DSIR_BUCKETS, dsir_ratio_table
+
+    c_all = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_all[0], c_tgt[0] = 100, 90   # target-enriched bucket
+    c_all[1], c_tgt[1] = 100, 0    # target-absent bucket
+    rt = dsir_ratio_table(c_all, c_tgt)
+    tgt_tot = 90 + _DSIR_BUCKETS
+    all_tot = 200 + _DSIR_BUCKETS
+    exp0 = (math.log(91 / tgt_tot) - math.log(101 / all_tot)) * 1e6
+    assert rt[0] == int(math.copysign(math.floor(abs(exp0) + 0.5), exp0))
+    # the target-absent bucket scores far below the target-enriched one
+    assert rt[1] < rt[0]
+    exp1 = (math.log(1 / tgt_tot) - math.log(101 / all_tot)) * 1e6
+    assert rt[1] == int(math.copysign(math.floor(abs(exp1) + 0.5), exp1))
+    # untouched buckets: log(1/tgt_tot) - log(1/all_tot) = log(all/tgt) > 0
+    exp_empty = math.log(all_tot / tgt_tot) * 1e6
+    assert rt[2] == int(math.floor(exp_empty + 0.5))
+
+
+def test_dsir_buckets_features():
+    from scrapy__ray.pipelines.qualityops import _dsir_buckets
+
+    assert len(_dsir_buckets("")) == 0
+    assert len(_dsir_buckets("one")) == 1          # 1 unigram, 0 bigrams
+    assert len(_dsir_buckets("one two three")) == 5  # 3 + 2
+    # determinism
+    assert list(_dsir_buckets("a b")) == list(_dsir_buckets("a b"))
