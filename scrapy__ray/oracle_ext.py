@@ -507,6 +507,58 @@ def oracle_docs_importance_weights(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_feat", "log_weight"])
 
 
+def oracle_docs_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """Single-process CCNet-analogue mirror (spec pinned in
+    pipelines/qualityops.py): hashed char-trigram counts over the en slice,
+    Laplace NLL fixed to 1e-6-nat int64 units, per-doc avg by integer floor
+    division, 0.01-nat histogram bins, head/middle/tail cuts at corpus
+    thirds.  Plain Python + math.log — no shared pipeline code."""
+    import math
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    langs = tbl.column("lang").to_pylist()
+    B, SCALE, BIN = 65536, 1_000_000, 10_000
+
+    def trigrams(text: str) -> list[int]:
+        norm = " ".join(_tokens(text))
+        return [
+            _h64(norm[i : i + 3].encode()) % B for i in range(max(0, len(norm) - 2))
+        ]
+
+    per_doc = [trigrams(t) for t in texts]
+    counts = [0] * B
+    for tris, lang in zip(per_doc, langs):
+        if lang == "en":
+            for b in tris:
+                counts[b] += 1
+    total = float(sum(counts) + B)
+    nll_tab = [int(math.floor((math.log(total) - math.log(c + 1)) * SCALE + 0.5))
+               for c in counts]
+    nll_int = []
+    for tris in per_doc:
+        nll_int.append(sum(nll_tab[b] for b in tris) // len(tris) if tris else 0)
+    bins = [v // BIN for v in nll_int]
+    order = sorted(bins)
+    n = len(order)
+    # bin holding the ceil(n/3)-th / ceil(2n/3)-th smallest score
+    cut1 = order[math.ceil(n / 3) - 1]
+    cut2 = order[math.ceil(2 * n / 3) - 1]
+    rows = [
+        (
+            doc_id,
+            float(_round_away(v / SCALE, 4)),
+            "head" if b <= cut1 else "middle" if b <= cut2 else "tail",
+        )
+        for doc_id, v, b in zip(ids, nll_int, bins)
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "nll", "ppl_bucket"])
+
+
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
     "docs_langid": oracle_docs_langid,
@@ -518,6 +570,7 @@ _SF_ORACLES = {
     "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,
     "events_approx_users": oracle_events_approx_users,
     "docs_importance_weights": oracle_docs_importance_weights,
+    "docs_lm_quality": oracle_docs_lm_quality,
 }
 
 _cache: dict[str, dict[str, str]] = {}

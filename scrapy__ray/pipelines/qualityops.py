@@ -874,6 +874,144 @@ def dsir_ratio_table(c_all: np.ndarray, c_tgt: np.ndarray) -> np.ndarray:
     return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
 
 
+# --------------------------------------- CCNet-style LM quality bucketing
+# CCNet (Wenzek et al. 2020) buckets documents into head/middle/tail thirds
+# by the perplexity of a language model trained on a clean target corpus.
+# The analogue here: a hashed char-trigram model trained on the lang='en'
+# documents, per-doc average negative log-likelihood, and third-cuts taken
+# from a mergeable fixed-width histogram sketch (bin-granular, like the
+# quantile op — deterministic without a global sort).
+_LM_BUCKETS = 65536
+_LM_SCALE = 1_000_000  # per-trigram NLL fixed to 1e-6-nat int64 units
+_LM_BIN = 10_000  # histogram bin width: 0.01 nats in the same units
+
+
+def _lm_trigrams(text: str) -> np.ndarray:
+    """Hashed char-trigram occurrence buckets over the whitespace-normalized
+    text (tokens joined by single spaces — the shared contract)."""
+    import hashlib
+
+    norm = " ".join(_tokens(text))
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    norm[i : i + 3].encode(), digest_size=8
+                ).digest(),
+                "big",
+            )
+            % _LM_BUCKETS
+            for i in range(max(0, len(norm) - 2))
+        ),
+        np.int64,
+        max(0, len(norm) - 2),
+    )
+
+
+def lm_nll_table(counts: np.ndarray) -> np.ndarray:
+    """Shared SPEC: Laplace-smoothed per-bucket negative log-likelihood
+    -log((c+1)/(total+B)), fixed to int64 units of 1/_LM_SCALE nats."""
+    total = float(counts.sum() + _LM_BUCKETS)
+    nll = np.log(total) - np.log(counts + 1)
+    return (np.floor(nll * _LM_SCALE + 0.5)).astype(np.int64)  # nll >= 0
+
+
+def docs_lm_quality(sf_dir: str):
+    """Per-document LM quality: avg char-trigram NLL under the en-trained
+    model, plus the CCNet head/middle/tail bucket by corpus thirds.
+
+    Determinism: the per-trigram NLL is fixed to integer 1e-6-nat units
+    before any per-doc sum, so scores are exact integer arithmetic; the
+    third-cuts are bin indexes (0.01-nat bins) chosen from the merged
+    histogram, so bucket labels are bin-granular — documents sharing a bin
+    share a bucket (documented sketch semantics, mirrored by the oracle).
+
+    Scale: pass 1 streams the target slice into a 64k-bucket count sketch
+    (mergeable partials -> driver -> broadcast NLL table, ~0.5 MB); pass 2
+    streams the corpus once, emitting a NARROW (doc_id, nll_int, n_tri,
+    bin) table that is materialized (24 B/row); the histogram fold and the
+    final labeling pass both run over that narrow table — the text column
+    is read exactly twice and never shuffled.  Docs with no trigram score
+    nll=0 (bin 0) and land in whatever bucket the cuts give bin 0."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.zeros(_LM_BUCKETS, np.int64)
+        for text, lang in zip(df["text"], df["lang"]):
+            if lang == _DSIR_TARGET_LANG:
+                b = _lm_trigrams(text)
+                np.add.at(c, b, 1)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"bucket": nz, "c": c[nz]})
+
+    def train_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)["c"].sum()
+
+    tr = driver_agg(ds, train, train_final)
+    counts = np.zeros(_LM_BUCKETS, np.int64)
+    counts[tr["bucket"].to_numpy(np.int64)] = tr["c"]
+    ref = broadcast(lm_nll_table(counts))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nt = lookup_broadcast(ref)
+        n = len(df)
+        nll_int = np.zeros(n, np.int64)
+        n_tri = np.zeros(n, np.int64)
+        for i, text in enumerate(df["text"]):
+            b = _lm_trigrams(text)
+            n_tri[i] = len(b)
+            if len(b):
+                nll_int[i] = int(nt[b].sum()) // len(b)  # avg, floor to units
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "nll_int": nll_int,
+                "n_tri": n_tri,
+                "bin": nll_int // _LM_BIN,
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bin", as_index=False).size().rename(columns={"size": "c"})
+
+    def hist_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bin", as_index=False)["c"].sum()
+
+    h = driver_agg(scored, hist, hist_final).sort_values("bin")
+    cum = h["c"].cumsum().to_numpy()
+    n_docs = int(cum[-1])
+    bins = h["bin"].to_numpy()
+    import math
+
+    cut1 = bins[int(np.searchsorted(cum, math.ceil(n_docs / 3)))]
+    cut2 = bins[int(np.searchsorted(cum, math.ceil(2 * n_docs / 3)))]
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bin"].to_numpy(np.int64)
+        bucket = np.where(b <= cut1, "head", np.where(b <= cut2, "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "nll": round_col(df["nll_int"].to_numpy(np.int64) / _LM_SCALE, 4),
+                "ppl_bucket": bucket,
+            }
+        )
+
+    out = scored.map_batches(label, batch_format="pandas")
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("nll", pa.float64()),
+                ("ppl_bucket", pa.string()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -882,4 +1020,5 @@ QUERIES = {
     "docs_curation_pipeline": (docs_curation_pipeline, DOCS_CURATION_SQL),
     "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),
     "docs_importance_weights": (docs_importance_weights, None),
+    "docs_lm_quality": (docs_lm_quality, None),
 }

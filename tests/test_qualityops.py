@@ -211,3 +211,32 @@ def test_dsir_buckets_features():
     assert len(_dsir_buckets("one two three")) == 5  # 3 + 2
     # determinism
     assert list(_dsir_buckets("a b")) == list(_dsir_buckets("a b"))
+
+
+def test_lm_nll_table_spec():
+    """Hand-check the NLL table: unseen buckets score log(total+B), seen
+    buckets less; integer fixing is half-up in 1e-6-nat units."""
+    import math
+
+    import numpy as np
+
+    from scrapy__ray.pipelines.qualityops import _LM_BUCKETS, lm_nll_table
+
+    c = np.zeros(_LM_BUCKETS, np.int64)
+    c[5] = 99
+    t = lm_nll_table(c)
+    total = 99 + _LM_BUCKETS
+    assert t[5] == int(math.floor((math.log(total) - math.log(100)) * 1e6 + 0.5))
+    assert t[0] == int(math.floor(math.log(total / 1) * 1e6 + 0.5))
+    assert t[5] < t[0]
+
+
+def test_lm_trigrams_normalization():
+    from scrapy__ray.pipelines.qualityops import _lm_trigrams
+
+    # whitespace runs collapse before trigram extraction (shared contract)
+    assert list(_lm_trigrams("a   b")) == list(_lm_trigrams("a b"))
+    assert len(_lm_trigrams("")) == 0
+    assert len(_lm_trigrams("ab")) == 0
+    assert len(_lm_trigrams("abc")) == 1
+    assert len(_lm_trigrams("abcd")) == 2
