@@ -1012,6 +1012,116 @@ def docs_lm_quality(sf_dir: str):
     )
 
 
+# ------------------------------------------ cross-document substring dedup
+# Exact-substring duplication across documents (the signal behind Lee et
+# al. 2022 "Deduplicating Training Data Makes Language Models Better"):
+# a W-token window occurring verbatim in >= 2 documents marks both.  The
+# paper's suffix array is replaced by the shuffle-native equivalent —
+# distinct windows exchanged once, grouped by window, document frequency
+# folded back per doc.  W = 8 here (the paper uses 50 BPE tokens; the
+# fixture docs are ~50-120 words, so 8 keeps the signal observable at test
+# scale — one module constant to change).
+_SUBSTR_W = 8
+_SUBSTR_KEEP_MAX = 0.5  # keep docs with <= 50% of windows shared
+
+
+def docs_substring_dups(sf_dir: str):
+    """Per-document cross-corpus substring duplication: n_windows (DISTINCT
+    W-token windows in the doc), n_shared (those appearing in >= 2 docs),
+    shared_frac, and the keep flag.  Docs with fewer than W tokens have no
+    windows and are absent (pinned contract, mirrored by the oracle).
+
+    Scale: the only wide exchange carries one row per DISTINCT (window,
+    doc) pair — O(total tokens) rows, the same volume class as the Jaccard
+    inverted index.  Windows travel as strings so equality is exactly the
+    SQL oracle's (a 64-bit window hash is the documented 8x-narrower
+    optimization, at the cost of birthday collisions the oracle can't
+    mirror).  The per-window partition emits per-doc PARTIALS (doc_id,
+    n, s), so the second exchange by doc_id moves at most #docs x
+    #partitions tiny rows."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    W = _SUBSTR_W
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc: list[int] = []
+        out_g: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = _tokens(text)
+            if len(toks) < W:
+                continue
+            seen = {" ".join(toks[i : i + W]) for i in range(len(toks) - W + 1)}
+            out_doc.extend([int(doc_id)] * len(seen))
+            out_g.extend(seen)
+        return pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                             "g": pd.Series(out_g, dtype="object")})
+
+    grams = ds.map_batches(windows, batch_format="pandas")
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("g")["doc_id"].transform("size")
+        shared = (d >= 2).astype(np.int64)
+        g = pd.DataFrame({"doc_id": df["doc_id"], "s": shared})
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum")
+        )
+        return agg
+
+    partials = hash_partition_map(grams, ["g"], per_gram)
+
+    def by_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)[["n", "s"]].sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby("doc_id", as_index=False)[["n", "s"]].sum()
+        frac = round_col(
+            df["s"].to_numpy(np.float64) / df["n"].to_numpy(np.float64), 4
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_windows": df["n"].to_numpy(np.int64),
+                "n_shared": df["s"].to_numpy(np.int64),
+                "shared_frac": frac,
+                "keep": frac <= _SUBSTR_KEEP_MAX,
+            }
+        )
+
+    out = shuffle_agg(partials, ["doc_id"], by_doc, finish)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_windows", pa.int64()),
+                ("n_shared", pa.int64()),
+                ("shared_frac", pa.float64()),
+                ("keep", pa.bool_()),
+            ]
+        ),
+    )
+
+
+DOCS_SUBSTRING_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM documents
+),
+dg AS (SELECT DISTINCT doc_id, g FROM ({_ngram_cte(_SUBSTR_W)})),
+dfreq AS (SELECT g, COUNT(*) AS d FROM dg GROUP BY g),
+per AS (
+  SELECT dg.doc_id, COUNT(*)::BIGINT AS n_windows,
+         SUM(CASE WHEN dfreq.d >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+  FROM dg JOIN dfreq USING (g) GROUP BY dg.doc_id
+)
+SELECT doc_id, n_windows, n_shared,
+       ROUND(n_shared::DOUBLE / n_windows, 4) AS shared_frac,
+       ROUND(n_shared::DOUBLE / n_windows, 4) <= {_SUBSTR_KEEP_MAX} AS keep
+FROM per
+"""
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1021,4 +1131,5 @@ QUERIES = {
     "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),
     "docs_importance_weights": (docs_importance_weights, None),
     "docs_lm_quality": (docs_lm_quality, None),
+    "docs_substring_dups": (docs_substring_dups, DOCS_SUBSTRING_SQL),
 }

@@ -240,3 +240,53 @@ def test_lm_trigrams_normalization():
     assert len(_lm_trigrams("ab")) == 0
     assert len(_lm_trigrams("abc")) == 1
     assert len(_lm_trigrams("abcd")) == 2
+
+
+# ------------------------------------------- cross-doc substring dedup
+def test_substring_dups_sql_semantics():
+    from scrapy__ray.pipelines.qualityops import DOCS_SUBSTRING_SQL, _SUBSTR_W
+
+    c = duckdb.connect()
+    w = _SUBSTR_W
+    # doc 1 and 2 share their first W tokens verbatim; doc 3 is unique;
+    # doc 4 is too short for any window; doc 5 repeats ITS OWN window
+    # (within-doc repeats are distinct-collapsed, not cross-doc shares)
+    shared = " ".join(f"t{i}" for i in range(w))
+    uniq1 = " ".join(f"u{i}" for i in range(w))
+    uniq2 = " ".join(f"v{i}" for i in range(w))
+    self_rep = " ".join(f"s{i % w}" for i in range(2 * w))
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{shared} {uniq1}', 'en', 's', 0),"
+        f"(2, '{shared} {uniq2}', 'en', 's', 0),"
+        f"(3, '{uniq1.replace('u', 'w')}', 'en', 's', 0),"
+        f"(4, 'short doc', 'en', 's', 0),"
+        f"(5, '{self_rep}', 'en', 's', 0)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    rows = {r[0]: r for r in c.execute(DOCS_SUBSTRING_SQL).fetchall()}
+    assert 4 not in rows  # < W tokens -> absent
+    # docs 1/2: 2W tokens -> W+1 distinct windows; exactly 1 (the first) shared
+    assert rows[1][1] == w + 1 and rows[1][2] == 1
+    assert rows[2][1] == w + 1 and rows[2][2] == 1
+    assert rows[3][2] == 0 and rows[3][4]  # unique doc keeps
+    # doc 5: tokens s0..s{w-1} repeated twice -> every window is a rotation;
+    # distinct windows = w (cyclic), none shared cross-doc
+    assert rows[5][1] == w and rows[5][2] == 0 and rows[5][4]
+    # keep flag threshold: shared_frac of doc 1 = 1/(w+1) <= 0.5 -> keep
+    assert rows[1][4]
+
+
+def test_substring_dups_fully_duplicated_pair_dropped():
+    from scrapy__ray.pipelines.qualityops import DOCS_SUBSTRING_SQL, _SUBSTR_W
+
+    c = duckdb.connect()
+    text = " ".join(f"x{i}" for i in range(_SUBSTR_W + 3))
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{text}', 'en', 's', 0), (2, '{text}', 'en', 's', 0)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    rows = {r[0]: r for r in c.execute(DOCS_SUBSTRING_SQL).fetchall()}
+    for d in (1, 2):
+        assert rows[d][3] == 1.0 and not rows[d][4]  # 100% shared -> drop
