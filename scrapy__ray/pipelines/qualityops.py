@@ -68,6 +68,45 @@ _REP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}  # Gopher table A1 top-ngram caps
 _DUP5_THRESH = 0.15  # Gopher dup-ngram cap (n=5 row)
 
 
+def _gopher_signals(ws: list[str], n_chars: int) -> tuple[dict[int, float], float]:
+    """The shared repetition-signal core (used by docs_repetition_signals
+    AND the fused curation pass — one definition, one set of tie-breaks):
+    tops[n] = char fraction of the most frequent word n-gram (overlapping
+    occurrences, ties to the lexicographically smallest gram), dup5 = char
+    fraction of duplicate 5-grams (occurrences beyond the first, capped)."""
+    n = len(ws)
+    tops: dict[int, float] = {}
+    for gn in (2, 3, 4):
+        if n < gn or not n_chars:
+            tops[gn] = 0.0
+            continue
+        c = collections.Counter(
+            " ".join(ws[i : i + gn]) for i in range(n - gn + 1)
+        )
+        g, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        tops[gn] = _round4(cnt * len(g.replace(" ", "")) / n_chars)
+    if n < 5 or not n_chars:
+        dup5 = 0.0
+    else:
+        c5 = collections.Counter(" ".join(ws[i : i + 5]) for i in range(n - 4))
+        extra = sum(
+            (cnt - 1) * len(g.replace(" ", ""))
+            for g, cnt in c5.items()
+            if cnt > 1
+        )
+        dup5 = _round4(min(1.0, extra / n_chars))
+    return tops, dup5
+
+
+def _gopher_keep(tops: dict[int, float], dup5: float) -> bool:
+    return (
+        tops[2] <= _REP_THRESH[2]
+        and tops[3] <= _REP_THRESH[3]
+        and tops[4] <= _REP_THRESH[4]
+        and dup5 <= _DUP5_THRESH
+    )
+
+
 def docs_repetition_signals(sf_dir: str):
     """Per-document repetition metrics: for n in {2,3,4} the fraction of
     non-space characters covered by the single most frequent word n-gram
@@ -94,35 +133,12 @@ def docs_repetition_signals(sf_dir: str):
         for text in t["text"].to_pylist():
             ws = _tokens(text)
             n_chars = sum(len(w) for w in ws)
-            tops = {}
-            for n in (2, 3, 4):
-                if len(ws) < n or not n_chars:
-                    tops[n] = 0.0
-                    continue
-                c = collections.Counter(
-                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
-                )
-                g, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
-                tops[n] = _round4(cnt * len(g.replace(" ", "")) / n_chars)
-            if len(ws) < 5 or not n_chars:
-                dup5 = 0.0
-            else:
-                c5 = collections.Counter(
-                    " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
-                )
-                extra = sum(
-                    (cnt - 1) * len(g.replace(" ", ""))
-                    for g, cnt in c5.items()
-                    if cnt > 1
-                )
-                dup5 = _round4(min(1.0, extra / n_chars))
-            dupt = _round4(1.0 - len(set(ws)) / len(ws)) if ws else 0.0
-            keep = (
-                tops[2] <= _REP_THRESH[2]
-                and tops[3] <= _REP_THRESH[3]
-                and tops[4] <= _REP_THRESH[4]
-                and dup5 <= _DUP5_THRESH
-            )
+            tops, dup5 = _gopher_signals(ws, n_chars)
+            # (n - distinct)/n, NOT 1 - distinct/n: the float results differ
+            # at the 4-decimal rounding boundary (e.g. 1/160) and the SQL
+            # oracle computes the subtract-first form
+            dupt = _round4((len(ws) - len(set(ws))) / len(ws)) if ws else 0.0
+            keep = _gopher_keep(tops, dup5)
             out["top_2gram_char_frac"].append(tops[2])
             out["top_3gram_char_frac"].append(tops[3])
             out["top_4gram_char_frac"].append(tops[4])
@@ -323,7 +339,9 @@ def docs_tfidf_top_terms(sf_dir: str):
             }
         )
 
-    tf = ds.map_batches(term_counts, batch_format="pyarrow")
+    # materialize: tf feeds both the docfreq shuffle_agg and the join —
+    # without it Ray re-reads and re-tokenizes the corpus per consumer
+    tf = ds.map_batches(term_counts, batch_format="pyarrow").materialize()
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("term", as_index=False).size()
@@ -386,8 +404,6 @@ def docs_source_mix(sf_dir: str):
     the bookkeeping every multi-source pretraining mix needs.  Source
     cardinality is tiny (corpus provenance labels), so this is the
     combiner + driver-reduce shape: one row per (source, block) moves."""
-    from scrapy__ray.pipelines.util import driver_agg
-
     ds = read_parquet(sf_dir, "documents", columns=["source", "text"])
 
     def counts(t: pa.Table) -> pa.Table:
@@ -464,28 +480,7 @@ def docs_curation_pipeline(sf_dir: str):
             n_chars = sum(len(w) for w in ws)
             n_punct = sum(1 for ch in text if ch in _PUNCT)
             pr = n_punct / n_chars if n_chars else 0.0
-            tops = {}
-            for gn in (2, 3, 4):
-                if n < gn or not n_chars:
-                    tops[gn] = 0.0
-                    continue
-                c = collections.Counter(
-                    " ".join(ws[i : i + gn]) for i in range(n - gn + 1)
-                )
-                g, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
-                tops[gn] = _round4(cnt * len(g.replace(" ", "")) / n_chars)
-            if n < 5 or not n_chars:
-                dup5 = 0.0
-            else:
-                c5 = collections.Counter(
-                    " ".join(ws[i : i + 5]) for i in range(n - 4)
-                )
-                extra = sum(
-                    (cnt - 1) * len(g.replace(" ", ""))
-                    for g, cnt in c5.items()
-                    if cnt > 1
-                )
-                dup5 = _round4(min(1.0, extra / n_chars))
+            tops, dup5 = _gopher_signals(ws, n_chars)
             grams = {
                 " ".join(ws[i : i + _DECON_N])
                 for i in range(n - _DECON_N + 1)
@@ -493,12 +488,7 @@ def docs_curation_pipeline(sf_dir: str):
             ids.append(did)
             hashes.append(hashlib.md5(text.encode("utf-8")).hexdigest())
             q_ok.append(n >= 10 and pr < 0.3)
-            r_ok.append(
-                tops[2] <= _REP_THRESH[2]
-                and tops[3] <= _REP_THRESH[3]
-                and tops[4] <= _REP_THRESH[4]
-                and dup5 <= _DUP5_THRESH
-            )
+            r_ok.append(_gopher_keep(tops, dup5))
             unc.append(not (grams & bench))
         return pa.table(
             {
@@ -510,7 +500,12 @@ def docs_curation_pipeline(sf_dir: str):
             }
         )
 
-    flagged = ds.map_batches(flags, batch_format="pyarrow")
+    # materialize: flagged feeds BOTH the canonical shuffle_agg and the
+    # shuffle_join below — unmaterialized, Ray re-executes the fused flags
+    # pass (the expensive corpus scan) once per consumer.  The table is
+    # narrow (doc_id + md5 hex + 3 bools ≈ 50 B/row), so holding it in the
+    # object store keeps the corpus scan at exactly one.
+    flagged = ds.map_batches(flags, batch_format="pyarrow").materialize()
 
     def canon_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("text_hash", as_index=False).agg(
@@ -863,15 +858,24 @@ def docs_importance_weights(sf_dir: str):
 
 
 def dsir_ratio_table(c_all: np.ndarray, c_tgt: np.ndarray) -> np.ndarray:
-    """Shared SPEC (not shared runtime code — pure numpy, used by both the
-    pipeline and the independent oracle): Laplace-smoothed per-bucket
-    log(p_target/q_all), fixed to int64 units of 1/_DSIR_SCALE with
-    half-away-from-zero rounding."""
+    """Laplace-smoothed per-bucket log(p_target/q_all), fixed to int64
+    units of 1/_DSIR_SCALE with half-away-from-zero rounding.  Built with
+    SCALAR math.log on the driver (4096 entries — negligible): numpy's
+    SIMD log can differ from libm's scalar log by an ulp, and an ulp at a
+    half-integer boundary would flip an entry vs the independent oracle's
+    math.log table, breaking the exact-integer-sum guarantee downstream."""
+    import math
+
     tgt_tot = float(c_tgt.sum() + _DSIR_BUCKETS)
     all_tot = float(c_all.sum() + _DSIR_BUCKETS)
-    ratio = np.log((c_tgt + 1) / tgt_tot) - np.log((c_all + 1) / all_tot)
-    scaled = ratio * _DSIR_SCALE
-    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    out = np.empty(_DSIR_BUCKETS, np.int64)
+    for k in range(_DSIR_BUCKETS):
+        r = (
+            math.log((int(c_tgt[k]) + 1) / tgt_tot)
+            - math.log((int(c_all[k]) + 1) / all_tot)
+        ) * _DSIR_SCALE
+        out[k] = int(math.copysign(math.floor(abs(r) + 0.5), r))
+    return out
 
 
 # --------------------------------------- CCNet-style LM quality bucketing
@@ -909,11 +913,20 @@ def _lm_trigrams(text: str) -> np.ndarray:
 
 
 def lm_nll_table(counts: np.ndarray) -> np.ndarray:
-    """Shared SPEC: Laplace-smoothed per-bucket negative log-likelihood
-    -log((c+1)/(total+B)), fixed to int64 units of 1/_LM_SCALE nats."""
+    """Laplace-smoothed per-bucket negative log-likelihood
+    -log((c+1)/(total+B)), fixed to int64 units of 1/_LM_SCALE nats.
+    Scalar math.log for the same ulp-at-the-rounding-boundary reason as
+    dsir_ratio_table (the oracle builds its table with math.log)."""
+    import math
+
     total = float(counts.sum() + _LM_BUCKETS)
-    nll = np.log(total) - np.log(counts + 1)
-    return (np.floor(nll * _LM_SCALE + 0.5)).astype(np.int64)  # nll >= 0
+    log_total = math.log(total)
+    out = np.empty(_LM_BUCKETS, np.int64)
+    for k in range(_LM_BUCKETS):
+        out[k] = int(
+            math.floor((log_total - math.log(int(counts[k]) + 1)) * _LM_SCALE + 0.5)
+        )
+    return out
 
 
 def docs_lm_quality(sf_dir: str):

@@ -262,10 +262,13 @@ def shuffle_join(
     null columns (see arrow_out for why), and integer join keys arriving
     as float64 (a pandas NaN-promotion artifact in chained joins) are
     restored before hashing — float 3.0 and int 3 hash differently.
-    Key contract: the join key must be integer-valued (every current
-    caller joins on int64 ids).  A float key column whose values are not
-    all integral would be silently truncated by the restore-cast, so the
-    tag stage raises TypeError instead of guessing.
+    Key contract: the join key must be integer-valued OR a string (ids
+    like doc_id/orderkey, or token/hash keys like term/text_hash —
+    qualityops joins on both).  Strings never enter the NaN-promotion
+    path because each side is split to Arrow while still typed, so only
+    floating keys need the restore-cast; a float key column whose values
+    are not all integral would be silently truncated by it, so the tag
+    stage raises TypeError instead of guessing.
 
     Column names must be disjoint apart from ``on``.  Pass ``left_cols`` /
     ``right_cols`` to prune early and skip the schema peek.  Returns a

@@ -290,3 +290,23 @@ def test_substring_dups_fully_duplicated_pair_dropped():
     rows = {r[0]: r for r in c.execute(DOCS_SUBSTRING_SQL).fetchall()}
     for d in (1, 2):
         assert rows[d][3] == 1.0 and not rows[d][4]  # 100% shared -> drop
+
+
+def test_dup_token_frac_rounding_boundary():
+    """159-distinct-of-160 tokens: (n-distinct)/n = 1/160 = 0.00625 rounds
+    to 0.0063; the algebraically-equal 1 - distinct/n floats to
+    0.006249999... and rounds to 0.0062 — the engine must compute the
+    subtract-first form the SQL oracle uses (review r3 finding)."""
+    from scrapy__ray.pipelines.qualityops import DOCS_REPETITION_SQL, _round4
+
+    toks = [f"t{i}" for i in range(159)] + ["t0"]
+    assert _round4((160 - 159) / 160) == 0.0063
+    assert _round4(1.0 - 159 / 160) == 0.0062  # the broken form, for contrast
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{' '.join(toks)}', 'en', 's', 0)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    sql_val = c.execute(DOCS_REPETITION_SQL).fetchdf().dup_token_frac[0]
+    assert sql_val == 0.0063 == _round4((160 - 159) / 160)
