@@ -324,12 +324,15 @@ def _set_jaccard_pairs(sf_dir: str, feature_fn, max_df: int | None):
         g = df.groupby("doc_id", as_index=False).size()
         return g.rename(columns={"size": "sz"})
 
+    # materialized: BOTH endpoint joins below consume sizes — without it
+    # Ray re-executes the doc_id shuffle_agg over the inverted index per
+    # consumer (review r3 double-scan family); one row per doc, tiny
     sizes = shuffle_agg(
         inverted,
         ["doc_id"],
         partial_sizes,
         lambda df: df.groupby("doc_id", as_index=False)["sz"].sum(),
-    )
+    ).materialize()
 
     # shuffle-join the pair stream with sizes on each endpoint
     with_a = shuffle_join(
@@ -723,7 +726,11 @@ def docs_minhash_lsh(sf_dir: str):
             }
         )
 
-    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    # materialized: both endpoint joins consume the shingle dataset —
+    # unmaterialized, each join re-reads the corpus and re-hashes every
+    # shingle (review r3 double-scan family).  One packed-bytes row per
+    # doc; the object store spills it rather than re-scanning 100 TB twice
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
 
     with_a = shuffle_join(
         uniq,
