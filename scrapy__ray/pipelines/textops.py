@@ -232,6 +232,12 @@ def _df_capped_segments(df: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
 # Pass max_df=None explicitly for the uncapped (quadratic) variant.
 JACCARD_MAX_DF = 1000
 
+#: Jaccard size-lookup regime switch: corpora at or below this many docs
+#: broadcast the per-doc set-size table (16 B/doc -> ≤ 32 MB) instead of
+#: running a shuffle_agg + two shuffle_joins; above it the all-dataset
+#: path keeps the driver out of the data plane entirely.
+_SIZES_BROADCAST_MAX = 2_000_000
+
 
 def _ngrams(text: str, n: int = 3) -> set[str]:
     """Distinct word n-gram shingles (contract mirrored by the SQL oracle:
@@ -318,11 +324,56 @@ def _set_jaccard_pairs(sf_dir: str, feature_fn, max_df: int | None):
 
     inter = shuffle_agg(pair_rows, ["doc_a", "doc_b"], partial_count, final_count)
 
-    # branch B: |token set| per doc (post-cap), as a DATASET — replaces the
-    # round-1 driver-side full-table read + broadcast dict (scale-killer)
+    # branch B: |token set| per doc (post-cap) — TWO-REGIME like the
+    # MinHash verify path.  Below _SIZES_BROADCAST_MAX documents the sizes
+    # table (16 B/doc) folds to the driver via mergeable partials over the
+    # already-materialized inverted index (ZERO extra exchanges) and rides
+    # back as a broadcast lookup, replacing a shuffle_agg + two
+    # shuffle_joins whose fixed aggregator spin-up dwarfs the data at
+    # bench scale.  Above the threshold — the 10^10-doc design point,
+    # where a sizes dict would not fit the driver — the original
+    # all-dataset path runs unchanged.
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
     def partial_sizes(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("doc_id", as_index=False).size()
         return g.rename(columns={"size": "sz"})
+
+    if n_docs <= _SIZES_BROADCAST_MAX:
+        from scrapy__ray.pipelines.util import broadcast, driver_agg, lookup_broadcast
+
+        sz_df = driver_agg(
+            inverted,
+            partial_sizes,
+            lambda df: df.groupby("doc_id", as_index=False)["sz"].sum(),
+        )
+        ref = broadcast(
+            dict(zip(sz_df["doc_id"].astype(np.int64), sz_df["sz"].astype(np.int64)))
+        )
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            m = lookup_broadcast(ref)
+            i = df["i"].values.astype(np.float64)
+            sz_a = df["doc_a"].map(m).values.astype(np.float64)
+            sz_b = df["doc_b"].map(m).values.astype(np.float64)
+            j = i / (sz_a + sz_b - i)
+            keep = j >= JACCARD_THRESHOLD
+            return pd.DataFrame(
+                {
+                    "doc_a": df["doc_a"].values[keep].astype(np.int64),
+                    "doc_b": df["doc_b"].values[keep].astype(np.int64),
+                    "jaccard": round_col(j[keep], 4),
+                }
+            )
+
+        return collect_arrow(
+            inter.map_batches(verify_bcast, batch_format="pandas", batch_size=None),
+            _PAIR_SCHEMA,
+        )
 
     # materialized: BOTH endpoint joins below consume sizes — without it
     # Ray re-executes the doc_id shuffle_agg over the inverted index per
