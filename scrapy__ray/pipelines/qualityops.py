@@ -63,6 +63,11 @@ def _round4(x: float) -> float:
     return float(np.sign(x) * np.floor(abs(x) * 1e4 + 0.5) / 1e4)
 
 
+#: TF-IDF df-lookup regime switch: at or below this many documents the
+#: vocabulary comfortably broadcasts (term->df dict); above it the
+#: term-keyed shuffle path keeps every node out of single-node territory.
+_VOCAB_BROADCAST_MAX_DOCS = 200_000
+
 # ------------------------------------------------- Gopher repetition signals
 _REP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}  # Gopher table A1 top-ngram caps
 _DUP5_THRESH = 0.15  # Gopher dup-ngram cap (n=5 row)
@@ -350,12 +355,31 @@ def docs_tfidf_top_terms(sf_dir: str):
     def df_final(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("term", as_index=False)["df"].sum()
 
-    docfreq = shuffle_agg(tf, ["term"], df_partial, df_final)
+    # TWO-REGIME df lookup (the Jaccard-sizes pattern): below
+    # _VOCAB_BROADCAST_MAX_DOCS the vocabulary is bounded well under
+    # broadcast size, so document frequency folds to the driver via
+    # mergeable partials over the materialized tf table (no exchange) and
+    # rides back as a broadcast dict — skipping the term shuffle_agg AND
+    # the term shuffle_join (2 of the 4 exchanges).  Above it — corpus
+    # scale, vocabulary too large for any single node — the all-dataset
+    # path below runs unchanged.
+    if n_docs <= _VOCAB_BROADCAST_MAX_DOCS:
+        dfreq = driver_agg(tf, df_partial, df_final)
+        df_map = broadcast(
+            {t: int(d) for t, d in zip(dfreq["term"], dfreq["df"])}
+        )
 
-    joined = shuffle_join(
-        tf, docfreq, on="term",
-        left_cols=["term", "doc_id", "tf"], right_cols=["term", "df"],
-    )
+        def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+            m = lookup_broadcast(df_map)
+            return df.assign(df=df["term"].map(m).astype(np.int64))
+
+        joined = tf.map_batches(attach_df, batch_format="pandas")
+    else:
+        docfreq = shuffle_agg(tf, ["term"], df_partial, df_final)
+        joined = shuffle_join(
+            tf, docfreq, on="term",
+            left_cols=["term", "doc_id", "tf"], right_cols=["term", "df"],
+        )
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
