@@ -1159,6 +1159,77 @@ FROM per
 """
 
 
+# ------------------------------------------------ RAG-style chunking
+_CHUNK_LEN = 128  # tokens per retrieval chunk
+_CHUNK_STRIDE = 96  # stride (=> 32-token overlap)
+
+
+def docs_chunk_overlap(sf_dir: str):
+    """Overlapping retrieval chunks per document: windows of _CHUNK_LEN
+    tokens every _CHUNK_STRIDE (the standard RAG indexing slice), one row
+    per (doc_id, chunk_id) with token offsets.  Chunk k starts at
+    k*stride; the last chunk is the first one whose start + len reaches
+    the end (it may be short).  Empty docs emit nothing.  Purely per-doc —
+    a single map pass, no exchange at any scale."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    C, S = _CHUNK_LEN, _CHUNK_STRIDE
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ks, starts, lens = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            n = len(_tokens(text))
+            if n == 0:
+                continue
+            kmax = max(0, -(-(n - C) // S))  # ceil((n-C)/S), 0 when n <= C
+            for k in range(kmax + 1):
+                ids.append(int(doc_id))
+                ks.append(k)
+                starts.append(k * S)
+                lens.append(min(C, n - k * S))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_id": pd.Series(ks, dtype="int64"),
+                "tok_start": pd.Series(starts, dtype="int64"),
+                "tok_len": pd.Series(lens, dtype="int64"),
+            }
+        )
+
+    out = ds.map_batches(chunks, batch_format="pandas")
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("chunk_id", pa.int64()),
+                ("tok_start", pa.int64()),
+                ("tok_len", pa.int64()),
+            ]
+        ),
+    )
+
+
+DOCS_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tok
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(0,
+           CAST(ceil(GREATEST(n_tok - {_CHUNK_LEN}, 0)::DOUBLE
+                     / {_CHUNK_STRIDE}) AS BIGINT)))::BIGINT AS chunk_id
+  FROM t WHERE n_tok > 0
+)
+SELECT doc_id, chunk_id,
+       (chunk_id * {_CHUNK_STRIDE})::BIGINT AS tok_start,
+       LEAST({_CHUNK_LEN}, n_tok - chunk_id * {_CHUNK_STRIDE})::BIGINT AS tok_len
+FROM ex
+"""
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1169,4 +1240,5 @@ QUERIES = {
     "docs_importance_weights": (docs_importance_weights, None),
     "docs_lm_quality": (docs_lm_quality, None),
     "docs_substring_dups": (docs_substring_dups, DOCS_SUBSTRING_SQL),
+    "docs_chunk_overlap": (docs_chunk_overlap, DOCS_CHUNK_SQL),
 }

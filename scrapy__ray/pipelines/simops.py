@@ -465,7 +465,13 @@ def emb_kmeans(sf_dir: str):
     init = _filtered_vecs(sf_dir, list(range(_KMEANS_K)))
     cent = np.stack([init[i] for i in range(_KMEANS_K)])
 
-    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # materialize: each Lloyd iteration is a fresh driver_agg consumer —
+    # unmaterialized, every iteration re-reads and re-decodes the parquet
+    # (5x the I/O).  The vector table lives in the object store (spills
+    # beyond memory), the standard iterative-ML caching pattern.
+    ds = read_parquet(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
 
     for _ in range(_KMEANS_ITERS):
         c_ref = broadcast(cent)

@@ -310,3 +310,38 @@ def test_dup_token_frac_rounding_boundary():
     )
     sql_val = c.execute(DOCS_REPETITION_SQL).fetchdf().dup_token_frac[0]
     assert sql_val == 0.0063 == _round4((160 - 159) / 160)
+
+
+def test_chunk_overlap_sql_semantics():
+    """Pin the chunking contract: n <= C -> one full chunk; stride steps;
+    short tail; coverage of every token position."""
+    from scrapy__ray.pipelines.qualityops import (
+        DOCS_CHUNK_SQL, _CHUNK_LEN, _CHUNK_STRIDE,
+    )
+
+    C, S = _CHUNK_LEN, _CHUNK_STRIDE
+    c = duckdb.connect()
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{mk(5)}', 'en', 's', 0),"        # tiny: one 5-token chunk
+        f"(2, '{mk(C)}', 'en', 's', 0),"        # exactly C: one chunk
+        f"(3, '{mk(C + 1)}', 'en', 's', 0),"    # C+1: second chunk at S
+        f"(4, '{mk(2 * S + C)}', 'en', 's', 0)," # three full strides
+        "(5, '', 'en', 's', 0)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    rows = collections.defaultdict(list)
+    for doc_id, k, st, ln in c.execute(DOCS_CHUNK_SQL).fetchall():
+        rows[doc_id].append((k, st, ln))
+    assert rows[1] == [(0, 0, 5)]
+    assert rows[2] == [(0, 0, C)]
+    assert rows[3] == [(0, 0, C), (1, S, C + 1 - S)]
+    assert rows[4] == [(0, 0, C), (1, S, C), (2, 2 * S, C)]
+    assert 5 not in rows
+    # coverage: every token index of doc 4 falls in >= 1 chunk
+    n = 2 * S + C
+    covered = set()
+    for _k, st, ln in rows[4]:
+        covered.update(range(st, st + ln))
+    assert covered == set(range(n))
