@@ -16,11 +16,13 @@ import pandas as pd
 import pyarrow as pa
 
 from scrapy__ray.pipelines.util import (
+    collect_arrow,
     driver_agg,
     ensure_ctx,
     hash_partition_map,
     read_parquet,
     round_col,
+    shuffle_agg,
 )
 
 
@@ -260,8 +262,143 @@ GROUP BY qs.quantile
 """
 
 
+# ---------------------------------------------------------- range join
+_RANGE_US = 3_600_000_000  # 1-hour attribution window
+_RANGE_LEFT = "view"  # window-owning side
+_RANGE_RIGHT = "purchase"  # attributed side
+
+
+def events_range_join(sf_dir: str):
+    """Interval (range) join — the attribution-window shape: for every
+    'view' event, the count and value-sum of the same user's 'purchase'
+    events inside [view_ts, view_ts + 1 hour).  Ray Data has no interval
+    join; this is the canonical bucketed composition: bucket width = the
+    window length, so every window overlaps AT MOST TWO buckets —
+    purchases land in exactly one (user, bucket) partition and each view
+    is REPLICATED into the <= 2 buckets its window touches, which makes
+    every (view, purchase) match occur in exactly one partition (the
+    purchase's bucket), with no double counting by construction.  View
+    replicas also emit zero partials so purchase-less views surface with
+    n_purchases = 0; the <= 2 partials per view merge in one tiny
+    event_id exchange.  Partitioning assumption (documented): matches are
+    equi-keyed by user — the range predicate alone never crosses a
+    (user, bucket) partition."""
+    ensure_ctx()
+    ev = read_parquet(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].values.astype(np.int64)
+        eid = df["event_id"].values.astype(np.int64)
+        val = df["value"].values.astype(np.float64)
+        is_r = (df["event_type"] == _RANGE_RIGHT).values
+        is_l = (df["event_type"] == _RANGE_LEFT).values
+        # right side: one row in its own bucket
+        out = [
+            pd.DataFrame(
+                {
+                    "user_id": uid[is_r],
+                    "bucket": ts_us[is_r] // _RANGE_US,
+                    "ts_us": ts_us[is_r],
+                    "value": val[is_r],
+                    "event_id": np.int64(-1),
+                    "win_lo": np.int64(0),
+                    "__side": np.int8(0),
+                }
+            )
+        ]
+        # left side: replica per touched bucket (1 when window-aligned)
+        lo = ts_us[is_l]
+        b0 = lo // _RANGE_US
+        b1 = (lo + _RANGE_US - 1) // _RANGE_US
+        dup = b1 != b0
+        out.append(
+            pd.DataFrame(
+                {
+                    "user_id": np.concatenate([uid[is_l], uid[is_l][dup]]),
+                    "bucket": np.concatenate([b0, b1[dup]]),
+                    "ts_us": np.int64(0),
+                    "value": 0.0,
+                    "event_id": np.concatenate([eid[is_l], eid[is_l][dup]]),
+                    "win_lo": np.concatenate([lo, lo[dup]]),
+                    "__side": np.int8(1),
+                }
+            )
+        )
+        return pd.concat(out, ignore_index=True)
+
+    both = ev.map_batches(tag, batch_format="pandas", batch_size=None)
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["__side"] == 0][["user_id", "bucket", "ts_us", "value"]]
+        l = df[df["__side"] == 1][["user_id", "bucket", "event_id", "win_lo"]]
+        # zero partial per view replica: purchase-less views must surface
+        parts = pd.DataFrame(
+            {"event_id": l["event_id"].values, "n": np.int64(0), "v": 0.0}
+        )
+        if len(r) and len(l):
+            m = r.merge(l, on=["user_id", "bucket"])
+            hit = (m["ts_us"].values >= m["win_lo"].values) & (
+                m["ts_us"].values < m["win_lo"].values + _RANGE_US
+            )
+            m = m[hit]
+            parts = pd.concat(
+                [
+                    parts,
+                    pd.DataFrame(
+                        {
+                            "event_id": m["event_id"].values,
+                            "n": np.int64(1),
+                            "v": m["value"].values,
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return parts.groupby("event_id", as_index=False).sum()
+
+    part = hash_partition_map(both, ["user_id", "bucket"], range_partial)
+
+    out = collect_arrow(
+        shuffle_agg(
+            part,
+            ["event_id"],
+            lambda df: df.groupby("event_id", as_index=False).sum(),
+            lambda df: df.groupby("event_id", as_index=False).sum(),
+        ),
+        pa.schema(
+            [("event_id", pa.int64()), ("n", pa.int64()), ("v", pa.float64())]
+        ),
+    ).to_pandas()
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+            "n_purchases": pa.array(out["n"].astype("int64"), pa.int64()),
+            "value_sum": round_col(out["v"], 2),
+        }
+    )
+
+
+EVENTS_RANGE_SQL = f"""
+SELECT v.event_id,
+       COUNT(p.ts)::BIGINT AS n_purchases,
+       ROUND(COALESCE(SUM(p.value), 0), 2) AS value_sum
+FROM events v
+LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = '{_RANGE_RIGHT}'
+ AND p.ts >= v.ts
+ AND epoch_us(p.ts) < epoch_us(v.ts) + {_RANGE_US}
+WHERE v.event_type = '{_RANGE_LEFT}'
+GROUP BY v.event_id
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
     "lineitem_price_quantiles": (lineitem_price_quantiles, LINEITEM_QUANTILES_SQL),
+    "events_range_join": (events_range_join, EVENTS_RANGE_SQL),
 }

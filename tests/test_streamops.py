@@ -60,3 +60,29 @@ def test_asof_join_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
+
+
+def test_range_join_boundary_semantics():
+    """Window is [view_ts, view_ts + 1h): purchase at the view instant is
+    IN, at exactly +1h is OUT, other users never match, and purchase-less
+    views surface with zeros (pure DuckDB — the engine-vs-oracle gate runs
+    in the generic driver-mimic suite)."""
+    import duckdb
+
+    from scrapy__ray.pipelines.streamops import EVENTS_RANGE_SQL
+
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 7, 'view', 0.0, ''),"
+        "(2, TIMESTAMP '2024-01-01 10:00:00', 7, 'purchase', 5.0, ''),"   # t+0: in
+        "(3, TIMESTAMP '2024-01-01 10:59:59', 7, 'purchase', 2.0, ''),"   # in
+        "(4, TIMESTAMP '2024-01-01 11:00:00', 7, 'purchase', 9.0, ''),"   # t+1h: out
+        "(5, TIMESTAMP '2024-01-01 10:30:00', 8, 'purchase', 3.0, ''),"   # other user
+        "(6, TIMESTAMP '2024-01-01 09:00:00', 9, 'view', 0.0, '')"        # no purchases
+        ") AS t(event_id, ts, user_id, event_type, value, props)"
+    )
+    rows = {r[0]: r for r in c.execute(EVENTS_RANGE_SQL).fetchall()}
+    assert rows[1] == (1, 2, 7.0)   # purchases 2 and 3 only
+    assert rows[6] == (6, 0, 0.0)   # zero-surfacing
+    assert set(rows) == {1, 6}      # only views produce rows
