@@ -559,6 +559,39 @@ def oracle_docs_lm_quality(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "nll", "ppl_bucket"])
 
 
+def oracle_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Single-process count-min mirror (spec in pipelines/streamops.py):
+    d=4 x w=2048 salted-blake2b sketch over user_id, dense [min,max]
+    candidate range, top 20 by (estimate DESC, user_id).  A CMS is a
+    linear sketch, so adding all rows in one pass here equals the
+    engine's per-block partial sums exactly."""
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    users = tbl.column("user_id").to_pylist()
+    D, W, K = 4, 2048, 20
+
+    def idx(key, d):
+        h = int.from_bytes(
+            hashlib.blake2b(
+                str(key).encode(), digest_size=8, salt=bytes([d] * 8)
+            ).digest(),
+            "big",
+        )
+        return h % W
+
+    cms = [[0] * W for _ in range(D)]
+    from collections import Counter
+
+    for k, c in Counter(users).items():
+        for d in range(D):
+            cms[d][idx(k, d)] += c
+    lo, hi = min(users), max(users)
+    est = {k: min(cms[d][idx(k, d)] for d in range(D)) for k in range(lo, hi + 1)}
+    ranked = sorted(est.items(), key=lambda t: (-t[1], t[0]))[:K]
+    return pd.DataFrame(
+        {"user_id": [k for k, _ in ranked], "est_count": [e for _, e in ranked]}
+    )
+
+
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
     "docs_langid": oracle_docs_langid,
@@ -571,6 +604,7 @@ _SF_ORACLES = {
     "events_approx_users": oracle_events_approx_users,
     "docs_importance_weights": oracle_docs_importance_weights,
     "docs_lm_quality": oracle_docs_lm_quality,
+    "events_heavy_hitters": oracle_events_heavy_hitters,
 }
 
 _cache: dict[str, dict[str, str]] = {}

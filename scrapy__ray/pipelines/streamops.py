@@ -262,6 +262,97 @@ GROUP BY qs.quantile
 """
 
 
+# ------------------------------------------------ count-min heavy hitters
+_CMS_W = 2048  # counters per row
+_CMS_D = 4  # hash rows
+_CMS_TOPK = 20
+
+
+def _cms_add(cms: np.ndarray, keys, counts) -> None:
+    """Add ``counts`` occurrences of each key into the d x w sketch."""
+    for key, c in zip(keys, counts):
+        kb = str(key).encode()
+        for d in range(_CMS_D):
+            h = int.from_bytes(
+                hashlib.blake2b(kb, digest_size=8, salt=bytes([d] * 8)).digest(),
+                "big",
+            )
+            cms[d, h % _CMS_W] += int(c)
+
+
+def _cms_query(cms: np.ndarray, key) -> int:
+    kb = str(key).encode()
+    est = None
+    for d in range(_CMS_D):
+        h = int.from_bytes(
+            hashlib.blake2b(kb, digest_size=8, salt=bytes([d] * 8)).digest(), "big"
+        )
+        v = int(cms[d, h % _CMS_W])
+        est = v if est is None else min(est, v)
+    return est
+
+
+def events_heavy_hitters(sf_dir: str):
+    """Heavy hitters over user_id via a count-min sketch (Cormode &
+    Muthukrishnan 2005): each block folds its rows into a d=4 x w=2048
+    int64 sketch PLUS its local top candidates; sketches merge by
+    element-wise ADD (a linear sketch — partition-order-independent, so
+    the result is deterministic), and the candidate set is the DENSE key
+    range [min_uid, max_uid] carried as two scalars — NOT per-block local
+    tops, whose membership would depend on block boundaries and make the
+    result nondeterministic vs the single-process oracle.  The driver
+    ranks every candidate by its CMS estimate (ties to the smaller
+    user_id) and returns the top 20 with estimated counts.
+    Mergeable-sketch pattern: 64 KB + two scalars per block move, never
+    the keys themselves — the exact-counting alternative is a full
+    shuffle of every row at 10^10 scale.  Dense-id enumeration is the
+    documented variant (guarded at 10M ids); a sparse/huge key space
+    needs a heavy-keeper heap alongside the sketch, in which case use the
+    exact global top-k (docs_topk_ngrams pattern) instead.  Estimates
+    overcount by design (eps*N with prob 1-delta); approximate ->
+    materialized independent oracle."""
+    ds = read_parquet(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cms": [], "lo": [], "hi": []})
+        vc = df["user_id"].value_counts()
+        cms = np.zeros((_CMS_D, _CMS_W), np.int64)
+        _cms_add(cms, vc.index.to_numpy(), vc.to_numpy())
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"cms": [cms.tobytes()], "lo": [int(u.min())], "hi": [int(u.max())]}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cms = np.zeros((_CMS_D, _CMS_W), np.int64)
+        for cb in df["cms"]:
+            cms += np.frombuffer(cb, np.int64).reshape(_CMS_D, _CMS_W)
+        lo, hi = int(df["lo"].min()), int(df["hi"].max())
+        if hi - lo >= 10_000_000:
+            raise ValueError(
+                "events_heavy_hitters dense-id variant: key range too wide"
+            )
+        ranked = sorted(
+            ((_cms_query(cms, k), k) for k in range(lo, hi + 1)),
+            key=lambda t: (-t[0], t[1]),
+        )[:_CMS_TOPK]
+        return pd.DataFrame(
+            {
+                "user_id": [k for _e, k in ranked],
+                "est_count": [e for e, _k in ranked],
+            }
+        )
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype("int64"), pa.int64()),
+            "est_count": pa.array(out["est_count"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------- range join
 _RANGE_US = 3_600_000_000  # 1-hour attribution window
 _RANGE_LEFT = "view"  # window-owning side
@@ -401,4 +492,5 @@ QUERIES = {
     "events_approx_users": (events_approx_users, None),
     "lineitem_price_quantiles": (lineitem_price_quantiles, LINEITEM_QUANTILES_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_SQL),
+    "events_heavy_hitters": (events_heavy_hitters, None),
 }

@@ -86,3 +86,31 @@ def test_range_join_boundary_semantics():
     assert rows[1] == (1, 2, 7.0)   # purchases 2 and 3 only
     assert rows[6] == (6, 0, 0.0)   # zero-surfacing
     assert set(rows) == {1, 6}      # only views produce rows
+
+
+def test_heavy_hitters_match_exact_topk(ray_session):
+    """CMS top-20 vs the exact top-20 at sf0.001: with 2048 counters and
+    ~dozens of keys the sketch should recover the exact set with zero or
+    near-zero overcount (overcount is one-sided by construction)."""
+    import duckdb
+
+    from scrapy__ray.pipelines.streamops import events_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = events_heavy_hitters(sf).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT user_id, COUNT(*) c FROM read_parquet('{sf}/events.parquet') "
+        "GROUP BY 1 ORDER BY c DESC, user_id LIMIT 20"
+    ).fetchdf()
+    k = min(len(got), len(exact))
+    overlap = len(set(got.user_id[:k]) & set(exact.user_id[:k]))
+    assert overlap >= k - 2
+    # one-sided error: estimates never undercount the true frequency
+    truth = dict(
+        con.execute(
+            f"SELECT user_id, COUNT(*) FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for uid, est in zip(got.user_id, got.est_count):
+        assert est >= truth.get(int(uid), 0)
