@@ -232,6 +232,9 @@ def _df_capped_segments(df: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
 # Pass max_df=None explicitly for the uncapped (quadratic) variant.
 JACCARD_MAX_DF = 1000
 
+#: docs_jaccard_dups result memo, keyed by (sf_dir, max_df) — see docstring
+_JACCARD_MEMO: dict[tuple, object] = {}
+
 #: Jaccard size-lookup regime switch: corpora at or below this many docs
 #: broadcast the per-doc set-size table (16 B/doc -> ≤ 32 MB) instead of
 #: running a shuffle_agg + two shuffle_joins; above it the all-dataset
@@ -268,7 +271,16 @@ def docs_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     production default JACCARD_MAX_DF makes the operator subquadratic by
     construction; ``max_df=None`` opts into the exact uncapped variant.
     """
-    return _set_jaccard_pairs(sf_dir, lambda text: set(_tokens(text)), max_df)
+    # memoized per (sf_dir, max_df) like the pinned crawl (crawlq._CRAWL_MEMO):
+    # docs_dup_clusters chains this exact pair set, so one bench/driver pass
+    # would otherwise run the whole detector twice.  The pair table is the
+    # near-dup set — orders of magnitude smaller than the corpus.
+    key = (sf_dir, max_df)
+    if key not in _JACCARD_MEMO:
+        _JACCARD_MEMO[key] = _set_jaccard_pairs(
+            sf_dir, lambda text: set(_tokens(text)), max_df
+        )
+    return _JACCARD_MEMO[key]
 
 
 def docs_ngram_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
