@@ -254,6 +254,18 @@ EXACT_COS_MAX_ROWS = 100_000
 
 
 def emb_cosine_dups(sf_dir: str, force_exact: bool = False):
+    # memoized like docs_jaccard_dups: emb_dup_clusters chains this exact
+    # pair set in the same process (pa.Table, immutable)
+    key = (sf_dir, force_exact)
+    if key not in _COS_MEMO:
+        _COS_MEMO[key] = _emb_cosine_dups(sf_dir, force_exact)
+    return _COS_MEMO[key]
+
+
+_COS_MEMO: dict[tuple, object] = {}
+
+
+def _emb_cosine_dups(sf_dir: str, force_exact: bool = False):
     """All pairs with round(cos,4) >= threshold — EXACT, via block-pair
     tasks: the dataset's blocks stay in the object store, the driver holds
     only their refs, and one zero-copy task per block pair (i <= j) does a

@@ -659,6 +659,17 @@ _MINHASH_PUSHDOWN_MAX_IDS = 50_000
 
 
 def docs_minhash_lsh(sf_dir: str):
+    # memoized like docs_jaccard_dups: docs_dup_clusters_minhash chains
+    # this exact pair set in the same process (pa.Table, immutable)
+    if sf_dir not in _MINHASH_MEMO:
+        _MINHASH_MEMO[sf_dir] = _docs_minhash_lsh(sf_dir)
+    return _MINHASH_MEMO[sf_dir]
+
+
+_MINHASH_MEMO: dict[str, object] = {}
+
+
+def _docs_minhash_lsh(sf_dir: str):
     """MinHash(128) + LSH(32x4) near-dup pairs, Jaccard>=0.5 verified on true
     shingle sets.  shingle->minhash per batch; band rows explode;
     hash-partition by (band, band_hash) buckets gives candidates; pair dedup
