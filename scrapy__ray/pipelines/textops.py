@@ -1185,6 +1185,66 @@ def media_framesample_stub(sf_dir: str):
     )
 
 
+class EmbedStub:
+    """Actor-pool stage for the batched-model-inference shape (S6/media →
+    similarity chaining): ``__init__`` stands in for the once-per-actor
+    model load (here: the fixed unit query vector), ``__call__`` runs the
+    whole batch through one vectorized "inference" (a matmul against the
+    fake embeddings).  The embedding itself is a deterministic fake — the
+    8 leading md5 bytes of the payload (no torch in this container) — so
+    the op is exactly SQL-mirrorable while the Ray plumbing (actor pool,
+    batch-level vectorization, model in __init__) is the real pattern."""
+
+    DIM = 8
+
+    def __init__(self):
+        import numpy as _np
+
+        self._q = _np.ones(self.DIM) / _np.sqrt(float(self.DIM))  # "model"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hexes = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        emb = np.array(
+            [[int(h[2 * i : 2 * i + 2], 16) for i in range(self.DIM)] for h in hexes],
+            dtype=np.float64,
+        )
+        ss = (emb * emb).sum(axis=1)
+        sum_e = emb.sum(axis=1)
+        cos = sum_e / (np.sqrt(float(self.DIM)) * np.sqrt(ss))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "emb_csv": pa.array(
+                    [",".join(str(int(v)) for v in row) for row in emb], pa.string()
+                ),
+                "cos_uniform": pa.array(round_col(cos, 4), pa.float64()),
+            }
+        )
+
+
+def media_embed_stub(sf_dir: str):
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        EmbedStub, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+
+
+_EMBED_TERMS = ", ".join(
+    f"CAST('0x' || substring(md5(text), {2 * i + 1}, 2) AS INTEGER)"
+    for i in range(8)
+)
+MEDIA_EMBED_SQL = f"""
+WITH e AS (SELECT doc_id, [{_EMBED_TERMS}] AS v FROM documents)
+SELECT doc_id,
+       array_to_string(v, ',') AS emb_csv,
+       ROUND(list_sum(list_transform(v, x -> x::DOUBLE))
+             / (sqrt(8.0) * sqrt(list_sum(list_transform(v, x -> (x*x)::DOUBLE)))),
+             4) AS cos_uniform
+FROM e
+"""
+
+
 MEDIA_FRAMESAMPLE_SQL = """
 SELECT doc_id, 4::BIGINT AS n_frames,
        md5(substring(text, 0*(len(text)//4)+1, 16)) || ':' ||
@@ -1222,4 +1282,5 @@ QUERIES = {
     "docs_scrub_pii": (docs_scrub_pii, DOCS_SCRUB_PII_SQL),
     "media_meta_stub": (media_meta_stub, MEDIA_META_SQL),
     "media_framesample_stub": (media_framesample_stub, MEDIA_FRAMESAMPLE_SQL),
+    "media_embed_stub": (media_embed_stub, MEDIA_EMBED_SQL),
 }
