@@ -1,0 +1,707 @@
+"""XPath-1.0-subset evaluator over stdlib html.parser (SURVEY.md §2.6 P3).
+
+The reference's second extraction surface is ``response.xpath(...)``
+(`scrapy/selector/unified.py::Selector`, parsel/lxml XPath 1.0).  lxml is
+absent here, so this module implements the practically-used XPath subset
+over the same lightweight DOM that functions/cssselect.py builds
+(``parse_dom`` / ``Node``), with a genuinely different algorithm: XPath is
+evaluated LEFT-TO-RIGHT, generating candidate node-sets axis by axis, while
+the CSS engine matches RIGHT-TO-LEFT with backtracking — the property suite
+cross-checks the two on equivalent selector pairs.
+
+Supported surface:
+
+  paths         ``/a/b``, ``//a``, ``a/b``, ``.//a``, ``./a``, ``.``, ``..``,
+                union ``p1 | p2``, parenthesized node-sets with predicates
+                and trailing steps ``(//a)[1]/@href``
+  axes          abbreviated child (default), ``//`` (descendant-or-self
+                expansion with XPath-correct positional semantics:
+                ``//x[1]`` is every x that is the FIRST x CHILD of its
+                parent, not the first x in the document), ``@name``/``@*``,
+                plus explicit ``child::``, ``descendant::``,
+                ``descendant-or-self::``, ``self::``, ``parent::``,
+                ``attribute::``, ``following-sibling::``,
+                ``preceding-sibling::`` (reverse axis: ``[1]`` = nearest)
+  node tests    name, ``*``, ``text()``, ``node()``
+  predicates    ``[3]``, ``[last()]``, ``[position()<=2]``, ``[@a]``,
+                ``[@a='v']``, ``[tag]``, nested relative paths, ``and``,
+                ``or``, comparisons ``= != < <= > >=`` with XPath-1.0
+                node-set/any-match semantics
+  functions     position last count not contains starts-with string
+                normalize-space string-length concat name true false
+  result types  node-sets (elements / text nodes / attributes) and, at the
+                top level, scalars (``count(//a)`` etc.)
+
+Out of scope (documented): the remaining axes (ancestor*, following,
+preceding, namespace), variables (``$x``), arithmetic operators (``+ - *
+div mod``), ``id()``/``translate()``/``substring*``/``lang()``,
+namespaced names.  ``xpath_extract`` maps element results to their
+recursive text (same pragmatic divergence as css_extract — parsel returns
+outer HTML; re-serialization is out of scope, noted in the docstring
+there too).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from scrapy__ray.functions.cssselect import Node, parse_dom
+
+
+class XPathError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- node kinds
+@dataclass
+class TextItem:
+    """A text NODE (one content chunk) — distinct from an element's
+    recursive string-value."""
+
+    parent: Node
+    index: int  # position in parent.content
+    value: str
+
+
+@dataclass
+class AttrItem:
+    owner: Node
+    name: str
+    value: str
+
+
+def _ident(item):
+    if isinstance(item, Node):
+        return ("n", id(item))
+    if isinstance(item, TextItem):
+        return ("t", id(item.parent), item.index)
+    return ("a", id(item.owner), item.name)
+
+
+def _string_value(item) -> str:
+    if isinstance(item, Node):
+        return item.text()
+    return item.value
+
+
+class _Env:
+    """Per-evaluation document context: doc-order index + canonical
+    text/attr wrappers (so dedup-by-identity works across steps)."""
+
+    def __init__(self, root: Node) -> None:
+        self.root = root
+        self.order: dict = {}
+        i = 0
+
+        def walk(n: Node) -> None:
+            nonlocal i
+            self.order[id(n)] = i
+            i += 1
+            for ci, item in enumerate(n.content):
+                if isinstance(item, Node):
+                    walk(item)
+                else:
+                    self.order[(id(n), ci)] = i
+                    i += 1
+
+        walk(root)
+        self._texts: dict = {}
+        self._attrs: dict = {}
+
+    def text_item(self, parent: Node, index: int) -> TextItem:
+        key = (id(parent), index)
+        it = self._texts.get(key)
+        if it is None:
+            it = self._texts[key] = TextItem(parent, index, parent.content[index])
+        return it
+
+    def attr_item(self, owner: Node, name: str) -> AttrItem:
+        key = (id(owner), name)
+        it = self._attrs.get(key)
+        if it is None:
+            it = self._attrs[key] = AttrItem(owner, name, owner.attrs[name])
+        return it
+
+    def sort_key(self, item):
+        if isinstance(item, Node):
+            return (self.order[id(item)], -1, 0)
+        if isinstance(item, TextItem):
+            return (self.order[(id(item.parent), item.index)], -1, 0)
+        # XPath: attributes follow their element, before its children,
+        # in declaration order (matching lxml)
+        return (self.order[id(item.owner)], 0, list(item.owner.attrs).index(item.name))
+
+    def doc_sort(self, items: list) -> list:
+        out, seen = [], set()
+        for it in sorted(items, key=self.sort_key):
+            k = _ident(it)
+            if k not in seen:
+                seen.add(k)
+                out.append(it)
+        return out
+
+
+# ------------------------------------------------------------------- lexer
+_TOKEN_RE = re.compile(
+    r"\s*("
+    r"//|/|\.\.|::|!=|<=|>=|"
+    r"\d+(?:\.\d+)?|\.\d+|"
+    r"\.|@|\||\[|\]|\(|\)|,|=|<|>|\*|"
+    r'"[^"]*"|\'[^\']*\'|'
+    r"[A-Za-z_][\w-]*"
+    r")"
+)
+
+
+def _tokenize(expr: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(expr):
+        m = _TOKEN_RE.match(expr, pos)
+        if not m:
+            if expr[pos:].strip() == "":
+                break
+            raise XPathError(f"bad character at {pos} in xpath: {expr!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+# ---------------------------------------------------------------- AST nodes
+@dataclass
+class Step:
+    axis: str  # child descendant descendant-or-self self parent attribute
+    #           following-sibling preceding-sibling
+    test: str  # tag name | "*" | "text()" | "node()"
+    preds: list
+
+
+@dataclass
+class Path:
+    absolute: bool
+    steps: list  # [(dslash: bool, Step)] — dslash = '//' before the step
+
+
+@dataclass
+class Filter:
+    inner: object  # any expression; must evaluate to a node-set
+    preds: list
+    steps: list  # trailing [(dslash, Step)]
+
+
+@dataclass
+class UnionExpr:
+    parts: list  # Path | Filter
+
+
+@dataclass
+class Cmp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class BoolOp:
+    op: str  # "and" | "or"
+    parts: list
+
+
+@dataclass
+class Func:
+    name: str
+    args: list
+
+
+@dataclass
+class Lit:
+    value: object  # float | str
+
+
+_AXES = {
+    "child",
+    "descendant",
+    "descendant-or-self",
+    "self",
+    "parent",
+    "attribute",
+    "following-sibling",
+    "preceding-sibling",
+}
+_FUNCS = {
+    "position": (0, 0),
+    "last": (0, 0),
+    "count": (1, 1),
+    "not": (1, 1),
+    "contains": (2, 2),
+    "starts-with": (2, 2),
+    "string": (0, 1),
+    "normalize-space": (0, 1),
+    "string-length": (0, 1),
+    "concat": (2, 99),
+    "name": (0, 1),
+    "true": (0, 0),
+    "false": (0, 0),
+}
+
+
+class _Parser:
+    def __init__(self, expr: str) -> None:
+        self.expr = expr
+        self.toks = _tokenize(expr)
+        self.i = 0
+
+    def peek(self, k: int = 0) -> str | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise XPathError(f"unexpected end of xpath: {self.expr!r}")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t != tok:
+            raise XPathError(f"expected {tok!r}, got {t!r} in: {self.expr!r}")
+
+    # XPath 1.0 precedence (subset): or < and < (=,!=,<,<=,>,>=) < '|' <
+    # path.  The top-level expression is a full OrExpr, so scalars like
+    # ``count(//a)`` parse as well as plain paths.
+    def parse(self):
+        e = self.parse_or()
+        if self.i != len(self.toks):
+            raise XPathError(f"trailing tokens in xpath: {self.expr!r}")
+        return e
+
+    def parse_pathexpr(self):
+        tok = self.peek()
+        if tok == "(":
+            self.next()
+            inner = self.parse_or()
+            self.expect(")")
+            preds = self.parse_preds()
+            steps = []
+            while self.peek() in ("/", "//"):
+                dslash = self.next() == "//"
+                steps.append((dslash, self.parse_step()))
+            return Filter(inner, preds, steps)
+        if tok is not None and re.fullmatch(r"\d+(?:\.\d+)?|\.\d+", tok):
+            self.next()
+            return Lit(float(tok))
+        if tok is not None and tok[0] in "\"'":
+            self.next()
+            return Lit(tok[1:-1])
+        if (
+            tok is not None
+            and re.fullmatch(r"[A-Za-z_][\w-]*", tok)
+            and self.peek(1) == "("
+            and tok in _FUNCS
+        ):
+            name = self.next()
+            self.expect("(")
+            args = []
+            if self.peek() != ")":
+                args.append(self.parse_or())
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.parse_or())
+            self.expect(")")
+            lo, hi = _FUNCS[name]
+            if not lo <= len(args) <= hi:
+                raise XPathError(f"{name}() takes {lo}..{hi} args: {self.expr!r}")
+            return Func(name, args)
+        return self.parse_path()
+
+    def parse_path(self) -> Path:
+        absolute = False
+        steps: list = []
+        tok = self.peek()
+        if tok in ("/", "//"):
+            absolute = True
+            dslash = self.next() == "//"
+            steps.append((dslash, self.parse_step()))
+        else:
+            steps.append((False, self.parse_step()))
+        while self.peek() in ("/", "//"):
+            dslash = self.next() == "//"
+            steps.append((dslash, self.parse_step()))
+        return Path(absolute, steps)
+
+    def parse_step(self) -> Step:
+        tok = self.peek()
+        if tok == ".":
+            self.next()
+            return Step("self", "node()", [])
+        if tok == "..":
+            self.next()
+            return Step("parent", "node()", [])
+        axis = "child"
+        if tok == "@":
+            self.next()
+            axis = "attribute"
+        elif tok is not None and self.peek(1) == "::":
+            if tok not in _AXES:
+                raise XPathError(f"unsupported axis {tok!r} in: {self.expr!r}")
+            axis = tok
+            self.next()
+            self.next()
+        test = self.parse_nodetest(axis)
+        return Step(axis, test, self.parse_preds())
+
+    def parse_nodetest(self, axis: str) -> str:
+        tok = self.next()
+        if tok == "*":
+            return "*"
+        if not re.fullmatch(r"[A-Za-z_][\w-]*", tok or ""):
+            raise XPathError(f"bad node test {tok!r} in: {self.expr!r}")
+        if tok in ("text", "node") and self.peek() == "(":
+            self.next()
+            self.expect(")")
+            if axis == "attribute":
+                raise XPathError(f"{tok}() invalid on attribute axis")
+            return tok + "()"
+        return tok.lower()
+
+    def parse_preds(self) -> list:
+        preds = []
+        while self.peek() == "[":
+            self.next()
+            preds.append(self.parse_or())
+            self.expect("]")
+        return preds
+
+    # predicate expression grammar
+    def parse_or(self):
+        parts = [self.parse_and()]
+        while self.peek() == "or":
+            self.next()
+            parts.append(self.parse_and())
+        return parts[0] if len(parts) == 1 else BoolOp("or", parts)
+
+    def parse_and(self):
+        parts = [self.parse_cmp()]
+        while self.peek() == "and":
+            self.next()
+            parts.append(self.parse_cmp())
+        return parts[0] if len(parts) == 1 else BoolOp("and", parts)
+
+    def parse_cmp(self):
+        left = self.parse_union_tight()
+        if self.peek() in ("=", "!=", "<", "<=", ">", ">="):
+            op = self.next()
+            right = self.parse_union_tight()
+            return Cmp(op, left, right)
+        return left
+
+    def parse_union_tight(self):
+        parts = [self.parse_pathexpr()]
+        while self.peek() == "|":
+            self.next()
+            parts.append(self.parse_pathexpr())
+        if len(parts) == 1:
+            return parts[0]
+        for p in parts:
+            if not isinstance(p, (Path, Filter)):
+                raise XPathError(f"'|' operands must be paths: {self.expr!r}")
+        return UnionExpr(parts)
+
+
+# -------------------------------------------------------------- evaluation
+def _nodetest_ok(item, test: str, axis: str) -> bool:
+    if axis == "attribute":
+        return test == "*" or (isinstance(item, AttrItem) and item.name == test)
+    if isinstance(item, TextItem):
+        return test in ("text()", "node()")
+    if isinstance(item, Node):
+        if test == "node()":
+            return True
+        if not item.tag:  # synthetic document root: only node() matches
+            return False
+        return test == "*" or item.tag == test
+    return False
+
+
+def _child_items(n, env: _Env) -> list:
+    if not isinstance(n, Node):
+        return []
+    out = []
+    for ci, item in enumerate(n.content):
+        out.append(item if isinstance(item, Node) else env.text_item(n, ci))
+    return out
+
+
+def _descendants(n, env: _Env, include_self: bool) -> list:
+    out = [n] if include_self else []
+    if isinstance(n, Node):
+        stack = list(reversed(_child_items(n, env)))
+        while stack:
+            it = stack.pop()
+            out.append(it)
+            if isinstance(it, Node):
+                stack.extend(reversed(_child_items(it, env)))
+    return out
+
+
+def _parent_of(item):
+    if isinstance(item, Node):
+        return item.parent
+    if isinstance(item, TextItem):
+        return item.parent
+    return item.owner
+
+
+def _siblings(item, env: _Env, *, forward: bool) -> list:
+    p = _parent_of(item)
+    if not isinstance(item, (Node, TextItem)) or p is None:
+        return []
+    sibs = _child_items(p, env)
+    me = _ident(item)
+    idx = next(i for i, s in enumerate(sibs) if _ident(s) == me)
+    if forward:
+        return sibs[idx + 1 :]
+    return list(reversed(sibs[:idx]))  # reverse axis order: nearest first
+
+
+def _axis_candidates(ctx, step: Step, env: _Env) -> list:
+    a = step.axis
+    if a == "child":
+        items = _child_items(ctx, env)
+    elif a == "descendant":
+        items = _descendants(ctx, env, include_self=False)
+    elif a == "descendant-or-self":
+        items = _descendants(ctx, env, include_self=True)
+    elif a == "self":
+        items = [ctx]
+    elif a == "parent":
+        p = _parent_of(ctx)
+        items = [p] if p is not None else []
+    elif a == "attribute":
+        if not isinstance(ctx, Node):
+            return []
+        names = (
+            list(ctx.attrs) if step.test == "*" else
+            ([step.test] if step.test in ctx.attrs else [])
+        )
+        return [env.attr_item(ctx, nm) for nm in names]
+    elif a == "following-sibling":
+        items = _siblings(ctx, env, forward=True)
+    else:  # preceding-sibling
+        items = _siblings(ctx, env, forward=False)
+    return [it for it in items if _nodetest_ok(it, step.test, a)]
+
+
+def _apply_preds(cands: list, preds: list, env: _Env) -> list:
+    for pred in preds:
+        size = len(cands)
+        cands = [
+            it
+            for pos, it in enumerate(cands, 1)
+            if _pred_true(pred, it, pos, size, env)
+        ]
+    return cands
+
+
+def _eval_steps(ctxs: list, steps: list, env: _Env) -> list:
+    cur = ctxs
+    for dslash, step in steps:
+        if dslash:
+            # '//' = /descendant-or-self::node()/ then the step's own axis
+            expanded = []
+            for c in cur:
+                expanded.extend(_descendants(c, env, include_self=True))
+            cur = env.doc_sort(expanded)
+        nxt = []
+        for c in cur:
+            nxt.extend(_apply_preds(_axis_candidates(c, step, env), step.preds, env))
+        cur = env.doc_sort(nxt)
+    return cur
+
+
+def _eval_pathexpr(px, ctx_items: list, env: _Env):
+    if isinstance(px, Path):
+        start = [env.root] if px.absolute else ctx_items
+        return _eval_steps(start, px.steps, env)
+    # Filter: (expr)[preds]/steps — inner evaluated per context item
+    out: list = []
+    for c in ctx_items:
+        v = _eval_expr(px.inner, c, 1, 1, env)
+        if not isinstance(v, list):
+            if not px.preds and not px.steps and len(ctx_items) == 1:
+                return v  # plain parenthesized scalar
+            raise XPathError("predicates/steps require a node-set operand")
+        out.extend(v)
+    base = _apply_preds(env.doc_sort(out), px.preds, env)
+    return _eval_steps(base, px.steps, env) if px.steps else base
+
+
+def _eval_union(u: UnionExpr, ctx_items: list, env: _Env) -> list:
+    out = []
+    for p in u.parts:
+        out.extend(_eval_pathexpr(p, ctx_items, env))
+    return env.doc_sort(out)
+
+
+def _to_number(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    if isinstance(v, str):
+        try:
+            return float(v.strip())
+        except ValueError:
+            return math.nan
+    # node-set: number(string-value of first node)
+    return _to_number(_string_value(v[0])) if v else math.nan
+
+
+def _to_string(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e16:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, str):
+        return v
+    return _string_value(v[0]) if v else ""
+
+
+def _to_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v != 0 and not math.isnan(v)
+    if isinstance(v, str):
+        return bool(v)
+    return bool(v)  # node-set: non-empty
+
+
+_NUM_CMP = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def _cmp_values(op: str, lv, rv) -> bool:
+    lset = isinstance(lv, list)
+    rset = isinstance(rv, list)
+    if lset or rset:
+        # XPath 1.0: true iff SOME node(s) satisfy the comparison
+        lvals = [_string_value(n) for n in lv] if lset else [lv]
+        rvals = [_string_value(n) for n in rv] if rset else [rv]
+        for a in lvals:
+            for b in rvals:
+                if _cmp_values(op, a, b):
+                    return True
+        return False
+    if op in ("<", "<=", ">", ">="):
+        return _NUM_CMP[op](_to_number(lv), _to_number(rv))
+    if isinstance(lv, bool) or isinstance(rv, bool):
+        eq = _to_bool(lv) == _to_bool(rv)
+    elif isinstance(lv, float) or isinstance(rv, float):
+        eq = _to_number(lv) == _to_number(rv)
+    else:
+        eq = _to_string(lv) == _to_string(rv)
+    return eq if op == "=" else not eq
+
+
+def _eval_expr(e, item, pos: int, size: int, env: _Env):
+    if isinstance(e, Lit):
+        return e.value
+    if isinstance(e, BoolOp):
+        if e.op == "and":
+            return all(_to_bool(_eval_expr(p, item, pos, size, env)) for p in e.parts)
+        return any(_to_bool(_eval_expr(p, item, pos, size, env)) for p in e.parts)
+    if isinstance(e, Cmp):
+        return _cmp_values(
+            e.op,
+            _eval_expr(e.left, item, pos, size, env),
+            _eval_expr(e.right, item, pos, size, env),
+        )
+    if isinstance(e, Func):
+        args = [_eval_expr(a, item, pos, size, env) for a in e.args]
+        n = e.name
+        if n == "position":
+            return float(pos)
+        if n == "last":
+            return float(size)
+        if n == "count":
+            if not isinstance(args[0], list):
+                raise XPathError("count() needs a node-set")
+            return float(len(args[0]))
+        if n == "not":
+            return not _to_bool(args[0])
+        if n == "contains":
+            return _to_string(args[1]) in _to_string(args[0])
+        if n == "starts-with":
+            return _to_string(args[0]).startswith(_to_string(args[1]))
+        if n == "string":
+            return _to_string(args[0]) if args else _string_value(item)
+        if n == "normalize-space":
+            s = _to_string(args[0]) if args else _string_value(item)
+            return " ".join(s.split())
+        if n == "string-length":
+            s = _to_string(args[0]) if args else _string_value(item)
+            return float(len(s))
+        if n == "concat":
+            return "".join(_to_string(a) for a in args)
+        if n == "name":
+            t = args[0][0] if args and isinstance(args[0], list) and args[0] else item
+            if isinstance(t, Node):
+                return t.tag
+            if isinstance(t, AttrItem):
+                return t.name
+            return ""
+        if n == "true":
+            return True
+        return False  # false()
+    # a path used as a value -> node-set relative to the context item
+    if isinstance(e, (Path, Filter)):
+        return _eval_pathexpr(e, [item], env)
+    if isinstance(e, UnionExpr):
+        return _eval_union(e, [item], env)
+    raise XPathError(f"unhandled expression node {e!r}")
+
+
+def _pred_true(pred, item, pos: int, size: int, env: _Env) -> bool:
+    v = _eval_expr(pred, item, pos, size, env)
+    if isinstance(v, float):  # bare number predicate: position()=N
+        return float(pos) == v
+    return _to_bool(v)
+
+
+# --------------------------------------------------------------- public API
+def xpath_select(root: Node, expr: str):
+    """Evaluate ``expr`` against the document ``root`` (from
+    cssselect.parse_dom).  Node-set results come back as a doc-ordered,
+    deduplicated list of Node / TextItem / AttrItem; a top-level scalar
+    expression (``count(//a)``) returns its Python value."""
+    ast = _Parser(expr).parse()
+    env = _Env(root)
+    return _eval_expr(ast, root, 1, 1, env)
+
+
+def xpath_extract(
+    html: bytes | str | Node, expr: str, declared_encoding: str | None = None
+) -> list[str]:
+    """parsel-style ``response.xpath(expr).getall()`` over the subset:
+    text nodes and attributes yield their value; elements yield their
+    recursive text (parsel returns outer HTML — re-serialization is out of
+    scope, same pragmatic divergence as css_extract); a scalar expression
+    yields its XPath string() form as a single entry."""
+    root = html if isinstance(html, Node) else parse_dom(html, declared_encoding)
+    res = xpath_select(root, expr)
+    if not isinstance(res, list):
+        return [_to_string(res)]
+    return [_string_value(it) for it in res]

@@ -641,6 +641,9 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_host_summary", oracle_crawl_host_summary(res)),
         ("crawl_extract_identity", oracle_crawl_extract_identity(corpus)),
         ("crawl_css_extract", oracle_crawl_css_extract(corpus)),
+        # the xpath query extracts the same targets through a different
+        # engine; the regex oracle is independent of both
+        ("crawl_xpath_extract", oracle_crawl_css_extract(corpus)),
     ):
         paths[name] = write(name, df)
     _cache[sf_dir] = paths

@@ -202,10 +202,65 @@ def crawl_css_extract(sf_dir: str):
     return ds.map_batches(sel, batch_format="pyarrow")
 
 
+def crawl_xpath_extract(sf_dir: str):
+    """XPath-subset selector pipeline (SURVEY.md P3, the `response.xpath`
+    surface) over the corpus pages — the same extraction targets as
+    crawl_css_extract but through the left-to-right XPath evaluator
+    (functions/xpath.py), a genuinely different algorithm from both the
+    CSS matcher and the regex oracle.  Oracle: the same INDEPENDENT
+    regex+unescape extraction, materialized under this query's name."""
+    import ray.data as rd
+
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_extract
+
+    corpus = _corpus()
+    names = rd.read_parquet(corpus + "/pages").schema().names
+    cols = ["url", "html"] + (
+        ["content_encoding"] if "content_encoding" in names else []
+    )
+    ds = rd.read_parquet(corpus + "/pages", columns=cols)
+
+    def sel(t: pa.Table) -> pa.Table:
+        import gzip as _gzip
+
+        htmls = t["html"].to_pylist()
+        if "content_encoding" in t.schema.names:
+            htmls = [
+                _gzip.decompress(h) if enc == "gzip" else h
+                for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+            ]
+        titles, h1s, n_a, anchors, paras = [], [], [], [], []
+        for html in htmls:
+            dom = parse_dom(html)
+            ti = xpath_extract(dom, "//title")
+            h1 = xpath_extract(dom, "//h1")
+            hrefs = xpath_extract(dom, "//li/a/@href")
+            ps = xpath_extract(dom, "//p")
+            titles.append(ti[0] if ti else "")
+            h1s.append(h1[0] if h1 else "")
+            n_a.append(len(hrefs))
+            anchors.append("\n".join(hrefs))
+            paras.append(ps[0] if ps else "")
+        return pa.table(
+            {
+                "url": t["url"],
+                "title": pa.array(titles, pa.string()),
+                "h1": pa.array(h1s, pa.string()),
+                "n_anchors": pa.array(n_a, pa.int64()),
+                "anchors": pa.array(anchors, pa.string()),
+                "first_para": pa.array(paras, pa.string()),
+            }
+        )
+
+    return ds.map_batches(sel, batch_format="pyarrow")
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
     "crawl_metrics": (crawl_metrics, None),
     "crawl_host_summary": (crawl_host_summary, None),
     "crawl_css_extract": (crawl_css_extract, None),
+    "crawl_xpath_extract": (crawl_xpath_extract, None),
 }

@@ -1,0 +1,180 @@
+"""Vector tests for the XPath-1.0-subset evaluator (SURVEY.md P3).
+
+Expected values are hand-derived from the XPath 1.0 spec (and match
+lxml/parsel behavior for every case): positional-predicate binding
+(``//x[1]`` = first x CHILD of each parent, ``(//x)[1]`` = first overall),
+reverse-axis numbering, node-set comparison ("some node matches"),
+string(node-set) = first node, text NODES vs recursive string-value.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scrapy__ray.functions.xpath import (
+    XPathError,
+    xpath_extract,
+    xpath_select,
+)
+
+DOC = b"""<html><head><title>My Title</title></head><body>
+<div id="main" class="box top">
+  <h1>Head &amp; One</h1>
+  <ul><li><a href="/a">A</a></li><li><a href="/b">B</a></li>
+      <li class="x"><a href="/c">C</a></li></ul>
+  <p>first para</p><p>second <em>emph</em> para</p>
+</div>
+<div class="box"><span>s1</span><span>s2</span><p>third</p></div>
+</body></html>"""
+
+VECTORS = [
+    # basic paths and axes
+    ("//title/text()", ["My Title"]),
+    ("/html/head/title/text()", ["My Title"]),
+    ("//h1/text()", ["Head & One"]),  # entities decoded by the parser
+    ("//li/a/@href", ["/a", "/b", "/c"]),
+    ("//ul/descendant::a/@href", ["/a", "/b", "/c"]),
+    ("//div[@id='main']//a/@href", ["/a", "/b", "/c"]),
+    (".//title/text()", ["My Title"]),  # relative from the document root
+    # attributes
+    ("//li[@class='x']/a/@href", ["/c"]),
+    ("//li[@class]/a/@href", ["/c"]),
+    ("//div[@class]/@class", ["box top", "box"]),
+    ("//*[@id='main']/h1/text()", ["Head & One"]),
+    # positional predicates: per-parent for steps, global for (...)
+    ("//ul/li[1]/a/text()", ["A"]),
+    ("//ul/li[last()]/a/text()", ["C"]),
+    ("//p[1]/text()", ["first para", "third"]),
+    ("(//p)[1]/text()", ["first para"]),
+    ("(//li)[2]/a/@href", ["/b"]),
+    ("//li[position()<=2]/a/@href", ["/a", "/b"]),
+    ("//span[position()=2]/text()", ["s2"]),
+    ("//div[2]/span[2]/text()", ["s2"]),
+    ("(//a)[last()]/@href", ["/c"]),
+    # text nodes vs recursive string-value
+    ("//p[em]/text()", ["second ", " para"]),
+    ("//p[em]", ["second emph para"]),
+    # existence / boolean predicates
+    ("//li[not(@class)]/a/@href", ["/a", "/b"]),
+    ("//div[@class='box top' and @id='main']/h1/text()", ["Head & One"]),
+    ("//li[@class='x' or position()=1]/a/@href", ["/a", "/c"]),
+    ("//div[span]/p/text()", ["third"]),
+    ("//div[not(span)]/h1/text()", ["Head & One"]),
+    # string functions (node-set arg = string-value of FIRST node)
+    ("//a[starts-with(@href, '/b')]/text()", ["B"]),
+    ("//a[contains(@href, 'c')]/text()", ["C"]),
+    ("//p[contains(., 'emph')]/em/text()", ["emph"]),
+    ("//p[contains(text(), 'para')]/text()", ["first para"]),
+    ("string(//title)", ["My Title"]),
+    ("normalize-space(//p[em])", ["second emph para"]),
+    ("concat(//h1/text(), '!')", ["Head & One!"]),
+    # scalars at top level
+    ("count(//li)", ["3"]),
+    ("count(//div/span)", ["2"]),
+    ("string-length(//title)", ["8"]),
+    # parent and sibling axes
+    ("//em/..", ["second emph para"]),
+    ("//em/parent::p/text()", ["second ", " para"]),
+    ("//span[1]/following-sibling::*", ["s2", "third"]),
+    ("//span/following-sibling::p/text()", ["third"]),
+    ("//p[. = 'third']/preceding-sibling::span[1]/text()", ["s2"]),
+    ("//p[. = 'third']/preceding-sibling::span[2]/text()", ["s1"]),
+    # union (doc order, deduplicated)
+    ("//h1/text() | //span/text()", ["Head & One", "s1", "s2"]),
+    ("//em/text() | //em/text()", ["emph"]),
+    # numeric comparison against a node-set ("some node" semantics)
+    ("//div[count(span) > 1]/p/text()", ["third"]),
+    ("//ul[count(li) = 3]/li[1]/a/text()", ["A"]),
+    # node() test
+    ("//em/self::em/text()", ["emph"]),
+    ("//ul/node()[1]/a/text()", ["A"]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", VECTORS, ids=[v[0] for v in VECTORS])
+def test_vector(expr, expected):
+    assert xpath_extract(DOC, expr) == expected
+
+
+def test_select_returns_items_in_doc_order():
+    from scrapy__ray.functions.cssselect import parse_dom
+
+    root = parse_dom(DOC)
+    nodes = xpath_select(root, "//span | //h1")
+    assert [n.tag for n in nodes] == ["h1", "span", "span"]
+
+
+def test_scalar_select():
+    from scrapy__ray.functions.cssselect import parse_dom
+
+    root = parse_dom(DOC)
+    assert xpath_select(root, "count(//li)") == 3.0
+    assert xpath_select(root, "string(//title)") == "My Title"
+    assert xpath_select(root, "contains(//title, 'Title')") is True
+
+
+def test_attribute_wildcard():
+    assert xpath_extract(DOC, "//div[1]/@*") == ["main", "box top"]
+
+
+def test_reverse_axis_position_is_nearest_first():
+    # preceding-sibling::*[1] must be the NEAREST preceding sibling
+    assert xpath_extract(DOC, "//p[.='third']/preceding-sibling::*[1]/text()") == [
+        "s2"
+    ]
+
+
+def test_double_slash_binding_vs_parenthesized():
+    # the classic confusion pair, pinned explicitly
+    doc = b"<d><x><i>1</i><i>2</i></x><x><i>3</i></x></d>"
+    assert xpath_extract(doc, "//i[1]/text()") == ["1", "3"]
+    assert xpath_extract(doc, "(//i)[1]/text()") == ["1"]
+
+
+def test_filter_with_trailing_steps():
+    assert xpath_extract(DOC, "(//ul)[1]/li[2]/a/@href") == ["/b"]
+
+
+def test_equality_nodeset_any_match():
+    # = against a node-set is true if ANY node matches
+    doc = b"<r><a>x</a><a>y</a><b>y</b></r>"
+    assert xpath_extract(doc, "//r[a = 'y']/b/text()") == ["y"]
+    assert xpath_extract(doc, "//r[a = 'z']/b/text()") == []
+    # != is also "some node" semantics, NOT "no node equals"
+    assert xpath_extract(doc, "//r[a != 'x']/b/text()") == ["y"]
+
+
+def test_gzip_fixtureless_encoding_paths():
+    # latin-1 via meta charset and BOM'd utf-8, through the shared decoder
+    latin = '<html><head><meta charset="iso-8859-1"></head><body><p>caf\xe9</p></body></html>'.encode(
+        "latin-1"
+    )
+    assert xpath_extract(latin, "//p/text()") == ["caf\xe9"]
+    bom = "﻿<html><body><p>中文</p></body></html>".encode("utf-8-sig")
+    assert xpath_extract(bom.lstrip(b""), "//p/text()") == ["中文"]
+
+
+BAD = [
+    "//a[",
+    "//a]",
+    "ancestor::div",  # unsupported axis
+    "//a[@x=]",
+    "//$var",
+    "//a[position() + 1]",  # arithmetic out of scope -> trailing tokens
+    "",
+    "//",
+    "//a | 3",  # union operands must be paths
+    "substring(//a, 1, 2)",  # unsupported function parses as a path + trailing
+]
+
+
+@pytest.mark.parametrize("expr", BAD)
+def test_bad_expressions_raise(expr):
+    with pytest.raises(XPathError):
+        xpath_select_or_raise(expr)
+
+
+def xpath_select_or_raise(expr):
+    from scrapy__ray.functions.cssselect import parse_dom
+
+    return xpath_select(parse_dom(DOC), expr)
