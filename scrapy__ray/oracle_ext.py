@@ -308,6 +308,46 @@ def oracle_emb_cosine_dups_bucketed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_emb_semdedup(sf_dir: str) -> pd.DataFrame:
+    """Single-process SemDeDup mirror (spec pinned in simops.emb_semdedup):
+    deterministic seed-centroid assignment, then per-cluster greedy pruning
+    over the FULL pairwise cosine matrix (the engine never materializes
+    that matrix — it streams incremental matmuls against the kept set)."""
+    k, eps = 16, 0.45  # mirror simops constants
+    ids, emb = _read_embeddings(sf_dir)
+    cent = _seed_centroids_np(ids, emb, k)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    en = emb / np.where(norm == 0, 1.0, norm)
+    sim = en @ cent.T
+    cluster = np.argmax(sim, axis=1)
+    csim = _round_away(sim[np.arange(len(ids)), cluster], 4)
+    keep = np.zeros(len(ids), dtype=bool)
+    for c in range(k):
+        members = np.nonzero(cluster == c)[0]
+        if not len(members):
+            continue
+        cos = _round_away((en[members] @ en[members].T).ravel(), 4).reshape(
+            len(members), len(members)
+        )
+        order = np.lexsort((ids[members], csim[members]))
+        kept: list[int] = []
+        for local in order:
+            if kept and cos[local, kept].max() >= eps:
+                continue
+            kept.append(local)
+            keep[members[local]] = True
+    out = pd.DataFrame(
+        {
+            "vec_id": pd.array(ids, dtype="int64"),
+            "cluster": pd.array(cluster.astype(np.int32), dtype="int32"),
+            "centroid_sim": pd.array(csim, dtype="float64"),
+            "keep": pd.array(keep, dtype="bool"),
+        }
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ events
 def oracle_events_approx_users(sf_dir: str) -> pd.DataFrame:
     p = 12
@@ -601,6 +641,7 @@ _SF_ORACLES = {
     "emb_kmeans": oracle_emb_kmeans,
     "emb_ivf_topk": oracle_emb_ivf_topk,
     "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,
+    "emb_semdedup": oracle_emb_semdedup,
     "events_approx_users": oracle_events_approx_users,
     "docs_importance_weights": oracle_docs_importance_weights,
     "docs_lm_quality": oracle_docs_lm_quality,

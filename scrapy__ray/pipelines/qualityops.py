@@ -1230,6 +1230,156 @@ FROM ex
 """
 
 
+# ----------------------------------------------------------- BM25 retrieval
+_BM25_TERMS = ("dup", "spark", "window")  # rare + two mid-frequency terms
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def docs_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-k retrieval for a fixed query (Robertson & Zaragoza
+    2009; k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5))) — the
+    sparse-retrieval sibling of emb_ann_topk.
+
+    Scale shape: ONE corpus scan builds a narrow per-doc feature row
+    (dl + per-query-term tf — the query is a constant, so tf is a fixed
+    set of columns, not a term exchange); the materialized feature table
+    feeds (a) an integer combiner->driver reduce for N/Σdl/df — exact,
+    order-independent — and (b) the scoring map.  Scores are fixed to
+    integer millionths per term BEFORE the per-doc sum (the repo's
+    int-fixed pattern), so accumulation order can never flip a digit vs
+    the SQL oracle, and the global top-k rides the integer sum.  Only the
+    final sort/limit exchanges anything.
+
+    For AD-HOC queries at the 100 TB design point the same shape holds
+    (terms broadcast, df from a precomputed term-stats table instead of
+    the in-flight reduce)."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata — no scan
+
+    terms = _BM25_TERMS
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids, dls = [], []
+        tfs: list[list[int]] = [[] for _ in terms]
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = [w.lower() for w in _tokens(text)]
+            c = collections.Counter(ws)
+            ids.append(did)
+            dls.append(len(ws))
+            for k, term in enumerate(terms):
+                tfs[k].append(c.get(term, 0))
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dl": pa.array(dls, pa.int64()),
+        }
+        for k in range(len(terms)):
+            cols[f"tf{k}"] = pa.array(tfs[k], pa.int64())
+        return pa.table(cols)
+
+    # materialize: the narrow feature table feeds both the stats reduce
+    # and the scoring pass (unmaterialized = double corpus scan)
+    fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"sumdl": int(df["dl"].sum())}
+        for k in range(len(terms)):
+            row[f"df{k}"] = int((df[f"tf{k}"] > 0).sum())
+        return pd.DataFrame([row])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([df.sum(numeric_only=True).astype("int64")])
+
+    stats = driver_agg(fds, partial, final).iloc[0]
+    avgdl = float(stats["sumdl"]) / float(n_docs)
+    # idf per query term, computed ONCE (ln matches DuckDB at the
+    # millionth-fixing granularity — the established ulp contract)
+    idf = np.array(
+        [
+            np.log(
+                1.0 + (float(n_docs) - float(stats[f"df{k}"]) + 0.5)
+                / (float(stats[f"df{k}"]) + 0.5)
+            )
+            for k in range(len(terms))
+        ]
+    )
+    idf_ref = broadcast((idf, avgdl))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idfs, ad = lookup_broadcast(idf_ref)
+        dl = df["dl"].to_numpy(np.float64)
+        denom_dl = _BM25_K1 * (
+            (1.0 - _BM25_B) + (_BM25_B * dl) / ad
+        )
+        sci = np.zeros(len(df), dtype=np.int64)
+        any_tf = np.zeros(len(df), dtype=bool)
+        for k in range(len(idfs)):
+            tf = df[f"tf{k}"].to_numpy(np.float64)
+            contrib = idfs[k] * tf * (_BM25_K1 + 1.0) / (tf + denom_dl)
+            ci = np.floor(contrib * 1000000.0 + 0.5).astype(np.int64)
+            mask = tf > 0
+            sci += np.where(mask, ci, 0)
+            any_tf |= mask
+        out = pd.DataFrame({"doc_id": df["doc_id"], "sci": sci})
+        return out[any_tf]
+
+    scored = fds.map_batches(score, batch_format="pandas")
+    top = scored.sort(["sci", "doc_id"], descending=[True, False]).limit(
+        _BM25_TOPK
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        sci = np.asarray(t["sci"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bm25": pa.array(sci / 1000000.0, pa.float64()),
+            }
+        )
+
+    return collect_arrow(
+        top.map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("bm25", pa.float64())]),
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+DOCS_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+dl0 AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+alldl AS (
+  SELECT d.doc_id, COALESCE(dl0.dl, 0) AS dl
+  FROM documents d LEFT JOIN dl0 USING (doc_id)
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl
+  FROM alldl
+),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf FROM tok
+  WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * ((1.0 - {_BM25_B})
+              + ({_BM25_B} * alldl.dl) / stats.avgdl))
+           * 1000000.0) AS BIGINT) AS ci
+  FROM tf JOIN df USING (term) JOIN alldl USING (doc_id) CROSS JOIN stats
+),
+s AS (SELECT doc_id, SUM(ci) AS sci FROM contrib GROUP BY doc_id)
+SELECT doc_id, sci / 1000000.0 AS bm25 FROM s
+QUALIFY row_number() OVER (ORDER BY sci DESC, doc_id) <= {_BM25_TOPK}
+"""
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1241,4 +1391,5 @@ QUERIES = {
     "docs_lm_quality": (docs_lm_quality, None),
     "docs_substring_dups": (docs_substring_dups, DOCS_SUBSTRING_SQL),
     "docs_chunk_overlap": (docs_chunk_overlap, DOCS_CHUNK_SQL),
+    "docs_bm25_topk": (docs_bm25_topk, DOCS_BM25_SQL),
 }

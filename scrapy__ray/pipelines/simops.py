@@ -548,6 +548,108 @@ def emb_kmeans(sf_dir: str):
     )
 
 
+# ------------------------------------------------------ SemDeDup pruning
+_SEMDEDUP_K = 16
+_SEMDEDUP_EPS = COS_DUP_THRESHOLD
+
+
+def emb_semdedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then WITHIN each cluster
+    greedily keep only examples whose cosine similarity to every
+    already-kept example is below eps, processing items farthest from the
+    cluster centroid first (the paper's keep-low-centroid-similarity rule).
+
+    Divergence from the paper (documented): clustering is the
+    deterministic single-assignment IVF step (fixed pushdown-read seed
+    centroids, spherical argmax) rather than full k-means — the dedup
+    semantics live in the within-cluster pruning, and a deterministic
+    partition is what makes the independent oracle byte-exact.
+
+    Scale shape: centroids broadcast once; one corpus scan assigns
+    clusters; ONE hash exchange co-locates each cluster; the greedy pass
+    is per-partition (O(cluster_size x kept x dim) vectorized matmuls,
+    never all-pairs across clusters).  At the 100 TB design point K scales
+    with N (K ~ N/target_cluster_size) so per-cluster work stays bounded;
+    ordering ties are pinned by (rounded centroid_sim, vec_id) so the
+    result is partition-count-independent."""
+    import pandas as pd
+
+    from scrapy__ray.pipelines.util import hash_partition_map
+
+    cent = _seed_centroids(sf_dir, _SEMDEDUP_K)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_ref = broadcast(cent)
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(tb: pa.Table) -> pa.Table:
+        c = lookup_broadcast(cent_ref)
+        ids, emb = _batch_matrix(tb)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        en = emb / np.where(norm == 0, 1.0, norm)
+        sim = en @ c.T
+        cluster = np.argmax(sim, axis=1).astype(np.int32)
+        csim = round_col(sim[np.arange(len(ids)), cluster], 4)
+        return pa.table(
+            {
+                "cluster": pa.array(cluster, pa.int32()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "centroid_sim": pa.array(csim, pa.float64()),
+                "embedding": pa.array(list(en), pa.list_(pa.float64())),
+            }
+        )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _c, seg in df.groupby("cluster"):
+            ids = seg["vec_id"].to_numpy(np.int64)
+            csim = seg["centroid_sim"].to_numpy(np.float64)
+            emb = np.stack([np.asarray(e) for e in seg["embedding"]])
+            # farthest-from-centroid first; vec_id pins ties
+            order = np.lexsort((ids, csim))
+            keep = np.zeros(len(ids), dtype=bool)
+            kept_rows: list[np.ndarray] = []
+            for i in order:
+                if kept_rows:
+                    sims = round_col(np.stack(kept_rows) @ emb[i], 4)
+                    if sims.max() >= _SEMDEDUP_EPS:
+                        continue
+                keep[i] = True
+                kept_rows.append(emb[i])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cluster": seg["cluster"].to_numpy(np.int32),
+                        "centroid_sim": csim,
+                        "keep": keep,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "centroid_sim": [], "keep": []}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = hash_partition_map(
+        ds.map_batches(assign, batch_format="pyarrow"), ["cluster"], prune
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("cluster", pa.int32()),
+                ("centroid_sim", pa.float64()),
+                ("keep", pa.bool_()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
     "emb_ann_topk_multi": (emb_ann_topk_multi, EMB_ANN_MULTI_SQL),
@@ -556,4 +658,5 @@ QUERIES = {
     "emb_cosine_dups": (emb_cosine_dups, EMB_COS_DUP_SQL),
     "emb_cosine_dups_bucketed": (emb_cosine_dups_bucketed, None),
     "emb_ivf_topk": (emb_ivf_topk, None),
+    "emb_semdedup": (emb_semdedup, None),
 }
