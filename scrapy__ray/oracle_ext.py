@@ -127,6 +127,60 @@ def oracle_docs_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": ids, "rolling_fp": pd.array(out, dtype="int64")})
 
 
+def oracle_docs_winnow_dups(sf_dir: str) -> pd.DataFrame:
+    """Single-process winnowing mirror (spec pinned in
+    textops.docs_winnow_dups): ROLLING-hash recurrence (vs the engine's
+    vectorized k-term Horner — same values, different algorithm) over every
+    k-char gram, per-window minimum (as a VALUE set the tie rule is
+    irrelevant), df-capped inverted index, pairs sharing >= min_shared
+    fingerprints."""
+    k, w, min_shared, max_df = 20, 8, 4, 1000
+    mod, base = (1 << 31) - 1, 257
+    pk = pow(base, k - 1, mod)
+    ids, texts = _read_docs(sf_dir)
+    doc_fps: dict[int, set[int]] = {}
+    for did, text in zip(ids, texts):
+        bs = text.encode("utf-8")
+        n = len(bs) - k + 1
+        if n <= 0:
+            doc_fps[did] = set()
+            continue
+        h = 0
+        for c in bs[:k]:
+            h = (h * base + c) % mod
+        hs = [h]
+        for i in range(1, n):
+            h = ((h - bs[i - 1] * pk) * base + bs[i + k - 1]) % mod
+            hs.append(h)
+        if n < w:
+            doc_fps[did] = {min(hs)}
+        else:
+            doc_fps[did] = {min(hs[s : s + w]) for s in range(n - w + 1)}
+    df_count: dict[int, int] = {}
+    for fps in doc_fps.values():
+        for fp in fps:
+            df_count[fp] = df_count.get(fp, 0) + 1
+    postings: dict[int, list[int]] = {}
+    for did in sorted(doc_fps):
+        for fp in doc_fps[did]:
+            if df_count[fp] <= max_df:
+                postings.setdefault(fp, []).append(did)
+    shared: dict[tuple[int, int], int] = {}
+    for members in postings.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                shared[key] = shared.get(key, 0) + 1
+    rows = sorted((a, b, s) for (a, b), s in shared.items() if s >= min_shared)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array([r[0] for r in rows], dtype="int64"),
+            "doc_b": pd.array([r[1] for r in rows], dtype="int64"),
+            "shared": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def _shingle_set(text: str, n: int = 3) -> set[int]:
     toks = _tokens(text)
     return {
@@ -346,6 +400,34 @@ def oracle_emb_semdedup(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def oracle_emb_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Single-process PQ/ADC mirror (spec pinned in simops.emb_pq_topk):
+    seed-row codebooks, first-minimum code assignment, integer-millionth
+    ADC table summed per vector."""
+    m_sub, k = 8, 16  # mirror simops constants
+    ids, emb = _read_embeddings(sf_dir)
+    cent = _seed_centroids_np(ids, emb, k)
+    q = emb[np.searchsorted(ids, 0)]
+    dim = cent.shape[1]
+    dsub = dim // m_sub
+    total = np.zeros(len(ids), dtype=np.int64)
+    for m in range(m_sub):
+        c = cent[:, m * dsub:(m + 1) * dsub]
+        d2q = ((q[m * dsub:(m + 1) * dsub] - c) ** 2).sum(axis=1)
+        lut = np.floor(d2q * 1000000.0 + 0.5).astype(np.int64)
+        d2 = ((emb[:, None, m * dsub:(m + 1) * dsub] - c[None, :, :]) ** 2).sum(axis=2)
+        total += lut[np.argmin(d2, axis=1)]
+    keep = ids != 0
+    kept_ids, kept = ids[keep], total[keep]
+    order = np.lexsort((kept_ids, kept))[:10]
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(kept_ids[order], dtype="int64"),
+            "adist": pd.array(kept[order] / 1000000.0, dtype="float64"),
+        }
+    )
 
 
 # ------------------------------------------------------------------ events
@@ -642,6 +724,8 @@ _SF_ORACLES = {
     "emb_ivf_topk": oracle_emb_ivf_topk,
     "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,
     "emb_semdedup": oracle_emb_semdedup,
+    "emb_pq_topk": oracle_emb_pq_topk,
+    "docs_winnow_dups": oracle_docs_winnow_dups,
     "events_approx_users": oracle_events_approx_users,
     "docs_importance_weights": oracle_docs_importance_weights,
     "docs_lm_quality": oracle_docs_lm_quality,

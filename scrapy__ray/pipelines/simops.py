@@ -548,6 +548,89 @@ def emb_kmeans(sf_dir: str):
     )
 
 
+# --------------------------------------------- product-quantization ANN
+_PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
+_PQ_K = 16  # centroids per subspace codebook
+
+
+def emb_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    quantization for nearest neighbor search"): split the vector into
+    _PQ_M subspaces, quantize each to its nearest of _PQ_K codebook
+    centroids, and score the query against the CODES via an asymmetric
+    distance computation (ADC) lookup table — top-10 by approximate
+    squared L2 distance to vec_id=0.
+
+    Divergence from the paper (documented, same policy as emb_ivf_topk /
+    emb_semdedup): codebooks are deterministic seed rows (every n//K-th
+    vec_id, predicate-pushdown read) sliced per subspace rather than
+    per-subspace k-means — the pipeline shape (codebook broadcast, encode
+    scan, ADC scoring) is the operator; deterministic codebooks are what
+    make the independent oracle byte-exact.
+
+    Scale shape: the codebook (M x K x dsub = 8 KB) and the int-fixed ADC
+    table (M x K int64) broadcast once; ONE corpus scan encodes each
+    vector (argmin over K per subspace, vectorized) and scores it by
+    summing M integer LUT entries — so per-vector state is M bytes of
+    codes (64x smaller than the raw 512-byte vector; at 10^10 rows the
+    code table is 80 GB vs 5 TB raw, which is the reason PQ exists) and
+    accumulation is exact-integer, order-independent.  Only the final
+    top-k sort/limit exchanges anything."""
+    q = _query_vec(sf_dir)
+    cent = _seed_centroids(sf_dir, _PQ_K)  # (K, dim), raw (unnormalized) L2 space
+    dim = cent.shape[1]
+    dsub = dim // _PQ_M
+    # ADC table: lut[m, k] = ||q_m - c_mk||^2, fixed to integer millionths
+    # on the driver so worker-side sums can never reorder a float add
+    lut = np.zeros((_PQ_M, _PQ_K), dtype=np.int64)
+    for m in range(_PQ_M):
+        d2 = ((q[m * dsub:(m + 1) * dsub] - cent[:, m * dsub:(m + 1) * dsub]) ** 2).sum(
+            axis=1
+        )
+        lut[m] = np.floor(d2 * 1000000.0 + 0.5).astype(np.int64)
+    ref = broadcast((cent, lut))
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode_score(t: pa.Table) -> pa.Table:
+        cb, table_ = lookup_broadcast(ref)
+        ids, emb = _batch_matrix(t)
+        total = np.zeros(len(ids), dtype=np.int64)
+        for m in range(_PQ_M):
+            sub = emb[:, m * dsub:(m + 1) * dsub]
+            c = cb[:, m * dsub:(m + 1) * dsub]
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)  # first-minimum tie rule
+            total += table_[m][codes]
+        keep = ids != 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "adist_i": pa.array(total[keep], pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(encode_score, batch_format="pyarrow")
+        .sort(["adist_i", "vec_id"])
+        .limit(10)
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ai = np.asarray(t["adist_i"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "adist": pa.array(ai / 1000000.0, pa.float64()),
+            }
+        )
+
+    return collect_arrow(
+        top.map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("adist", pa.float64())]),
+    )
+
+
 # ------------------------------------------------------ SemDeDup pruning
 _SEMDEDUP_K = 16
 _SEMDEDUP_EPS = COS_DUP_THRESHOLD
@@ -659,4 +742,5 @@ QUERIES = {
     "emb_cosine_dups_bucketed": (emb_cosine_dups_bucketed, None),
     "emb_ivf_topk": (emb_ivf_topk, None),
     "emb_semdedup": (emb_semdedup, None),
+    "emb_pq_topk": (emb_pq_topk, None),
 }

@@ -1230,6 +1230,98 @@ def media_embed_stub(sf_dir: str):
     )
 
 
+# --------------------------------------------------- winnowing fingerprints
+_WINNOW_K = 20  # char k-gram length (~4 fixture tokens — discriminative)
+_WINNOW_W = 8  # winnowing window (guarantee: any match >= k+w-1 chars shows)
+_WINNOW_MIN_SHARED = 4  # pair reported when >= this many fingerprints shared
+_WINNOW_MAX_DF = 1000  # same quadratic-pair-expansion cap as JACCARD_MAX_DF
+_WINNOW_MOD = (1 << 31) - 1
+_WINNOW_BASE = 257
+
+
+def _winnow_fps(text: str) -> set[int]:
+    """Schleimer/Wilkerson/Aiken 2003 robust winnowing: polynomial hash of
+    every k-char-gram, then per w-window select the minimum (rightmost on
+    ties).  Vectorized: Horner across k shifted byte arrays, one
+    sliding-window argmin.  Docs shorter than k+w-1 chars degrade to the
+    rightmost global minimum (one fingerprint); docs shorter than k have
+    none."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    n = len(b) - _WINNOW_K + 1
+    if n <= 0:
+        return set()
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(_WINNOW_K):
+        h = (h * _WINNOW_BASE + b[j : j + n]) % _WINNOW_MOD
+    if n < _WINNOW_W:
+        return {int(h[n - 1 - np.argmin(h[::-1])])}
+    win = np.lib.stride_tricks.sliding_window_view(h, _WINNOW_W)
+    idx = _WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(np.arange(len(win)) + idx)
+    return set(h[pos].tolist())
+
+
+def docs_winnow_dups(sf_dir: str):
+    """Cross-document overlap detection via winnowed fingerprints (the
+    MOSS algorithm, Schleimer et al. 2003): per-doc LOCAL fingerprint
+    selection (density 2/(w+1), guaranteed to surface any shared substring
+    of >= k+w-1 chars), then pairs of documents sharing >=
+    _WINNOW_MIN_SHARED selected fingerprints.  A distinct dedup family
+    from Jaccard/MinHash: selection is positional, so it detects long
+    verbatim overlaps (plagiarism/boilerplate) that set-similarity
+    dilutes away in long documents.
+
+    Scale shape: fingerprinting is a pure map (the winnowed set is
+    ~2/(w+1) of the k-gram count — here ~22% — and only fingerprints,
+    never text, leave the scan); ONE hash exchange builds the inverted
+    index with the same df cap as the Jaccard family (a fingerprint's
+    posting list lives in one partition, hot boilerplate fingerprints
+    bounded at _WINNOW_MAX_DF); pair counting rides the existing
+    partial-agg shuffle.  O(shared-fp pairs), never O(N^2) docs."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        fps, ids = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for fp in _winnow_fps(text):
+                fps.append(fp)
+                ids.append(did)
+        return pa.table(
+            {"w": pa.array(fps, pa.int64()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    from scrapy__ray.pipelines.util import auto_partitions
+
+    inverted = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .repartition(auto_partitions(), keys=["w"], sort=False)
+        .map_batches(
+            lambda df: _df_capped_segments(df, _WINNOW_MAX_DF),
+            batch_format="pandas",
+            batch_size=None,
+        )
+    )
+    pair_rows = inverted.map_batches(
+        lambda df: _segment_pairs(df, ["w"]), batch_format="pandas", batch_size=None
+    )
+
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).size()
+        return g.rename(columns={"size": "shared"})
+
+    def final_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["doc_a", "doc_b"], as_index=False)["shared"].sum()
+        return out[out["shared"] >= _WINNOW_MIN_SHARED]
+
+    out = shuffle_agg(pair_rows, ["doc_a", "doc_b"], partial_count, final_count)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("shared", pa.int64())]
+        ),
+    )
+
+
 _EMBED_TERMS = ", ".join(
     f"CAST('0x' || substring(md5(text), {2 * i + 1}, 2) AS INTEGER)"
     for i in range(8)
@@ -1275,6 +1367,7 @@ QUERIES = {
     "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
     "docs_bpe_tokens": (docs_bpe_tokens, DOCS_BPE_TOKENS_SQL),
     "docs_rolling_fingerprint": (docs_rolling_fingerprint, None),
+    "docs_winnow_dups": (docs_winnow_dups, None),
     "docs_minhash_lsh": (docs_minhash_lsh, None),
     "docs_simhash": (docs_simhash, None),
     "docs_langid": (docs_langid, None),
