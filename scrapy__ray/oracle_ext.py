@@ -430,6 +430,47 @@ def oracle_emb_pq_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_emb_ivfpq_topk(sf_dir: str) -> pd.DataFrame:
+    """Single-process IVFADC mirror (spec pinned in simops.emb_ivfpq_topk):
+    seed-row coarse centroids + residual codebook, stable-argsort probe
+    selection, first-minimum assignments, integer-millionth per-bucket ADC
+    tables."""
+    c_coarse, nprobe, m_sub, k = 8, 2, 8, 16
+    ids, emb = _read_embeddings(sf_dir)
+    coarse = _seed_centroids_np(ids, emb, c_coarse)
+    seeds = _seed_centroids_np(ids, emb, k)
+    q = emb[np.searchsorted(ids, 0)]
+    dim = coarse.shape[1]
+    dsub = dim // m_sub
+    d2s = ((seeds[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    rcb = seeds - coarse[np.argmin(d2s, axis=1)]
+    d2q = ((q[None, :] - coarse) ** 2).sum(axis=1)
+    probe = np.argsort(d2q, kind="stable")[:nprobe]
+    d2all = ((emb[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    bucket = np.argmin(d2all, axis=1)
+    keep = np.isin(bucket, probe) & (ids != 0)
+    kids, res, kb = ids[keep], emb[keep] - coarse[bucket[keep]], bucket[keep]
+    total = np.zeros(len(kids), dtype=np.int64)
+    for m in range(m_sub):
+        sl = slice(m * dsub, (m + 1) * dsub)
+        lut = np.zeros((c_coarse, k), dtype=np.int64)
+        for b in probe:
+            r = q - coarse[b]
+            d2 = ((r[sl] - rcb[:, sl]) ** 2).sum(axis=1)
+            lut[b] = np.floor(d2 * 1000000.0 + 0.5).astype(np.int64)
+        codes = np.argmin(
+            ((res[:, None, sl] - rcb[None, :, sl]) ** 2).sum(axis=2), axis=1
+        )
+        total += lut[kb, codes]
+    order = np.lexsort((kids, total))[:10]
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(kids[order], dtype="int64"),
+            "adist": pd.array(total[order] / 1000000.0, dtype="float64"),
+        }
+    )
+
+
 # ------------------------------------------------------------------ events
 def oracle_events_approx_users(sf_dir: str) -> pd.DataFrame:
     p = 12
@@ -726,6 +767,7 @@ _SF_ORACLES = {
     "emb_semdedup": oracle_emb_semdedup,
     "emb_pq_topk": oracle_emb_pq_topk,
     "docs_winnow_dups": oracle_docs_winnow_dups,
+    "emb_ivfpq_topk": oracle_emb_ivfpq_topk,
     "events_approx_users": oracle_events_approx_users,
     "docs_importance_weights": oracle_docs_importance_weights,
     "docs_lm_quality": oracle_docs_lm_quality,

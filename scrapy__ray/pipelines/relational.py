@@ -446,6 +446,138 @@ GROUP BY event_type, win_start_us
 """
 
 
+# ------------------------------------------------- window functions (rank)
+def orders_rank_window(sf_dir: str):
+    """ROW_NUMBER / RANK window functions: top-3 orders per customer by
+    totalprice.  The distributed window-function pattern: ONE hash exchange
+    by the PARTITION BY key (every row of a customer lands in exactly one
+    partition), then a vectorized per-partition sort + cumcount/rank — no
+    per-group UDF dispatch, no global sort.  At 10^10 rows the exchange is
+    the only all-to-all and the output is O(3 x customers)."""
+    ds = read_parquet(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(rn=pd.Series(dtype="int64"), rnk=pd.Series(dtype="int64"))
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        df["rn"] = df.groupby("o_custkey").cumcount() + 1
+        df["rnk"] = (
+            df.groupby("o_custkey")["o_totalprice"]
+            .rank(method="min", ascending=False)
+            .astype("int64")
+        )
+        return df[df["rn"] <= 3]
+
+    out = hash_partition_map(ds, ["o_custkey"], rank_part)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("rn", pa.int64()),
+                ("rnk", pa.int64()),
+            ]
+        ),
+    )
+
+
+ORDERS_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC) AS rnk
+  FROM orders) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------- ROLLUP (grouping sets)
+def orders_priority_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, year): subtotal rows at every prefix
+    level plus the grand total.  Scale shape: aggregate ONCE at the finest
+    grain (combiner per block -> driver reduce over O(groups x blocks)
+    rows — 5 priorities x 7 years here), then derive the coarser levels by
+    re-aggregating the tiny finest-grain table on the driver; the raw
+    input is scanned exactly once regardless of how many rollup levels
+    exist.  Money is summed in exact integer cents so every level is
+    order-independent and hash-exact vs the SQL."""
+    ds = read_parquet(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        yr = (
+            df["o_orderdate"]
+            .values.astype("datetime64[Y]")
+            .astype("int64")
+            + 1970
+        )
+        cents = np.round(df["o_totalprice"].values * 100.0).astype("int64")
+        g = pd.DataFrame(
+            {
+                "priority": df["o_orderpriority"].values,
+                "yr": yr,
+                "order_count": 1,
+                "total_cents": cents,
+            }
+        )
+        return g.groupby(["priority", "yr"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.groupby(["priority", "yr"], as_index=False).sum()
+        l2 = pd.DataFrame(
+            {
+                "priority": fine["priority"],
+                "yr": fine["yr"].astype("int64").astype(str),
+                "order_count": fine["order_count"],
+                "total_cents": fine["total_cents"],
+            }
+        )
+        l1 = fine.groupby("priority", as_index=False)[
+            ["order_count", "total_cents"]
+        ].sum()
+        l1.insert(1, "yr", "ALL")
+        l0 = pd.DataFrame(
+            {
+                "priority": ["ALL"],
+                "yr": ["ALL"],
+                "order_count": [int(fine["order_count"].sum())],
+                "total_cents": [int(fine["total_cents"].sum())],
+            }
+        )
+        return pd.concat([l2, l1, l0], ignore_index=True)
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "priority": pa.array(out["priority"], pa.string()),
+            "yr": pa.array(out["yr"], pa.string()),
+            "order_count": pa.array(out["order_count"].astype("int64"), pa.int64()),
+            "total_cents": pa.array(out["total_cents"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(CAST(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS VARCHAR),
+                'ALL') AS yr,
+       COUNT(*) AS order_count,
+       SUM(CAST(o_totalprice * 100 AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER))
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
@@ -455,4 +587,6 @@ QUERIES = {
     "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+    "orders_rank_window": (orders_rank_window, ORDERS_RANK_SQL),
+    "orders_priority_rollup": (orders_priority_rollup, ORDERS_ROLLUP_SQL),
 }

@@ -631,6 +631,97 @@ def emb_pq_topk(sf_dir: str):
     )
 
 
+# ----------------------------------------------- IVFADC (IVF + PQ) ANN
+_IVFPQ_COARSE = 8  # coarse (inverted-list) centroids
+_IVFPQ_NPROBE = 2  # probed coarse buckets per query
+
+
+def emb_ivfpq_topk(sf_dir: str):
+    """IVFADC — the composition of the coarse inverted index (emb_ivf_topk)
+    with product-quantized RESIDUAL codes (emb_pq_topk); Jégou, Douze &
+    Schmid 2011 §IV, the architecture FAISS uses at billion scale.  A
+    vector is stored as (coarse bucket, M residual code bytes); the query
+    probes its _IVFPQ_NPROBE nearest coarse buckets and scores only those
+    vectors via a per-bucket ADC lookup table built on the QUERY RESIDUAL
+    (q - coarse_b) — top-10 by approximate squared L2 distance to vec_id=0.
+
+    Determinism policy (same as emb_ivf_topk / emb_pq_topk): coarse
+    centroids are 8 seed rows, the residual codebook is 16 OTHER seed rows
+    minus their own nearest coarse centroid — both via k-row
+    predicate-pushdown reads; all distances int-fixed to millionths on the
+    driver so worker sums can never reorder a float add, argmin/stable
+    argsort pin every tie.
+
+    Scale shape: at 10^10 rows the coarse bucket is the PARTITION KEY, so
+    a query reads only nprobe/C of the code table — and the code table
+    itself is M bytes/vector (80 GB, vs 5 TB raw).  Here the corpus is one
+    scan so the bucket filter plays the partition prune: assign, drop
+    unprobed rows IN the scan (no exchange), encode the survivors'
+    residuals, sum M integer LUT entries each.  Broadcast state is
+    C·dim + K·dim floats + the C×M×K int LUT — a few KB."""
+    q = _query_vec(sf_dir)
+    coarse = _seed_centroids(sf_dir, _IVFPQ_COARSE)  # (C, dim), raw L2 space
+    seeds = _seed_centroids(sf_dir, _PQ_K)  # (K, dim)
+    dim = coarse.shape[1]
+    dsub = dim // _PQ_M
+    # residual codebook: each PQ seed minus ITS nearest coarse centroid
+    d2s = ((seeds[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    rcb = seeds - coarse[np.argmin(d2s, axis=1)]  # (K, dim)
+    d2q = ((q[None, :] - coarse) ** 2).sum(axis=1)
+    probe = np.argsort(d2q, kind="stable")[:_IVFPQ_NPROBE]
+    lut = np.zeros((_IVFPQ_COARSE, _PQ_M, _PQ_K), dtype=np.int64)
+    for b in probe:
+        r = q - coarse[b]
+        for m in range(_PQ_M):
+            d2 = ((r[m * dsub:(m + 1) * dsub] - rcb[:, m * dsub:(m + 1) * dsub]) ** 2).sum(axis=1)
+            lut[b, m] = np.floor(d2 * 1000000.0 + 0.5).astype(np.int64)
+    ref = broadcast((coarse, rcb, probe.copy(), lut))
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode_score(t: pa.Table) -> pa.Table:
+        co, cb, pr, table_ = lookup_broadcast(ref)
+        ids, emb = _batch_matrix(t)
+        d2 = ((emb[:, None, :] - co[None, :, :]) ** 2).sum(axis=2)
+        bucket = np.argmin(d2, axis=1)  # first-minimum tie rule
+        keep = np.isin(bucket, pr) & (ids != 0)
+        ids, res, bucket = ids[keep], emb[keep] - co[bucket[keep]], bucket[keep]
+        total = np.zeros(len(ids), dtype=np.int64)
+        for m in range(_PQ_M):
+            sub = res[:, m * dsub:(m + 1) * dsub]
+            c = cb[:, m * dsub:(m + 1) * dsub]
+            codes = np.argmin(
+                ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            total += table_[bucket, m, codes]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "adist_i": pa.array(total, pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(encode_score, batch_format="pyarrow")
+        .sort(["adist_i", "vec_id"])
+        .limit(10)
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ai = np.asarray(t["adist_i"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "adist": pa.array(ai / 1000000.0, pa.float64()),
+            }
+        )
+
+    return collect_arrow(
+        top.map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("adist", pa.float64())]),
+    )
+
+
 # ------------------------------------------------------ SemDeDup pruning
 _SEMDEDUP_K = 16
 _SEMDEDUP_EPS = COS_DUP_THRESHOLD
@@ -743,4 +834,5 @@ QUERIES = {
     "emb_ivf_topk": (emb_ivf_topk, None),
     "emb_semdedup": (emb_semdedup, None),
     "emb_pq_topk": (emb_pq_topk, None),
+    "emb_ivfpq_topk": (emb_ivfpq_topk, None),
 }
