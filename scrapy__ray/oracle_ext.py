@@ -566,6 +566,84 @@ def oracle_crawl_host_summary(res) -> pd.DataFrame:
     )
 
 
+def _oracle_link_graph(corpus: str):
+    """Single-process intra-corpus link graph (spec pinned in
+    crawlq._link_edges): P4 extractor per page (the scalar function is
+    byte-vector-tested; graph construction and all counting here are
+    independent of the Ray pipeline), membership-restricted, self-loops
+    dropped.  Returns (urls, edges) with edges = list[(src, dst)]."""
+    import gzip as _gzip
+
+    from scrapy__ray.functions.linkextract import extract_links
+
+    t = pq.read_table(corpus + "/pages")
+    urls = t["url"].to_pylist()
+    htmls = t["html"].to_pylist()
+    if "content_encoding" in t.schema.names:
+        htmls = [
+            _gzip.decompress(h) if enc == "gzip" else h
+            for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+        ]
+    members = set(urls)
+    edges = []
+    for u, html in zip(urls, htmls):
+        for link in extract_links(html, u):
+            if link != u and link in members:
+                edges.append((u, link))
+    return urls, edges
+
+
+def oracle_crawl_inlinks(corpus: str) -> pd.DataFrame:
+    from scrapy__ray.functions.url import host_of
+
+    _urls, edges = _oracle_link_graph(corpus)
+    indeg: dict[str, int] = {}
+    hosts: dict[str, set] = {}
+    for src, dst in edges:
+        indeg[dst] = indeg.get(dst, 0) + 1
+        hosts.setdefault(dst, set()).add(host_of(src))
+    rows = sorted(indeg)
+    return pd.DataFrame(
+        {
+            "url": rows,
+            "in_degree": pd.array([indeg[u] for u in rows], dtype="int64"),
+            "n_src_hosts": pd.array([len(hosts[u]) for u in rows], dtype="int64"),
+        }
+    )
+
+
+def oracle_crawl_pagerank(corpus: str) -> pd.DataFrame:
+    """Integer-exact PageRank mirror (spec pinned in crawlq.crawl_pagerank):
+    5 iterations, damping 85/100 via floor division on 10^12 total mass,
+    dangling mass pooled then floor-divided per node."""
+    iters, fix, dnum, dden, topk = 5, 10**12, 85, 100, 20
+    urls, edges = _oracle_link_graph(corpus)
+    n = len(urls)
+    outdeg: dict[str, int] = {}
+    for src, _dst in edges:
+        outdeg[src] = outdeg.get(src, 0) + 1
+    scores = {u: fix // n for u in urls}
+    base = fix * (dden - dnum) // (dden * n)
+    for _ in range(iters):
+        incoming = {u: 0 for u in urls}
+        dangling = 0
+        for u in urls:
+            s = scores[u]
+            if outdeg.get(u, 0) == 0:
+                dangling += s * dnum // dden
+        for src, dst in edges:
+            incoming[dst] += scores[src] * dnum // (dden * outdeg[src])
+        dshare = dangling // n
+        scores = {u: base + dshare + incoming[u] for u in urls}
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return pd.DataFrame(
+        {
+            "url": [u for u, _ in top],
+            "score_fix": pd.array([s for _, s in top], dtype="int64"),
+        }
+    )
+
+
 def _decode_fixture_html(raw: bytes) -> str:
     """Independent mini-mirror of the P2 encoding precedence for the
     fixture corpus's three encoding variants (BOM, meta-charset latin-1,
@@ -811,6 +889,8 @@ def materialize(sf_dir: str) -> dict[str, str]:
         # the xpath query extracts the same targets through a different
         # engine; the regex oracle is independent of both
         ("crawl_xpath_extract", oracle_crawl_css_extract(corpus)),
+        ("crawl_inlinks", oracle_crawl_inlinks(corpus)),
+        ("crawl_pagerank", oracle_crawl_pagerank(corpus)),
     ):
         paths[name] = write(name, df)
     _cache[sf_dir] = paths

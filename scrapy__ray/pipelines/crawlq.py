@@ -256,6 +256,306 @@ def crawl_xpath_extract(sf_dir: str):
     return ds.map_batches(sel, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------- web link graph
+_PR_ITERS = 5  # power-iteration rounds (pinned; oracle mirrors)
+_PR_FIX = 10**12  # total PageRank mass, integer-fixed
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+_PR_TOPK = 20
+#: node-count ceiling for the broadcast-scores regime: above this the
+#: per-iteration score table (≈40 B/url) would exceed driver/worker heap
+#: comfort and the shuffle_join regime takes over (same spirit as the
+#: jaccard-sizes / tfidf-vocab two-regime thresholds in textops.py)
+_PR_BROADCAST_MAX = 2_000_000
+
+_EDGES_MEMO: dict[str, object] = {}
+
+
+def _link_edges(corpus: str):
+    """Intra-corpus link-graph edges (src, dst, src_host) as a materialized
+    Dataset: ONE pass over the pages table runs the P4 LinkExtractor per
+    page and keeps links that resolve to another corpus page (the membership
+    set broadcasts — one url string per page, the small side by definition;
+    at >10^8 pages the documented alternative is a semi-join exchange
+    against the url column).  Self-loops dropped; per-page dedup is P4's
+    ``unique=True`` semantics.  Memoized per corpus because inlinks and
+    pagerank both consume it in one driver pass."""
+    import gzip as _gzip
+
+    import ray.data as rd
+
+    from scrapy__ray.functions.linkextract import extract_links
+    from scrapy__ray.functions.url import host_of
+    from scrapy__ray.pipelines.util import broadcast, ensure_ctx, lookup_broadcast
+
+    if corpus in _EDGES_MEMO:
+        return _EDGES_MEMO[corpus]
+    # the DataContext is captured at dataset creation: HASH_SHUFFLE must be
+    # set BEFORE the edge dataset exists or a later repartition(keys=...)
+    # on it rejects the strategy
+    ensure_ctx()
+
+    url_set = set(pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist())
+    set_ref = broadcast(url_set)
+
+    names = rd.read_parquet(corpus + "/pages").schema().names
+    cols = ["url", "html"] + (
+        ["content_encoding"] if "content_encoding" in names else []
+    )
+    ds = rd.read_parquet(corpus + "/pages", columns=cols)
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        members = lookup_broadcast(set_ref)
+        htmls = t["html"].to_pylist()
+        if "content_encoding" in t.schema.names:
+            htmls = [
+                _gzip.decompress(h) if enc == "gzip" else h
+                for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+            ]
+        src, dst, shost = [], [], []
+        for u, html in zip(t["url"].to_pylist(), htmls):
+            h = host_of(u)
+            for link in extract_links(html, u):
+                if link != u and link in members:
+                    src.append(u)
+                    dst.append(link)
+                    shost.append(h)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+                "src_host": pa.array(shost, pa.string()),
+            }
+        )
+
+    _EDGES_MEMO[corpus] = ds.map_batches(
+        edge_batch, batch_format="pyarrow"
+    ).materialize()
+    return _EDGES_MEMO[corpus]
+
+
+def crawl_inlinks(sf_dir: str):
+    """In-link summary per corpus page: in-degree and number of DISTINCT
+    linking hosts (the anchor-graph features a ranking/spam pipeline
+    derives).  Shape: the edge scan (one pass, P4 extractor) then one hash
+    exchange keyed by dst; distinct hosts ride the same exchange as
+    (dst, src_host) partial rows, so df-style per-key state never leaves
+    its partition.  Oracle: independent single-process graph build in
+    oracle_ext (same P4 scalar extractor — byte-vector-tested — different
+    graph/count code)."""
+    from scrapy__ray.pipelines.util import collect_arrow, shuffle_agg
+
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "src_host"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "src_host"], as_index=False)["cnt"].sum()
+        out = g.groupby("dst", as_index=False).agg(
+            in_degree=("cnt", "sum"), n_src_hosts=("src_host", "nunique")
+        )
+        return out.rename(columns={"dst": "url"})
+
+    out = shuffle_agg(edges, ["dst"], partial, final)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("in_degree", pa.int64()),
+                ("n_src_hosts", pa.int64()),
+            ]
+        ),
+    )
+
+
+def crawl_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the corpus link graph, _PR_ITERS power
+    iterations, damping 85/100, top-_PR_TOPK pages.  All arithmetic is
+    int64 on _PR_FIX total mass (shares via integer floor-division), so
+    every partial sum is order-independent and the distributed result is
+    bit-identical to the single-process oracle — the same int-fixing
+    policy as the ADC/BM25/DSIR operators.
+
+    Two regimes on node count N (threshold _PR_BROADCAST_MAX):
+    - N <= threshold (fixture + testdata scale): per-src shares are
+      precomputed on the driver and BROADCAST (the k-means shape); each
+      iteration is one pass over the materialized edge dataset emitting
+      per-dst partial sums, merged by driver reduce.  Edges stream; the
+      driver holds only the O(N) score vector.
+    - N > threshold: scores live as a Dataset; each iteration
+      shuffle_joins edges with scores on src (one exchange), partial-sums
+      contributions, and shuffle_aggs by dst (second exchange) — nothing
+      O(N) on the driver.  Forced in tests via monkeypatching the
+      threshold; both paths must agree bit-for-bit.
+
+    Dangling mass (nodes with no intra-corpus out-links) is pooled and
+    redistributed uniformly each iteration, floor-division per node."""
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+    urls = sorted(
+        pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist()
+    )
+    n = len(urls)
+
+    from scrapy__ray.pipelines.util import driver_agg
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("src", as_index=False).size().rename(columns={"size": "d"})
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("src", as_index=False)["d"].sum()
+
+    deg = driver_agg(edges, deg_partial, deg_final)
+    outdeg = dict(zip(deg["src"], deg["d"].astype("int64")))
+
+    scores = {u: _PR_FIX // n for u in urls}
+    base = _PR_FIX * (_PR_DAMP_DEN - _PR_DAMP_NUM) // (_PR_DAMP_DEN * n)
+
+    if n <= _PR_BROADCAST_MAX:
+        from scrapy__ray.pipelines.util import broadcast, lookup_broadcast
+
+        for _ in range(_PR_ITERS):
+            share = {
+                u: (s * _PR_DAMP_NUM) // (_PR_DAMP_DEN * outdeg[u])
+                for u, s in scores.items()
+                if outdeg.get(u, 0) > 0
+            }
+            dangling = sum(
+                s * _PR_DAMP_NUM // _PR_DAMP_DEN
+                for u, s in scores.items()
+                if outdeg.get(u, 0) == 0
+            )
+            share_ref = broadcast(share)
+
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                sh = lookup_broadcast(share_ref)
+                c = df["src"].map(sh).astype("int64")
+                g = pd.DataFrame({"dst": df["dst"].values, "c": c.values})
+                return g.groupby("dst", as_index=False).sum()
+
+            inc = driver_agg(
+                edges,
+                contrib,
+                lambda df: df.groupby("dst", as_index=False)["c"].sum(),
+            )
+            incoming = dict(zip(inc["dst"], inc["c"].astype("int64")))
+            dshare = dangling // n
+            scores = {u: base + dshare + incoming.get(u, 0) for u in urls}
+    else:  # pragma: no cover — exercised via monkeypatched threshold in tests
+        scores = _pagerank_distributed(edges, urls, outdeg, base)
+
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_PR_TOPK]
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in top], pa.string()),
+            "score_fix": pa.array([s for _, s in top], pa.int64()),
+        }
+    )
+
+
+def _pagerank_distributed(edges, urls, outdeg, base):
+    """The >threshold regime: scores live as a Dataset keyed by url; each
+    iteration costs one shuffle_join (edges x scores on src) plus one
+    shuffle_agg by dst — the score update itself stays distributed via a
+    zero-partial union (every url emits a (dst=url, c=0, outdeg) row from
+    the score dataset, so pages nobody links to still get base+dangling
+    mass, the events_range_join left-outer trick).  The driver holds only
+    the dangling-pot scalar per iteration.  Returns the final score dict
+    (collected ONCE at the end for the caller's top-k; at true scale the
+    top-k would stay distributed: per-partition head + driver merge, the
+    top_revenue shape)."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import driver_agg, shuffle_agg, shuffle_join
+
+    n = len(urls)
+    scores_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(urls, pa.string()),
+                "score": pa.array([_PR_FIX // n] * n, pa.int64()),
+                "outdeg": pa.array([outdeg.get(u, 0) for u in urls], pa.int64()),
+            }
+        )
+    ).materialize()
+
+    for _ in range(_PR_ITERS):
+        # dangling pot: tiny driver reduce over the score dataset
+        def dang_partial(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["outdeg"].values == 0
+            pot = (df["score"].values[m] * _PR_DAMP_NUM // _PR_DAMP_DEN).sum()
+            return pd.DataFrame({"pot": [int(pot)]})
+
+        pot = int(
+            driver_agg(scores_ds, dang_partial, lambda df: df.sum().to_frame().T)[
+                "pot"
+            ].iloc[0]
+        )
+        dshare = pot // n
+
+        joined = shuffle_join(
+            edges,
+            scores_ds,
+            on="src",
+            left_cols=["src", "dst"],
+            right_cols=["src", "score", "outdeg"],
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            score = np.asarray(t["score"].to_pylist(), dtype=np.int64)
+            od = np.asarray(t["outdeg"].to_pylist(), dtype=np.int64)
+            c = score * _PR_DAMP_NUM // (_PR_DAMP_DEN * np.maximum(od, 1))
+            return pa.table(
+                {
+                    "dst": t["dst"],
+                    "c": pa.array(c, pa.int64()),
+                    "outdeg": pa.array(np.zeros(len(c), dtype=np.int64), pa.int64()),
+                }
+            )
+
+        def zero_rows(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return pa.table(
+                {
+                    "dst": t["src"],
+                    "c": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+                    "outdeg": t["outdeg"],
+                }
+            )
+
+        unioned = joined.map_batches(contrib, batch_format="pyarrow").union(
+            scores_ds.map_batches(zero_rows, batch_format="pyarrow")
+        )
+
+        def upd_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("dst", as_index=False).agg(
+                c=("c", "sum"), outdeg=("outdeg", "max")
+            )
+
+        def upd_final(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("dst", as_index=False).agg(
+                c=("c", "sum"), outdeg=("outdeg", "max")
+            )
+            return pd.DataFrame(
+                {
+                    "src": g["dst"].values,
+                    "score": (base + dshare + g["c"].values).astype("int64"),
+                    "outdeg": g["outdeg"].astype("int64").values,
+                }
+            )
+
+        scores_ds = shuffle_agg(unioned, ["dst"], upd_partial, upd_final).materialize()
+
+    final = driver_agg(scores_ds, lambda df: df, lambda df: df)
+    return dict(zip(final["src"], final["score"].astype("int64")))
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -263,4 +563,6 @@ QUERIES = {
     "crawl_host_summary": (crawl_host_summary, None),
     "crawl_css_extract": (crawl_css_extract, None),
     "crawl_xpath_extract": (crawl_xpath_extract, None),
+    "crawl_inlinks": (crawl_inlinks, None),
+    "crawl_pagerank": (crawl_pagerank, None),
 }
