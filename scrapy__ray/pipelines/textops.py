@@ -1322,6 +1322,107 @@ def docs_winnow_dups(sf_dir: str):
     )
 
 
+# ------------------------------------------------- blocklist term matching
+#: pinned multi-pattern blocklist.  Every pattern is BORDERLESS (no proper
+#: prefix equals a suffix), so occurrences cannot self-overlap and the
+#: Aho-Corasick total-match count equals the SQL oracle's non-overlapping
+#: REPLACE-based count — asserted at import time below.
+_BLOCK_TERMS = ("slow scan", "spark", "spar", "value table", "part hash", "big vector")
+for _t in _BLOCK_TERMS:
+    assert not any(_t[:i] == _t[-i:] for i in range(1, len(_t))), _t
+_BLOCK_THRESHOLD = 3  # blocked when total matches >= this
+
+
+class BlocklistMatcher:
+    """Aho-Corasick multi-pattern matcher as an actor-pool stage: the
+    automaton (goto trie + BFS failure links + per-node output counts) is
+    built ONCE per actor in __init__ — the stateful-stage pattern for any
+    large pattern set (URL blocklists, banned-phrase lists), where
+    per-batch recompilation would dominate.  Matching is one pass per doc
+    regardless of pattern count; patterns may share prefixes and overlap
+    in the text (substring semantics, crossing word boundaries — 'spar'
+    matches inside 'spark', both are counted)."""
+
+    def __init__(self):
+        goto: list[dict[str, int]] = [{}]
+        out: list[int] = [0]
+        for term in _BLOCK_TERMS:
+            s = 0
+            for ch in term:
+                if ch not in goto[s]:
+                    goto.append({})
+                    out.append(0)
+                    goto[s][ch] = len(goto) - 1
+                s = goto[s][ch]
+            out[s] += 1
+        fail = [0] * len(goto)
+        queue = list(goto[0].values())
+        i = 0
+        while i < len(queue):
+            s = queue[i]
+            i += 1
+            for ch, t in goto[s].items():
+                queue.append(t)
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+                out[t] += out[fail[t]]
+        self._goto, self._fail, self._out = goto, fail, out
+
+    def _count(self, text: str) -> int:
+        goto, fail, out = self._goto, self._fail, self._out
+        s = total = 0
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                total += out[s]
+        return total
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = [self._count(x) for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_matches": pa.array(n, pa.int64()),
+                "blocked": pa.array([x >= _BLOCK_THRESHOLD for x in n], pa.bool_()),
+            }
+        )
+
+
+def docs_blocklist(sf_dir: str):
+    """Blocklist screening over the corpus: total blocklisted-term matches
+    per document and the keep/block flag.  Scale shape: pure actor-pool
+    map (the automaton lives in actor memory, documents stream through in
+    Arrow batches); no exchange at all.  The SQL oracle counts each term
+    by REPLACE-shrinkage — exact because the pinned terms are borderless
+    (see _BLOCK_TERMS)."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    return collect_arrow(
+        ds.map_batches(
+            BlocklistMatcher, batch_format="pyarrow", batch_size=256, concurrency=2
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_matches", pa.int64()), ("blocked", pa.bool_())]
+        ),
+    )
+
+
+_BLOCK_COUNT_EXPR = " + ".join(
+    f"(length(text) - length(replace(text, '{t}', ''))) / {len(t)}"
+    for t in _BLOCK_TERMS
+)
+DOCS_BLOCKLIST_SQL = f"""
+SELECT doc_id,
+       CAST({_BLOCK_COUNT_EXPR} AS BIGINT) AS n_matches,
+       CAST({_BLOCK_COUNT_EXPR} AS BIGINT) >= {_BLOCK_THRESHOLD} AS blocked
+FROM documents
+"""
+
+
 _EMBED_TERMS = ", ".join(
     f"CAST('0x' || substring(md5(text), {2 * i + 1}, 2) AS INTEGER)"
     for i in range(8)
@@ -1373,6 +1474,7 @@ QUERIES = {
     "docs_langid": (docs_langid, None),
     "docs_normalize": (docs_normalize, DOCS_NORMALIZE_SQL),
     "docs_scrub_pii": (docs_scrub_pii, DOCS_SCRUB_PII_SQL),
+    "docs_blocklist": (docs_blocklist, DOCS_BLOCKLIST_SQL),
     "media_meta_stub": (media_meta_stub, MEDIA_META_SQL),
     "media_framesample_stub": (media_framesample_stub, MEDIA_FRAMESAMPLE_SQL),
     "media_embed_stub": (media_embed_stub, MEDIA_EMBED_SQL),
