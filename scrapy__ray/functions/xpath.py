@@ -596,6 +596,13 @@ _NUM_CMP = {
 def _cmp_values(op: str, lv, rv) -> bool:
     lset = isinstance(lv, list)
     rset = isinstance(rv, list)
+    # XPath 1.0 §3.4: a node-set compared against a BOOLEAN is first
+    # converted via boolean() (non-empty test) for ALL six operators —
+    # the per-node some-match rule below applies only vs numbers/strings
+    if lset and isinstance(rv, bool):
+        return _cmp_values(op, _to_bool(lv), rv)
+    if rset and isinstance(lv, bool):
+        return _cmp_values(op, lv, _to_bool(rv))
     if lset or rset:
         # XPath 1.0: true iff SOME node(s) satisfy the comparison
         lvals = [_string_value(n) for n in lv] if lset else [lv]
@@ -682,14 +689,45 @@ def _pred_true(pred, item, pos: int, size: int, env: _Env) -> bool:
 
 
 # --------------------------------------------------------------- public API
-def xpath_select(root: Node, expr: str):
-    """Evaluate ``expr`` against the document ``root`` (from
-    cssselect.parse_dom).  Node-set results come back as a doc-ordered,
-    deduplicated list of Node / TextItem / AttrItem; a top-level scalar
-    expression (``count(//a)``) returns its Python value."""
-    ast = _Parser(expr).parse()
+def xpath_compile(expr: str):
+    """Parse ``expr`` once for reuse across many documents — pass the
+    result anywhere a string expression is accepted.  Hot per-page stages
+    must not re-tokenize constant expressions per document."""
+    return _Parser(expr).parse()
+
+
+def xpath_select(root: Node, expr):
+    """Evaluate ``expr`` (a string, or an AST from :func:`xpath_compile`)
+    against the document ``root`` (from cssselect.parse_dom).  Node-set
+    results come back as a doc-ordered, deduplicated list of Node /
+    TextItem / AttrItem; a top-level scalar expression (``count(//a)``)
+    returns its Python value."""
+    ast = _Parser(expr).parse() if isinstance(expr, str) else expr
     env = _Env(root)
     return _eval_expr(ast, root, 1, 1, env)
+
+
+def xpath_extract_many(
+    html: bytes | str | Node,
+    exprs,
+    declared_encoding: str | None = None,
+) -> list[list[str]]:
+    """``xpath_extract`` for several (optionally precompiled) expressions
+    over ONE parsed document sharing ONE doc-order index (_Env) — the
+    per-page multi-selector shape; building the index per expression
+    would re-walk the DOM once per selector."""
+    root = html if isinstance(html, Node) else parse_dom(html, declared_encoding)
+    env = _Env(root)
+    out = []
+    for e in exprs:
+        ast = _Parser(e).parse() if isinstance(e, str) else e
+        res = _eval_expr(ast, root, 1, 1, env)
+        out.append(
+            [_to_string(res)]
+            if not isinstance(res, list)
+            else [_string_value(it) for it in res]
+        )
+    return out
 
 
 def xpath_extract(

@@ -826,6 +826,13 @@ def oracle_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
         for d in range(D):
             cms[d][idx(k, d)] += c
     lo, hi = min(users), max(users)
+    if hi - lo >= 10_000_000:
+        # mirror the engine's dense-id guard (streamops.events_heavy_hitters):
+        # fail fast instead of enumerating a sparse/wide id range for hours
+        raise ValueError(
+            "events_heavy_hitters oracle: user_id range too wide for dense "
+            f"candidate enumeration ({lo}..{hi})"
+        )
     est = {k: min(cms[d][idx(k, d)] for d in range(D)) for k in range(lo, hi + 1)}
     ranked = sorted(est.items(), key=lambda t: (-t[1], t[0]))[:K]
     return pd.DataFrame(

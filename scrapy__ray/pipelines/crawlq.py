@@ -145,6 +145,34 @@ def crawl_host_summary(sf_dir: str):
     )
 
 
+def _pages_ds(corpus: str):
+    """Column-pruned pages read (url, html) plus the content_encoding
+    sidecar when the gzip corpus variant carries one — the schema peek on
+    parquet metadata is free.  Single definition: the css/xpath/link-graph
+    pipelines must all decode identically."""
+    import ray.data as rd
+
+    names = rd.read_parquet(corpus + "/pages").schema().names
+    cols = ["url", "html"] + (
+        ["content_encoding"] if "content_encoding" in names else []
+    )
+    return rd.read_parquet(corpus + "/pages", columns=cols)
+
+
+def _decoded_htmls(t: pa.Table) -> list[bytes]:
+    """M6 transport-level gzip: decode before parsing, exactly as the
+    download path does (the oracle side mirrors this)."""
+    import gzip as _gzip
+
+    htmls = t["html"].to_pylist()
+    if "content_encoding" in t.schema.names:
+        htmls = [
+            _gzip.decompress(h) if enc == "gzip" else h
+            for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+        ]
+    return htmls
+
+
 def crawl_css_extract(sf_dir: str):
     """CSS-subset selector pipeline (SURVEY.md P3) over the corpus pages:
     per page, ``title::text``, ``h1::text``, ``li > a::attr(href)`` and the
@@ -152,30 +180,13 @@ def crawl_css_extract(sf_dir: str):
     vectorizable map_batches stage.  Oracle: an INDEPENDENT regex+unescape
     extraction (oracle_ext.oracle_crawl_css_extract) materialized to
     parquet; the byte-level vector gate is tests/test_cssselect.py."""
-    import ray.data as rd
-
     from scrapy__ray.functions.cssselect import css_extract, parse_dom
 
     corpus = _corpus()
-    # column-pruned read, plus the content_encoding sidecar when the gzip
-    # corpus variant carries one (schema peek on parquet metadata is free)
-    names = rd.read_parquet(corpus + "/pages").schema().names
-    cols = ["url", "html"] + (
-        ["content_encoding"] if "content_encoding" in names else []
-    )
-    ds = rd.read_parquet(corpus + "/pages", columns=cols)
+    ds = _pages_ds(corpus)
 
     def sel(t: pa.Table) -> pa.Table:
-        import gzip as _gzip
-
-        htmls = t["html"].to_pylist()
-        if "content_encoding" in t.schema.names:
-            # M6 transport-level gzip: decode before parsing, exactly as
-            # the download path does (oracle side mirrors this)
-            htmls = [
-                _gzip.decompress(h) if enc == "gzip" else h
-                for h, enc in zip(htmls, t["content_encoding"].to_pylist())
-            ]
+        htmls = _decoded_htmls(t)
         titles, h1s, n_a, anchors, paras = [], [], [], [], []
         for html in htmls:
             dom = parse_dom(html)
@@ -209,34 +220,22 @@ def crawl_xpath_extract(sf_dir: str):
     (functions/xpath.py), a genuinely different algorithm from both the
     CSS matcher and the regex oracle.  Oracle: the same INDEPENDENT
     regex+unescape extraction, materialized under this query's name."""
-    import ray.data as rd
-
     from scrapy__ray.functions.cssselect import parse_dom
-    from scrapy__ray.functions.xpath import xpath_extract
+    from scrapy__ray.functions.xpath import xpath_compile, xpath_extract_many
 
     corpus = _corpus()
-    names = rd.read_parquet(corpus + "/pages").schema().names
-    cols = ["url", "html"] + (
-        ["content_encoding"] if "content_encoding" in names else []
-    )
-    ds = rd.read_parquet(corpus + "/pages", columns=cols)
+    ds = _pages_ds(corpus)
+    # constant selectors: parse ONCE per task, not once per page; the four
+    # evaluations then share one parsed DOM and one doc-order index
+    asts = [
+        xpath_compile(e) for e in ("//title", "//h1", "//li/a/@href", "//p")
+    ]
 
     def sel(t: pa.Table) -> pa.Table:
-        import gzip as _gzip
-
-        htmls = t["html"].to_pylist()
-        if "content_encoding" in t.schema.names:
-            htmls = [
-                _gzip.decompress(h) if enc == "gzip" else h
-                for h, enc in zip(htmls, t["content_encoding"].to_pylist())
-            ]
+        htmls = _decoded_htmls(t)
         titles, h1s, n_a, anchors, paras = [], [], [], [], []
         for html in htmls:
-            dom = parse_dom(html)
-            ti = xpath_extract(dom, "//title")
-            h1 = xpath_extract(dom, "//h1")
-            hrefs = xpath_extract(dom, "//li/a/@href")
-            ps = xpath_extract(dom, "//p")
+            ti, h1, hrefs, ps = xpath_extract_many(parse_dom(html), asts)
             titles.append(ti[0] if ti else "")
             h1s.append(h1[0] if h1 else "")
             n_a.append(len(hrefs))
@@ -279,16 +278,18 @@ def _link_edges(corpus: str):
     against the url column).  Self-loops dropped; per-page dedup is P4's
     ``unique=True`` semantics.  Memoized per corpus because inlinks and
     pagerank both consume it in one driver pass."""
-    import gzip as _gzip
-
-    import ray.data as rd
+    import ray
 
     from scrapy__ray.functions.linkextract import extract_links
     from scrapy__ray.functions.url import host_of
     from scrapy__ray.pipelines.util import broadcast, ensure_ctx, lookup_broadcast
 
-    if corpus in _EDGES_MEMO:
-        return _EDGES_MEMO[corpus]
+    # key the memo by Ray job too: the cached value is a MaterializedDataset
+    # whose object refs die with the Ray session — a recycled driver
+    # (shutdown + init) must recompute, not dereference dead blocks
+    memo_key = (corpus, ray.get_runtime_context().get_job_id())
+    if memo_key in _EDGES_MEMO:
+        return _EDGES_MEMO[memo_key]
     # the DataContext is captured at dataset creation: HASH_SHUFFLE must be
     # set BEFORE the edge dataset exists or a later repartition(keys=...)
     # on it rejects the strategy
@@ -296,21 +297,11 @@ def _link_edges(corpus: str):
 
     url_set = set(pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist())
     set_ref = broadcast(url_set)
-
-    names = rd.read_parquet(corpus + "/pages").schema().names
-    cols = ["url", "html"] + (
-        ["content_encoding"] if "content_encoding" in names else []
-    )
-    ds = rd.read_parquet(corpus + "/pages", columns=cols)
+    ds = _pages_ds(corpus)
 
     def edge_batch(t: pa.Table) -> pa.Table:
         members = lookup_broadcast(set_ref)
-        htmls = t["html"].to_pylist()
-        if "content_encoding" in t.schema.names:
-            htmls = [
-                _gzip.decompress(h) if enc == "gzip" else h
-                for h, enc in zip(htmls, t["content_encoding"].to_pylist())
-            ]
+        htmls = _decoded_htmls(t)
         src, dst, shost = [], [], []
         for u, html in zip(t["url"].to_pylist(), htmls):
             h = host_of(u)
@@ -327,10 +318,10 @@ def _link_edges(corpus: str):
             }
         )
 
-    _EDGES_MEMO[corpus] = ds.map_batches(
+    _EDGES_MEMO[memo_key] = ds.map_batches(
         edge_batch, batch_format="pyarrow"
     ).materialize()
-    return _EDGES_MEMO[corpus]
+    return _EDGES_MEMO[memo_key]
 
 
 def crawl_inlinks(sf_dir: str):

@@ -1210,8 +1210,10 @@ class EmbedStub:
             dtype=np.float64,
         )
         ss = (emb * emb).sum(axis=1)
-        sum_e = emb.sum(axis=1)
-        cos = sum_e / (np.sqrt(float(self.DIM)) * np.sqrt(ss))
+        # the batched "inference": one matmul against the actor-held model
+        # vector (unit uniform -> equals sum/sqrt(DIM), which is what the
+        # SQL mirror computes)
+        cos = (emb @ self._q) / np.sqrt(ss)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -1240,12 +1242,15 @@ _WINNOW_BASE = 257
 
 
 def _winnow_fps(text: str) -> set[int]:
-    """Schleimer/Wilkerson/Aiken 2003 robust winnowing: polynomial hash of
-    every k-char-gram, then per w-window select the minimum (rightmost on
-    ties).  Vectorized: Horner across k shifted byte arrays, one
-    sliding-window argmin.  Docs shorter than k+w-1 chars degrade to the
-    rightmost global minimum (one fingerprint); docs shorter than k have
-    none."""
+    """Winnowing (Schleimer/Wilkerson/Aiken 2003, plain variant): polynomial
+    hash of every k-char-gram, then per w-window select the minimum
+    (rightmost on ties — NOT the paper's "robust" tie rule, which re-picks
+    the previously selected position to lower density; as a fingerprint
+    VALUE set the two rules only differ in density, and the k+w-1
+    shared-substring guarantee holds for both).  Vectorized: Horner across
+    k shifted byte arrays, one sliding-window argmin.  Docs shorter than
+    k+w-1 chars degrade to the rightmost global minimum (one fingerprint);
+    docs shorter than k have none."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
     n = len(b) - _WINNOW_K + 1
     if n <= 0:
@@ -1329,7 +1334,10 @@ def docs_winnow_dups(sf_dir: str):
 #: REPLACE-based count — asserted at import time below.
 _BLOCK_TERMS = ("slow scan", "spark", "spar", "value table", "part hash", "big vector")
 for _t in _BLOCK_TERMS:
-    assert not any(_t[:i] == _t[-i:] for i in range(1, len(_t))), _t
+    # hard check, not assert: python -O must not silently drop the
+    # invariant the SQL-oracle equivalence rests on
+    if any(_t[:i] == _t[-i:] for i in range(1, len(_t))):
+        raise ValueError(f"blocklist term {_t!r} has a border; see docstring")
 _BLOCK_THRESHOLD = 3  # blocked when total matches >= this
 
 

@@ -83,5 +83,31 @@ def test_minhash_large_regime_matches_small(ray_session, monkeypatch):
 
     small = _canon(_to_df(textops.docs_minhash_lsh(SF_DIR)))
     monkeypatch.setattr(textops, "_MINHASH_PUSHDOWN_MAX_IDS", 0)
+    # the per-process result memo would otherwise return the fast-path
+    # table verbatim and never execute the forced regime
+    monkeypatch.setattr(textops, "_MINHASH_MEMO", {})
     large = _canon(_to_df(textops.docs_minhash_lsh(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_jaccard_sizes_shuffle_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_SIZES_BROADCAST_MAX regime (shuffle_agg sizes + two
+    shuffle_joins — the 10^10-doc path) and assert byte-identical pairs."""
+    import scrapy__ray.pipelines.textops as textops
+
+    small = _canon(_to_df(textops.docs_jaccard_dups(SF_DIR)))
+    monkeypatch.setattr(textops, "_SIZES_BROADCAST_MAX", 0)
+    monkeypatch.setattr(textops, "_JACCARD_MEMO", {})
+    large = _canon(_to_df(textops.docs_jaccard_dups(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_tfidf_vocab_shuffle_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_VOCAB_BROADCAST_MAX_DOCS regime (term-keyed shuffle_join
+    for df — vocabulary never broadcast) and assert identical top terms."""
+    import scrapy__ray.pipelines.qualityops as qualityops
+
+    small = _canon(_to_df(qualityops.docs_tfidf_top_terms(SF_DIR)))
+    monkeypatch.setattr(qualityops, "_VOCAB_BROADCAST_MAX_DOCS", 0)
+    large = _canon(_to_df(qualityops.docs_tfidf_top_terms(SF_DIR)))
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)

@@ -178,3 +178,33 @@ def xpath_select_or_raise(expr):
     from scrapy__ray.functions.cssselect import parse_dom
 
     return xpath_select(parse_dom(DOC), expr)
+
+
+def test_nodeset_vs_boolean_uses_boolean_conversion():
+    """XPath 1.0 3.4: node-set vs boolean compares boolean(node-set) —
+    non-empty test — NOT per-node string truthiness.  An empty <a> element
+    still makes //a = true() succeed (regression: the per-node rule
+    converted the empty string-value to false)."""
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_select
+
+    root = parse_dom(b"<html><body><a href='x'></a><p>t</p></body></html>")
+    assert len(xpath_select(root, "//p[../a = true()]")) == 1
+    assert len(xpath_select(root, "//p[../q = true()]")) == 0
+    assert len(xpath_select(root, "//p[../q != true()]")) == 1
+    assert len(xpath_select(root, "//p[../a = false()]")) == 0
+
+
+def test_extract_many_matches_single():
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import (
+        xpath_compile,
+        xpath_extract,
+        xpath_extract_many,
+    )
+
+    root = parse_dom(DOC)
+    exprs = ["//title", "//h1", "//li/a/@href", "//p", "count(//a)"]
+    many = xpath_extract_many(root, [xpath_compile(e) for e in exprs])
+    for e, got in zip(exprs, many):
+        assert got == xpath_extract(root, e)
