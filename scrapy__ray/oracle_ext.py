@@ -840,6 +840,144 @@ def oracle_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_BLOCK_RE = re.compile(
+    r"<(p|ul|ol|h1|h2|h3|pre|blockquote|table)\b[^>]*>(.*?)</\1>", re.S
+)
+_A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _block_text(inner: str) -> str:
+    import html as htmllib
+
+    return " ".join(htmllib.unescape(_TAG_RE.sub("", inner)).split())
+
+
+def _page_htmls(corpus: str) -> tuple[list[str], list[str]]:
+    import gzip
+
+    t = pq.read_table(corpus + "/pages")
+    htmls = t["html"].to_pylist()
+    if "content_encoding" in t.schema.names:
+        htmls = [
+            gzip.decompress(h) if enc == "gzip" else h
+            for h, enc in zip(htmls, t["content_encoding"].to_pylist())
+        ]
+    return t["url"].to_pylist(), [_decode_fixture_html(h) for h in htmls]
+
+
+def oracle_crawl_main_content(corpus: str) -> pd.DataFrame:
+    """Regex-based independent mirror of the link-density main-content
+    query (contract pinned in pipelines/crawlq.crawl_main_content): blocks
+    via a tag-alternation scan (the fixture corpus nests no block inside
+    another — same structural reliance as oracle_crawl_css_extract), text
+    normalized by whitespace collapse, kept when non-empty and
+    anchor-chars/total-chars < 0.5."""
+    import hashlib
+
+    urls, htmls = _page_htmls(corpus)
+    rows = {"url": [], "n_blocks": [], "n_kept": [], "main_chars": [], "main_md5": []}
+    for url, s in zip(urls, htmls):
+        kept = []
+        n_blocks = 0
+        for m in _BLOCK_RE.finditer(s):
+            inner = m.group(2)
+            txt = _block_text(inner)
+            link = sum(len(_block_text(a)) for a in _A_RE.findall(inner))
+            n_blocks += 1
+            if len(txt) > 0 and min(link, len(txt)) / len(txt) < 0.5:
+                kept.append(txt)
+        joined = "\n".join(kept)
+        rows["url"].append(url)
+        rows["n_blocks"].append(n_blocks)
+        rows["n_kept"].append(len(kept))
+        rows["main_chars"].append(len(joined))
+        rows["main_md5"].append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+    df = pd.DataFrame(rows)
+    return df.astype({"n_blocks": "int64", "n_kept": "int64", "main_chars": "int64"})
+
+
+_UNIT_RE = re.compile(r"<(p|li)\b[^>]*>(.*?)</\1>", re.S)
+
+
+def oracle_crawl_paragraph_dedup(corpus: str) -> pd.DataFrame:
+    """Independent mirror of the CCNet-style block-text page-frequency
+    dedup: distinct normalized <p>/<li> texts per page, Counter of distinct
+    pages per text, boilerplate = on >= 5 pages."""
+    urls, htmls = _page_htmls(corpus)
+    per_page: list[tuple[str, set]] = []
+    freq: dict[str, int] = {}
+    for url, s in zip(urls, htmls):
+        texts = {
+            _block_text(m.group(2)) for m in _UNIT_RE.finditer(s)
+        } - {""}
+        per_page.append((url, texts))
+        for t in texts:
+            freq[t] = freq.get(t, 0) + 1
+    rows = {"url": [], "n_units": [], "n_boiler": [], "boiler_frac": []}
+    for url, texts in per_page:
+        if not texts:
+            continue  # pages with zero units emit no block rows engine-side
+        nb = sum(1 for t in texts if freq[t] >= 5)
+        rows["url"].append(url)
+        rows["n_units"].append(len(texts))
+        rows["n_boiler"].append(nb)
+        rows["boiler_frac"].append(float(_round_away([nb / len(texts)], 4)[0]))
+    df = pd.DataFrame(rows)
+    return df.astype({"n_units": "int64", "n_boiler": "int64"})
+
+
+def oracle_docs_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """Single-process BPE merge learning (Sennrich et al. 2016 algorithm 1,
+    contract pinned in pipelines/qualityops.docs_bpe_train): words = regex
+    whitespace tokens, symbols start as characters, 12 merge rounds, each
+    picks the (count-max, then lexicographically smallest) adjacent pair,
+    overlaps all counted, merges applied left-to-right non-overlapping.
+    Plain dict/list loops — no shared pipeline code."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    word_count: dict[str, int] = {}
+    for text in tbl.column("text").to_pylist():
+        for w in _tokens(text):
+            word_count[w] = word_count.get(w, 0) + 1
+
+    vocab: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_count.items()
+    ]
+    ranks, lefts, rights, counts = [], [], [], []
+    for rank in range(1, 13):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + c
+        if not stats:
+            break
+        best_pair, best_c = None, -1
+        for p, c in stats.items():
+            if c > best_c or (c == best_c and p < best_pair):
+                best_pair, best_c = p, c
+        la, rb = best_pair
+        ranks.append(rank)
+        lefts.append(la)
+        rights.append(rb)
+        counts.append(best_c)
+        new_vocab = []
+        for syms, c in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return pd.DataFrame(
+        {"rank": ranks, "left": lefts, "right": rights, "pair_count": counts}
+    )
+
+
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
     "docs_langid": oracle_docs_langid,
@@ -857,6 +995,7 @@ _SF_ORACLES = {
     "docs_importance_weights": oracle_docs_importance_weights,
     "docs_lm_quality": oracle_docs_lm_quality,
     "events_heavy_hitters": oracle_events_heavy_hitters,
+    "docs_bpe_train": oracle_docs_bpe_train,
 }
 
 _cache: dict[str, dict[str, str]] = {}
@@ -898,6 +1037,8 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_xpath_extract", oracle_crawl_css_extract(corpus)),
         ("crawl_inlinks", oracle_crawl_inlinks(corpus)),
         ("crawl_pagerank", oracle_crawl_pagerank(corpus)),
+        ("crawl_main_content", oracle_crawl_main_content(corpus)),
+        ("crawl_paragraph_dedup", oracle_crawl_paragraph_dedup(corpus)),
     ):
         paths[name] = write(name, df)
     _cache[sf_dir] = paths

@@ -12,6 +12,7 @@ engine-vs-oracle comparison (seen set, order, text bytes, metrics).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -152,6 +153,12 @@ def _pages_ds(corpus: str):
     pipelines must all decode identically."""
     import ray.data as rd
 
+    from scrapy__ray.pipelines.util import ensure_ctx
+
+    # the DataContext is captured at dataset creation: HASH_SHUFFLE must be
+    # pinned BEFORE the read exists or a later repartition(keys=...) on a
+    # derived dataset (paragraph dedup, link graph) rejects the strategy
+    ensure_ctx()
     names = rd.read_parquet(corpus + "/pages").schema().names
     cols = ["url", "html"] + (
         ["content_encoding"] if "content_encoding" in names else []
@@ -547,6 +554,262 @@ def _pagerank_distributed(edges, urls, outdeg, base):
     return dict(zip(final["src"], final["score"].astype("int64")))
 
 
+# ------------------------------------------- main-content extraction (webtext)
+#: jusText/trafilatura-style block classification: a block whose text is
+#: mostly anchor text is navigation boilerplate.  Pinned contract shared
+#: with the independent regex oracle: blocks = top-most elements with one
+#: of these tags; text normalized by whitespace collapse; a block is KEPT
+#: when it has any text and anchor-chars / total-chars < _LINK_DENSITY_MAX.
+_BLOCK_TAGS = frozenset(
+    {"p", "ul", "ol", "h1", "h2", "h3", "pre", "blockquote", "table"}
+)
+_LINK_DENSITY_MAX = 0.5
+
+
+def _norm_ws(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _page_blocks(dom) -> list[tuple[str, int, int]]:
+    """Doc-ordered (tag, total_chars, link_chars) + normalized text per
+    TOP-MOST block element (a block nested in another block belongs to its
+    ancestor).  Returns [(norm_text, total_chars, link_chars), ...]."""
+    out = []
+
+    def walk(node) -> None:
+        for c in node.children():
+            if c.tag in _BLOCK_TAGS:
+                txt = _norm_ws(c.text())
+                link = sum(
+                    len(_norm_ws(d.text())) for d in c.iter() if d.tag == "a"
+                )
+                out.append((txt, len(txt), min(link, len(txt))))
+            else:
+                walk(c)
+
+    walk(dom)
+    return out
+
+
+def crawl_main_content(sf_dir: str):
+    """Link-density main-content extraction over the corpus pages (the
+    jusText / trafilatura boilerplate heuristic, the step between raw HTML
+    and every docs_* text operator in a real webtext pipeline): per page,
+    classify each top-most block element by anchor-text density, keep the
+    low-density blocks, and emit (url, n_blocks, n_kept, main_chars,
+    main_md5) where main_md5 hashes the kept blocks' normalized text joined
+    by newline — full content equality without shipping wide strings.
+
+    Scale: pure map_batches over the column-pruned pages read — zero
+    exchanges; the DOM walk is the same per-page cost as the css/xpath
+    stages.  Oracle: INDEPENDENT regex block scanner + html.unescape
+    (oracle_ext.oracle_crawl_main_content), materialized to parquet."""
+    import hashlib as _hl
+
+    from scrapy__ray.functions.cssselect import parse_dom
+
+    corpus = _corpus()
+    ds = _pages_ds(corpus)
+
+    def extract(t: pa.Table) -> pa.Table:
+        htmls = _decoded_htmls(t)
+        n_blocks, n_kept, main_chars, main_md5 = [], [], [], []
+        for html in htmls:
+            blocks = _page_blocks(parse_dom(html))
+            kept = [
+                txt
+                for txt, tot, link in blocks
+                if tot > 0 and link / tot < _LINK_DENSITY_MAX
+            ]
+            joined = "\n".join(kept)
+            n_blocks.append(len(blocks))
+            n_kept.append(len(kept))
+            main_chars.append(len(joined))
+            main_md5.append(_hl.md5(joined.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_blocks": pa.array(n_blocks, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "main_chars": pa.array(main_chars, pa.int64()),
+                "main_md5": pa.array(main_md5, pa.string()),
+            }
+        )
+
+    from scrapy__ray.pipelines.util import collect_arrow
+
+    return collect_arrow(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("n_blocks", pa.int64()),
+                ("n_kept", pa.int64()),
+                ("main_chars", pa.int64()),
+                ("main_md5", pa.string()),
+            ]
+        ),
+    )
+
+
+# --------------------------------------- paragraph-level boilerplate dedup
+#: CCNet / RefinedWeb line-level dedup: a block text occurring on many
+#: DISTINCT pages is boilerplate.  Dedup units here = <p> and <li> block
+#: texts (whitespace-normalized); threshold = distinct-page count >= this.
+_BOILER_MIN_PAGES = 5
+#: at or below this many hot (>= threshold) texts the hot set is collected
+#: and broadcast (the Zipf head — nav strings, footers — is tiny relative
+#: to the corpus); above it the flagging runs as a shuffle_join on the
+#: block-hash, nothing collected.  Forced + compared in tests.
+_BOILER_BROADCAST_MAX = 1_000_000
+
+
+def _page_units(dom) -> list[str]:
+    """Distinct whitespace-normalized texts of every <p> and <li> element
+    of the page (distinct WITHIN the page: page-frequency counts pages,
+    not repetitions — the CCNet per-shard dedup contract)."""
+    seen = set()
+    for n in dom.iter():
+        if n.tag in ("p", "li"):
+            t = _norm_ws(n.text())
+            if t:
+                seen.add(t)
+    return sorted(seen)
+
+
+def crawl_paragraph_dedup(sf_dir: str):
+    """Paragraph/line-level boilerplate detection over the corpus pages
+    (CCNet Wenzek et al. 2020 §3.1 / RefinedWeb line-dedup): hash every
+    page's distinct <p>/<li> block texts, count DISTINCT PAGES per text
+    across the corpus (one hash exchange on the 16-byte block hash), flag
+    texts on >= _BOILER_MIN_PAGES pages as boilerplate, and emit per page
+    (url, n_units, n_boiler, boiler_frac).
+
+    Scale: exchange rows are (hash, url) pairs — O(total blocks), narrow;
+    the page-frequency table lives in hash partitions.  The hot tail is
+    Zipf-headed, so below _BOILER_BROADCAST_MAX hot texts the flag set
+    rides back as one broadcast (second corpus pass is exchange-free);
+    above it a shuffle_join on the hash keeps the driver out of the data
+    plane.  Oracle: INDEPENDENT regex scanner + Counter
+    (oracle_ext.oracle_crawl_paragraph_dedup), materialized."""
+    import hashlib as _hl
+
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        collect_arrow,
+        lookup_broadcast,
+        round_col,
+        shuffle_agg,
+        shuffle_join,
+    )
+
+    corpus = _corpus()
+    ds = _pages_ds(corpus)
+
+    def units(t: pa.Table) -> pa.Table:
+        htmls = _decoded_htmls(t)
+        urls, hashes = [], []
+        for u, html in zip(t["url"].to_pylist(), htmls):
+            for txt in _page_units(parse_dom(html)):
+                urls.append(u)
+                hashes.append(
+                    _hl.blake2b(txt.encode("utf-8"), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "h": pa.array(hashes, pa.string())}
+        )
+
+    # (url, h) rows are distinct by construction (per-page set) — page
+    # frequency per hash = plain row count after the exchange
+    blocks = ds.map_batches(units, batch_format="pyarrow").materialize()
+
+    def pf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).size().rename(columns={"size": "pf"})
+
+    def pf_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False)["pf"].sum()
+
+    pf = shuffle_agg(blocks, ["h"], pf_partial, pf_final)
+    hot = pf.filter(lambda r: r["pf"] >= _BOILER_MIN_PAGES).materialize()
+
+    if hot.count() <= _BOILER_BROADCAST_MAX:
+        hot_set: set[str] = set()
+        for t in hot.iter_batches(batch_format="pyarrow"):
+            hot_set.update(t["h"].to_pylist())
+        ref = broadcast(hot_set)
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            hs = lookup_broadcast(ref)
+            return pd.DataFrame(
+                {
+                    "url": df["url"].values,
+                    "b": df["h"].isin(hs).astype("int64").values,
+                }
+            )
+
+        flagged = blocks.map_batches(flag, batch_format="pandas")
+    else:
+        # shuffle_join is inner; left-outer semantics via the zero-partial
+        # union (the pagerank/events_range_join trick): every block emits a
+        # b=0 row, every (block x hot) match emits a b=1 row, and the final
+        # per-url sum over both is exactly the broadcast regime's answer
+        joined = shuffle_join(
+            blocks, hot, on="h", left_cols=["url", "h"], right_cols=["h", "pf"]
+        )
+
+        def one_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": df["url"].values,
+                    "b": np.ones(len(df), dtype=np.int64),
+                    "u": np.zeros(len(df), dtype=np.int64),
+                }
+            )
+
+        def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": df["url"].values,
+                    "b": np.zeros(len(df), dtype=np.int64),
+                    "u": np.ones(len(df), dtype=np.int64),
+                }
+            )
+
+        flagged = joined.map_batches(one_rows, batch_format="pandas").union(
+            blocks.map_batches(zero_rows, batch_format="pandas")
+        )
+
+    def page_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "u" in df.columns:  # join regime: unit rows and boiler rows split
+            return df.groupby("url", as_index=False).agg(
+                n_units=("u", "sum"), n_boiler=("b", "sum")
+            )
+        return df.groupby("url", as_index=False).agg(
+            n_units=("b", "size"), n_boiler=("b", "sum")
+        )
+
+    def page_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", as_index=False)[["n_units", "n_boiler"]].sum()
+        g["boiler_frac"] = round_col(
+            g["n_boiler"].to_numpy("float64") / g["n_units"].to_numpy("float64"), 4
+        )
+        return g
+
+    out = shuffle_agg(flagged, ["url"], page_partial, page_final)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("n_units", pa.int64()),
+                ("n_boiler", pa.int64()),
+                ("boiler_frac", pa.float64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -556,4 +819,6 @@ QUERIES = {
     "crawl_xpath_extract": (crawl_xpath_extract, None),
     "crawl_inlinks": (crawl_inlinks, None),
     "crawl_pagerank": (crawl_pagerank, None),
+    "crawl_main_content": (crawl_main_content, None),
+    "crawl_paragraph_dedup": (crawl_paragraph_dedup, None),
 }

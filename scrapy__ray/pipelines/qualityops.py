@@ -1380,6 +1380,191 @@ QUALIFY row_number() OVER (ORDER BY sci DESC, doc_id) <= {_BM25_TOPK}
 """
 
 
+# ----------------------------------------------- BPE tokenizer-merge training
+# Byte-pair-encoding merge learning (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units", algorithm 1): iteratively
+# merge the most frequent adjacent symbol pair.  The standard efficiency
+# trick makes this tractable at corpus scale: merges operate on the DISTINCT
+# WORD table (word, count), never the corpus — one streaming count pass over
+# the documents, then K iterations over a table whose size is the
+# vocabulary, orders of magnitude smaller than the input.
+_BPE_NUM_MERGES = 12
+#: at or below this many corpus documents the word table provably fits the
+#: driver (vocab ≤ tokens ≤ docs × doc-length) and the merge loop runs
+#: locally on the collected counts; above it — the 10^10-doc design point,
+#: where a web vocabulary is 10^8+ words — the word table stays a Dataset
+#: and each iteration is a mergeable pair-count fold (rows ≤ distinct
+#: adjacent pairs, far below vocab) + one broadcast merge applied in
+#: map_batches.  Both regimes are exact-integer and bit-identical (forced
+#: and compared in tests).
+_BPE_DRIVER_MAX_DOCS = 2_000_000
+
+
+def _bpe_pair_counts(syms_list, counts) -> collections.Counter:
+    """Weighted adjacent-pair counts over (symbol-tuple, word-count) rows.
+    Overlapping occurrences all count, per the reference algorithm
+    (get_stats in the paper's appendix counts every zip(word, word[1:])
+    position)."""
+    pairs: collections.Counter = collections.Counter()
+    for syms, c in zip(syms_list, counts):
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += int(c)
+    return pairs
+
+
+def _bpe_apply(syms: tuple, left: str, right: str) -> tuple:
+    """Merge every (left, right) adjacency left-to-right, non-overlapping —
+    'aaaa' under merge (a,a) becomes ('aa','aa'), matching the reference
+    algorithm's single-pass replace."""
+    out = []
+    i, n = 0, len(syms)
+    merged = left + right
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_best(pairs: collections.Counter):
+    """Deterministic argmax: highest count, ties broken by lexicographically
+    smallest (left, right) — order-independent regardless of how the counts
+    were accumulated."""
+    if not pairs:
+        return None
+    return min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+
+def docs_bpe_train(sf_dir: str):
+    """Learn the first ``_BPE_NUM_MERGES`` BPE merges over the corpus:
+    symbols start as the characters of each whitespace token (merges never
+    cross word boundaries), each rank merges the globally most frequent
+    adjacent pair.  Returns (rank, left, right, pair_count) — fewer rows if
+    the pair supply is exhausted first.
+
+    Scale: the corpus is read EXACTLY ONCE (per-block word Counters ->
+    mergeable (word, count) partials).  Below _BPE_DRIVER_MAX_DOCS the word
+    table folds to the driver (driver_agg) and the merge loop runs locally.
+    Above it, the word table becomes a hash-shuffled Dataset of
+    (symbols, count) rows and each iteration costs one mergeable pair-count
+    fold to the driver plus one broadcast merge rewrite — K passes over the
+    vocabulary, zero further passes over the corpus, no shuffle after the
+    initial word-count exchange.  All arithmetic is integer counts with a
+    total-order tie-break, so block boundaries cannot change the result.
+    Oracle: independent pure-Python implementation
+    (oracle_ext.oracle_docs_bpe_train), materialized to parquet."""
+    import pyarrow.parquet as _pq
+
+    ds = read_parquet(sf_dir, "documents", columns=["text"])
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: collections.Counter = collections.Counter()
+        for text in df["text"]:
+            c.update(_tokens(text))
+        return pd.DataFrame(
+            {"word": list(c.keys()), "c": np.fromiter(c.values(), np.int64, len(c))}
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+
+    if n_docs <= _BPE_DRIVER_MAX_DOCS:
+        wc = driver_agg(
+            ds,
+            word_partial,
+            lambda df: df.groupby("word", as_index=False)["c"].sum(),
+        )
+        table = {
+            tuple(w): int(c) for w, c in zip(wc["word"], wc["c"])
+        }
+        for rank in range(1, _BPE_NUM_MERGES + 1):
+            best = _bpe_best(_bpe_pair_counts(table.keys(), table.values()))
+            if best is None:
+                break
+            (left, right), cnt = best
+            merges.append((rank, left, right, cnt))
+            table = {
+                _bpe_apply(syms, left, right): c for syms, c in table.items()
+            }
+    else:
+        words = shuffle_agg(
+            ds.map_batches(word_partial, batch_format="pandas"),
+            ["word"],
+            lambda df: df.groupby("word", as_index=False)["c"].sum(),
+            lambda df: df.groupby("word", as_index=False)["c"].sum(),
+        ).materialize()
+
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            pc = _bpe_pair_counts(
+                [tuple(w.split("\x00")) for w in df["word"]], df["c"]
+            )
+            return pd.DataFrame(
+                {
+                    "left": [p[0] for p in pc],
+                    "right": [p[1] for p in pc],
+                    "c": np.fromiter(pc.values(), np.int64, len(pc)),
+                }
+            )
+
+        # symbols ride as a \x00-joined string column (whitespace tokens
+        # cannot contain the separator); first rewrite splits chars
+        def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"word": ["\x00".join(w) for w in df["word"]], "c": df["c"]}
+            )
+
+        words = words.map_batches(to_syms, batch_format="pandas").materialize()
+        for rank in range(1, _BPE_NUM_MERGES + 1):
+            pc = driver_agg(
+                words,
+                pair_partial,
+                lambda df: df.groupby(["left", "right"], as_index=False)["c"].sum(),
+            )
+            if len(pc) == 0:
+                break
+            pairs = collections.Counter(
+                {
+                    (l, r): int(c)
+                    for l, r, c in zip(pc["left"], pc["right"], pc["c"])
+                }
+            )
+            (left, right), cnt = _bpe_best(pairs)
+            merges.append((rank, left, right, cnt))
+            ref = broadcast((left, right))
+
+            def apply_merge(df: pd.DataFrame) -> pd.DataFrame:
+                lft, rgt = lookup_broadcast(ref)
+                return pd.DataFrame(
+                    {
+                        "word": [
+                            "\x00".join(
+                                _bpe_apply(tuple(w.split("\x00")), lft, rgt)
+                            )
+                            for w in df["word"]
+                        ],
+                        "c": df["c"],
+                    }
+                )
+
+            # materialize per iteration or each driver_agg re-executes the
+            # whole merge lineage from the original word table
+            words = words.map_batches(
+                apply_merge, batch_format="pandas"
+            ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1392,4 +1577,5 @@ QUERIES = {
     "docs_substring_dups": (docs_substring_dups, DOCS_SUBSTRING_SQL),
     "docs_chunk_overlap": (docs_chunk_overlap, DOCS_CHUNK_SQL),
     "docs_bm25_topk": (docs_bm25_topk, DOCS_BM25_SQL),
+    "docs_bpe_train": (docs_bpe_train, None),
 }

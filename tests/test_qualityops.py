@@ -345,3 +345,51 @@ def test_chunk_overlap_sql_semantics():
     for _k, st, ln in rows[4]:
         covered.update(range(st, st + ln))
     assert covered == set(range(n))
+
+
+def test_bpe_merge_helpers_sennrich_example():
+    """The paper's worked example: {'low':5,'lower':2,'newest':6,'widest':3}.
+    First three merges: (e,s) 9 — the lexicographic winner of the 9-count
+    tie with (s,t) — then (es,t) 9, then (l,o) 7."""
+    from scrapy__ray.pipelines.qualityops import (
+        _bpe_apply,
+        _bpe_best,
+        _bpe_pair_counts,
+    )
+
+    table = {
+        tuple("low"): 5,
+        tuple("lower"): 2,
+        tuple("newest"): 6,
+        tuple("widest"): 3,
+    }
+    expected = [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+    for left, right, cnt in expected:
+        (bl, br), bc = _bpe_best(_bpe_pair_counts(table.keys(), table.values()))
+        assert (bl, br, bc) == (left, right, cnt)
+        table = {_bpe_apply(s, bl, br): c for s, c in table.items()}
+    assert tuple("newest".replace("est", "\x00")) not in table  # sanity
+    assert ("n", "e", "w", "est") in table
+    assert ("w", "i", "d", "est") in table
+    assert ("lo", "w") in table and ("lo", "w", "e", "r") in table
+
+
+def test_bpe_apply_overlapping_run_left_to_right():
+    from scrapy__ray.pipelines.qualityops import _bpe_apply, _bpe_pair_counts
+
+    # counting sees every adjacency (3 in 'aaaa'); applying merges
+    # left-to-right non-overlapping -> ('aa','aa'), odd run keeps the tail
+    assert _bpe_pair_counts([tuple("aaaa")], [1])[("a", "a")] == 3
+    assert _bpe_apply(tuple("aaaa"), "a", "a") == ("aa", "aa")
+    assert _bpe_apply(tuple("aaaaa"), "a", "a") == ("aa", "aa", "a")
+    assert _bpe_apply(("x",), "a", "a") == ("x",)
+
+
+def test_bpe_best_is_total_order():
+    import collections as _c
+
+    from scrapy__ray.pipelines.qualityops import _bpe_best
+
+    assert _bpe_best(_c.Counter()) is None
+    pairs = _c.Counter({("b", "a"): 5, ("a", "z"): 5, ("a", "b"): 4})
+    assert _bpe_best(pairs) == (("a", "z"), 5)

@@ -111,3 +111,27 @@ def test_tfidf_vocab_shuffle_regime_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(qualityops, "_VOCAB_BROADCAST_MAX_DOCS", 0)
     large = _canon(_to_df(qualityops.docs_tfidf_top_terms(SF_DIR)))
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_bpe_train_dataset_regime_matches_driver(ray_session, monkeypatch):
+    """Force the >_BPE_DRIVER_MAX_DOCS regime (word table stays a Dataset;
+    per-iteration mergeable pair folds + broadcast merge rewrites) and
+    assert the merge table is bit-identical to the driver-local loop."""
+    import scrapy__ray.pipelines.qualityops as qualityops
+
+    small = _canon(_to_df(qualityops.docs_bpe_train(SF_DIR)))
+    monkeypatch.setattr(qualityops, "_BPE_DRIVER_MAX_DOCS", 0)
+    large = _canon(_to_df(qualityops.docs_bpe_train(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_paragraph_dedup_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_BOILER_BROADCAST_MAX regime (inner shuffle_join + zero-
+    partial union — the hot-set-too-big-for-driver path) and assert
+    identical per-page boilerplate stats."""
+    import scrapy__ray.pipelines.crawlq as crawlq
+
+    small = _canon(_to_df(crawlq.crawl_paragraph_dedup(SF_DIR)))
+    monkeypatch.setattr(crawlq, "_BOILER_BROADCAST_MAX", 0)
+    large = _canon(_to_df(crawlq.crawl_paragraph_dedup(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
