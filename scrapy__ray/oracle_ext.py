@@ -927,6 +927,52 @@ def oracle_crawl_paragraph_dedup(corpus: str) -> pd.DataFrame:
     return df.astype({"n_units": "int64", "n_boiler": "int64"})
 
 
+_ANCHOR_RE = re.compile(r'<a\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', re.S)
+_BASE_RE = re.compile(r'<base\b[^>]*?href="([^"]*)"')
+
+
+def oracle_crawl_anchor_text(corpus: str) -> pd.DataFrame:
+    """Independent mirror of the anchor-text aggregation: regex scan for
+    (href, inner) pairs (vs the engine's DOM walk), reusing ONLY the
+    byte-vector-tested href canonicalizer; Counter aggregation + explicit
+    top-1 pick by (count desc, text asc)."""
+    from collections import Counter, defaultdict
+
+    from scrapy__ray.functions.linkextract import links_from_hrefs
+
+    urls, htmls = _page_htmls(corpus)
+    members = set(urls)
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for url, s in zip(urls, htmls):
+        mb = _BASE_RE.search(s)
+        base = mb.group(1) if mb else None
+        for href, inner in _ANCHOR_RE.findall(s):
+            txt = _block_text(inner)
+            if not txt:
+                continue
+            resolved = links_from_hrefs([href], url, base)
+            if resolved and resolved[0] in members and resolved[0] != url:
+                counts[resolved[0]][txt] += 1
+    rows = {
+        "url": [],
+        "top_anchor": [],
+        "top_anchor_n": [],
+        "n_variants": [],
+        "n_anchors": [],
+    }
+    for dst, c in counts.items():
+        top_text, top_n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows["url"].append(dst)
+        rows["top_anchor"].append(top_text)
+        rows["top_anchor_n"].append(top_n)
+        rows["n_variants"].append(len(c))
+        rows["n_anchors"].append(sum(c.values()))
+    df = pd.DataFrame(rows)
+    return df.astype(
+        {"top_anchor_n": "int64", "n_variants": "int64", "n_anchors": "int64"}
+    )
+
+
 def oracle_docs_bpe_train(sf_dir: str) -> pd.DataFrame:
     """Single-process BPE merge learning (Sennrich et al. 2016 algorithm 1,
     contract pinned in pipelines/qualityops.docs_bpe_train): words = regex
@@ -1039,6 +1085,7 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_pagerank", oracle_crawl_pagerank(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),
         ("crawl_paragraph_dedup", oracle_crawl_paragraph_dedup(corpus)),
+        ("crawl_anchor_text", oracle_crawl_anchor_text(corpus)),
     ):
         paths[name] = write(name, df)
     _cache[sf_dir] = paths

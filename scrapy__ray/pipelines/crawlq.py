@@ -810,6 +810,108 @@ def crawl_paragraph_dedup(sf_dir: str):
     )
 
 
+# ------------------------------------------------- anchor-text aggregation
+def crawl_anchor_text(sf_dir: str):
+    """Per-target-page anchor-text summary over the corpus link graph (the
+    classic IR indexing signal — anchor text describes the TARGET page):
+    every <a> element whose href resolves to an intra-corpus url (P4's
+    canonicalization, self-loops dropped, empty texts dropped) contributes
+    one (dst, text) occurrence; per dst emit the most common anchor text
+    (ties: lexicographically smallest), its occurrence count, the distinct
+    variant count and total occurrences.
+
+    Scale: one pass over the pages (DOM walk, membership broadcast — the
+    _link_edges posture; the >10^8-page semi-join alternative is the same
+    as documented there), then ONE hash exchange on dst carrying
+    (dst, text, cnt) partials — anchor vocabularies are Zipf-headed, so
+    partial counting collapses most volume before the exchange.  Oracle:
+    independent regex scanner + Counter (reusing only the byte-vector-
+    tested href canonicalizer), materialized."""
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.linkextract import links_from_hrefs
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        collect_arrow,
+        lookup_broadcast,
+        shuffle_agg,
+    )
+
+    corpus = _corpus()
+    url_set = set(pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist())
+    set_ref = broadcast(url_set)
+    ds = _pages_ds(corpus)
+
+    def anchors(t: pa.Table) -> pa.Table:
+        members = lookup_broadcast(set_ref)
+        memo: dict = {}
+        dsts, texts = [], []
+        for u, html in zip(t["url"].to_pylist(), _decoded_htmls(t)):
+            dom = parse_dom(html)
+            base = next(
+                (
+                    n.attrs["href"]
+                    for n in dom.iter()
+                    if n.tag == "base" and "href" in n.attrs
+                ),
+                None,
+            )
+            for n in dom.iter():
+                if n.tag != "a" or "href" not in n.attrs:
+                    continue
+                txt = _norm_ws(n.text())
+                if not txt:
+                    continue
+                resolved = links_from_hrefs([n.attrs["href"]], u, base, memo)
+                if resolved and resolved[0] in members and resolved[0] != u:
+                    dsts.append(resolved[0])
+                    texts.append(txt)
+        return pa.table(
+            {
+                "dst": pa.array(dsts, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    occ = ds.map_batches(anchors, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "text"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "text"], as_index=False)["cnt"].sum()
+        # per-dst top-1 by (cnt desc, text asc) — total order, exchange-safe
+        g = g.sort_values(["dst", "cnt", "text"], ascending=[True, False, True])
+        top = g.drop_duplicates("dst", keep="first")
+        tot = g.groupby("dst", as_index=False).agg(
+            n_variants=("text", "size"), n_anchors=("cnt", "sum")
+        )
+        out = top.merge(tot, on="dst")
+        return pd.DataFrame(
+            {
+                "url": out["dst"].values,
+                "top_anchor": out["text"].values,
+                "top_anchor_n": out["cnt"].astype("int64").values,
+                "n_variants": out["n_variants"].astype("int64").values,
+                "n_anchors": out["n_anchors"].astype("int64").values,
+            }
+        )
+
+    out = shuffle_agg(occ, ["dst"], partial, final)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("top_anchor", pa.string()),
+                ("top_anchor_n", pa.int64()),
+                ("n_variants", pa.int64()),
+                ("n_anchors", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -821,4 +923,5 @@ QUERIES = {
     "crawl_pagerank": (crawl_pagerank, None),
     "crawl_main_content": (crawl_main_content, None),
     "crawl_paragraph_dedup": (crawl_paragraph_dedup, None),
+    "crawl_anchor_text": (crawl_anchor_text, None),
 }

@@ -578,6 +578,103 @@ GROUP BY ROLLUP(o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
 """
 
 
+# --------------------------------------- TPC-H Q17 shape: correlated avg
+def parts_small_qty_revenue(sf_dir: str):
+    """Revenue locked in unusually small orders, per brand (the TPC-H Q17
+    'correlated scalar aggregate' shape): lineitems whose quantity is below
+    0.2x their part's average quantity, summed as exact integer cents and
+    grouped by p_brand.
+
+    Scale pattern: the correlated avg decorrelates into (1) ONE hash
+    exchange aggregating (cnt, qsum) per partkey, (2) a LARGE x LARGE
+    shuffle_join of lineitem against that aggregate on partkey, (3) the
+    predicate evaluated EXACTLY in integers — qty < 0.2*avg <=>
+    5*qty*cnt < qsum, no float division anywhere — and (4) the part
+    dimension (small by TPC-H construction) broadcast for the brand lookup,
+    finishing with a tiny driver reduce over ~brand-count rows.  The SQL
+    oracle states the predicate in the same integer form."""
+    li = read_parquet(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(q=df["l_quantity"].astype("int64")).groupby(
+            "l_partkey", as_index=False
+        )
+        return g.agg(cnt=("q", "size"), qsum=("q", "sum"))
+
+    def agg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False)[["cnt", "qsum"]].sum()
+
+    per_part = shuffle_agg(li, ["l_partkey"], agg_partial, agg_final)
+
+    joined = shuffle_join(
+        li,
+        per_part,
+        on="l_partkey",
+        left_cols=["l_partkey", "l_quantity", "l_extendedprice"],
+        right_cols=["l_partkey", "cnt", "qsum"],
+    )
+
+    import pyarrow.parquet as _pq
+
+    pt = _pq.read_table(sf_dir + "/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_ref = broadcast(dict(zip(pt["p_partkey"].to_pylist(), pt["p_brand"].to_pylist())))
+
+    def small_qty(df: pd.DataFrame) -> pd.DataFrame:
+        brands = lookup_broadcast(brand_ref)
+        q = df["l_quantity"].to_numpy("int64")
+        cnt = df["cnt"].to_numpy("int64")
+        qsum = df["qsum"].to_numpy("int64")
+        keep = 5 * q * cnt < qsum
+        cents = np.rint(df["l_extendedprice"].to_numpy("float64")[keep] * 100).astype(
+            "int64"
+        )
+        sub = pd.DataFrame(
+            {"p_brand": df["l_partkey"].to_numpy("int64")[keep], "cents": cents}
+        )
+        sub["p_brand"] = sub["p_brand"].map(brands)
+        return sub.groupby("p_brand", as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_items=("cents", "size")
+        )
+
+    out = driver_agg(
+        joined,
+        small_qty,
+        lambda df: df.groupby("p_brand", as_index=False)[
+            ["revenue_cents", "n_items"]
+        ].sum(),
+    )
+    out["revenue"] = round_col(out["revenue_cents"].to_numpy("float64") / 100.0, 2)
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"], pa.string()),
+            "n_items": pa.array(out["n_items"].astype("int64"), pa.int64()),
+            "revenue": pa.array(out["revenue"], pa.float64()),
+        }
+    )
+
+
+PARTS_SMALL_QTY_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS BIGINT)) AS qsum
+  FROM lineitem GROUP BY l_partkey
+),
+small AS (
+  SELECT l.l_partkey,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN per_part a USING (l_partkey)
+  WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.qsum
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       SUM(s.cents) / 100.0 AS revenue
+FROM small s JOIN part p ON s.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
@@ -589,4 +686,5 @@ QUERIES = {
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
     "orders_rank_window": (orders_rank_window, ORDERS_RANK_SQL),
     "orders_priority_rollup": (orders_priority_rollup, ORDERS_ROLLUP_SQL),
+    "parts_small_qty_revenue": (parts_small_qty_revenue, PARTS_SMALL_QTY_SQL),
 }

@@ -582,6 +582,63 @@ ORDER BY n DESC, shingle LIMIT {_TOPK_NGRAMS}
 """
 
 
+# --------------------------------------------- token frequency spectrum
+def docs_token_spectrum(sf_dir: str):
+    """Frequency-of-frequencies over the corpus token counts (the
+    Good-Turing / Zipf spectrum: how many distinct tokens occur exactly k
+    times — the LM-smoothing and vocabulary-sizing diagnostic): per-token
+    exact counts via ONE hash exchange, then the spectrum itself folds to
+    the driver as mergeable (k, n_tokens) partials — second exchange
+    avoided because distinct k values grow ~log(corpus).  Exact integer
+    counts, SQL-mirrored."""
+    ds = read_parquet(sf_dir, "documents", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for text in t["text"].to_pylist():
+            out.extend(_tokens(text))
+        return pa.table({"tok": pa.array(out, pa.string())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False)["n"].sum()
+
+    per_token = shuffle_agg(
+        ds.map_batches(explode, batch_format="pyarrow"), ["tok"], partial, final
+    )
+
+    def spec_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", as_index=False).size()
+        return g.rename(columns={"n": "occurrences", "size": "n_tokens"})
+
+    out = driver_agg(
+        per_token,
+        spec_partial,
+        lambda df: df.groupby("occurrences", as_index=False)["n_tokens"].sum(),
+    )
+    out = out.sort_values("occurrences").reset_index(drop=True)
+    return pa.table(
+        {
+            "occurrences": pa.array(out["occurrences"].astype("int64"), pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+DOCS_TOKEN_SPECTRUM_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+tc AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok)
+SELECT n AS occurrences, COUNT(*) AS n_tokens
+FROM tc GROUP BY n ORDER BY occurrences
+"""
+
+
 # --------------------------------------------------- stratified sampling
 _STRATA_K = 3
 
@@ -1472,6 +1529,7 @@ QUERIES = {
     "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
     "docs_ngram_jaccard_dups": (docs_ngram_jaccard_dups, DOCS_NGRAM_JACCARD_SQL),
     "docs_topk_ngrams": (docs_topk_ngrams, DOCS_TOPK_NGRAMS_SQL),
+    "docs_token_spectrum": (docs_token_spectrum, DOCS_TOKEN_SPECTRUM_SQL),
     "docs_sample_stratified": (docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
     "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
     "docs_bpe_tokens": (docs_bpe_tokens, DOCS_BPE_TOKENS_SQL),

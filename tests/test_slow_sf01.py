@@ -25,7 +25,7 @@ def _canon(d: pd.DataFrame) -> pd.DataFrame:
 def _con():
     con = duckdb.connect()
     for t in ("orders", "lineitem", "events", "documents", "embeddings",
-              "customer", "nation"):
+              "customer", "nation", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -49,6 +49,8 @@ def _run(name: str):
         "top_revenue_orders",     # partial top-k -> orderkey shuffle
         "docs_jaccard_dups",      # inverted index, 3 exchanges (capped)
         "docs_dup_clusters",      # jaccard pairs -> connected components
+        "parts_small_qty_revenue",  # per-key agg + LARGE x LARGE join back
+        "docs_token_spectrum",    # token exchange + count-of-count fold
     ],
 )
 def test_sql_oracle_at_sf01(ray_session, name):
