@@ -579,6 +579,13 @@ GROUP BY ROLLUP(o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
 
 
 # --------------------------------------- TPC-H Q17 shape: correlated avg
+#: part rows at or below this broadcast as a (partkey -> brand) dict
+#: (~50 B/row; 10M rows ≈ 500 MB is the sane ceiling); above it the brand
+#: lookup is a shuffle_join — TPC-H part is SF x 200k rows, so the design
+#: point exceeds any driver.
+_PART_BROADCAST_MAX = 10_000_000
+
+
 def parts_small_qty_revenue(sf_dir: str):
     """Revenue locked in unusually small orders, per brand (the TPC-H Q17
     'correlated scalar aggregate' shape): lineitems whose quantity is below
@@ -590,9 +597,15 @@ def parts_small_qty_revenue(sf_dir: str):
     shuffle_join of lineitem against that aggregate on partkey, (3) the
     predicate evaluated EXACTLY in integers — qty < 0.2*avg <=>
     5*qty*cnt < qsum, no float division anywhere — and (4) the part
-    dimension (small by TPC-H construction) broadcast for the brand lookup,
-    finishing with a tiny driver reduce over ~brand-count rows.  The SQL
-    oracle states the predicate in the same integer form."""
+    dimension joined for the brand rollup, finishing with a tiny driver
+    reduce over ~brand-count rows.  The SQL oracle states the predicate in
+    the same integer form.
+
+    Part-dimension regime (TPC-H part GROWS with SF — 2x10^8 rows at
+    SF=1000, NOT broadcastable at the design point): at or below
+    _PART_BROADCAST_MAX rows the (partkey -> brand) dict is broadcast once;
+    above it the filtered (partkey, cents) rows shuffle_join against the
+    part dataset on partkey — forced + compared in tests."""
     li = read_parquet(
         sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
@@ -618,11 +631,7 @@ def parts_small_qty_revenue(sf_dir: str):
 
     import pyarrow.parquet as _pq
 
-    pt = _pq.read_table(sf_dir + "/part.parquet", columns=["p_partkey", "p_brand"])
-    brand_ref = broadcast(dict(zip(pt["p_partkey"].to_pylist(), pt["p_brand"].to_pylist())))
-
     def small_qty(df: pd.DataFrame) -> pd.DataFrame:
-        brands = lookup_broadcast(brand_ref)
         q = df["l_quantity"].to_numpy("int64")
         cnt = df["cnt"].to_numpy("int64")
         qsum = df["qsum"].to_numpy("int64")
@@ -630,17 +639,48 @@ def parts_small_qty_revenue(sf_dir: str):
         cents = np.rint(df["l_extendedprice"].to_numpy("float64")[keep] * 100).astype(
             "int64"
         )
-        sub = pd.DataFrame(
-            {"p_brand": df["l_partkey"].to_numpy("int64")[keep], "cents": cents}
+        return pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy("int64")[keep], "cents": cents}
         )
-        sub["p_brand"] = sub["p_brand"].map(brands)
-        return sub.groupby("p_brand", as_index=False).agg(
+
+    filtered = joined.map_batches(small_qty, batch_format="pandas")
+    n_parts = _pq.read_metadata(sf_dir + "/part.parquet").num_rows
+
+    if n_parts <= _PART_BROADCAST_MAX:
+        pt = _pq.read_table(sf_dir + "/part.parquet", columns=["p_partkey", "p_brand"])
+        brand_ref = broadcast(
+            dict(zip(pt["p_partkey"].to_pylist(), pt["p_brand"].to_pylist()))
+        )
+
+        def tag_brand(df: pd.DataFrame) -> pd.DataFrame:
+            brands = lookup_broadcast(brand_ref)
+            return pd.DataFrame(
+                {"p_brand": df["l_partkey"].map(brands).values, "cents": df["cents"].values}
+            )
+
+        branded = filtered.map_batches(tag_brand, batch_format="pandas")
+    else:
+        part_ds = read_parquet(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+        def as_partkey(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"p_partkey": "l_partkey"})
+
+        branded = shuffle_join(
+            filtered,
+            part_ds.map_batches(as_partkey, batch_format="pandas"),
+            on="l_partkey",
+            left_cols=["l_partkey", "cents"],
+            right_cols=["l_partkey", "p_brand"],
+        )
+
+    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(
             revenue_cents=("cents", "sum"), n_items=("cents", "size")
         )
 
     out = driver_agg(
-        joined,
-        small_qty,
+        branded,
+        brand_partial,
         lambda df: df.groupby("p_brand", as_index=False)[
             ["revenue_cents", "n_items"]
         ].sum(),

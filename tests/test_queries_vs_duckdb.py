@@ -135,3 +135,14 @@ def test_paragraph_dedup_join_regime_matches_broadcast(ray_session, monkeypatch)
     monkeypatch.setattr(crawlq, "_BOILER_BROADCAST_MAX", 0)
     large = _canon(_to_df(crawlq.crawl_paragraph_dedup(SF_DIR)))
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_parts_small_qty_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_PART_BROADCAST_MAX regime (brand lookup via shuffle_join
+    on partkey — the SF-scaled-part path) and assert identical rollup."""
+    import scrapy__ray.pipelines.relational as relational
+
+    small = _canon(_to_df(relational.parts_small_qty_revenue(SF_DIR)))
+    monkeypatch.setattr(relational, "_PART_BROADCAST_MAX", 0)
+    large = _canon(_to_df(relational.parts_small_qty_revenue(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
