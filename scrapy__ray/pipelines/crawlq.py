@@ -273,7 +273,7 @@ _PR_TOPK = 20
 #: jaccard-sizes / tfidf-vocab two-regime thresholds in textops.py)
 _PR_BROADCAST_MAX = 2_000_000
 
-_EDGES_MEMO: dict[str, object] = {}
+_EDGES_MEMO: dict[tuple[str, str], object] = {}
 
 
 def _link_edges(corpus: str):
@@ -294,9 +294,14 @@ def _link_edges(corpus: str):
     # key the memo by Ray job too: the cached value is a MaterializedDataset
     # whose object refs die with the Ray session — a recycled driver
     # (shutdown + init) must recompute, not dereference dead blocks
-    memo_key = (corpus, ray.get_runtime_context().get_job_id())
+    job_id = ray.get_runtime_context().get_job_id()
+    memo_key = (corpus, job_id)
     if memo_key in _EDGES_MEMO:
         return _EDGES_MEMO[memo_key]
+    # evict dead-session entries: their MaterializedDatasets hold block
+    # metadata + object refs that died with the previous Ray job
+    for k in [k for k in _EDGES_MEMO if k[1] != job_id]:
+        del _EDGES_MEMO[k]
     # the DataContext is captured at dataset creation: HASH_SHUFFLE must be
     # set BEFORE the edge dataset exists or a later repartition(keys=...)
     # on it rejects the strategy
@@ -714,7 +719,12 @@ def crawl_paragraph_dedup(sf_dir: str):
             for txt in _page_units(parse_dom(html)):
                 urls.append(u)
                 hashes.append(
-                    _hl.blake2b(txt.encode("utf-8"), digest_size=8).hexdigest()
+                    # 128-bit: the oracle counts by exact TEXT, so a hash
+                    # collision here would silently merge two texts' page
+                    # counts — birthday bound puts 64-bit collisions at the
+                    # 10^10-page design point (~2^32 distinct texts), while
+                    # 128-bit keeps the probability ~1e-18
+                    _hl.blake2b(txt.encode("utf-8"), digest_size=16).hexdigest()
                 )
         return pa.table(
             {"url": pa.array(urls, pa.string()), "h": pa.array(hashes, pa.string())}
@@ -731,7 +741,12 @@ def crawl_paragraph_dedup(sf_dir: str):
         return df.groupby("h", as_index=False)["pf"].sum()
 
     pf = shuffle_agg(blocks, ["h"], pf_partial, pf_final)
-    hot = pf.filter(lambda r: r["pf"] >= _BOILER_MIN_PAGES).materialize()
+    # vectorized filter: pf is this query's widest intermediate (one row
+    # per distinct block text) — a per-row lambda filter would dispatch
+    # Python per row, the cost class util.ensure_ctx bans for groupby
+    hot = pf.map_batches(
+        lambda df: df[df["pf"] >= _BOILER_MIN_PAGES], batch_format="pandas"
+    ).materialize()
 
     if hot.count() <= _BOILER_BROADCAST_MAX:
         hot_set: set[str] = set()

@@ -1499,7 +1499,7 @@ def docs_bpe_train(sf_dir: str):
 
         def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
             pc = _bpe_pair_counts(
-                [tuple(w.split("\x00")) for w in df["word"]], df["c"]
+                [tuple(w.split("\n")) for w in df["word"]], df["c"]
             )
             return pd.DataFrame(
                 {
@@ -1509,11 +1509,13 @@ def docs_bpe_train(sf_dir: str):
                 }
             )
 
-        # symbols ride as a \x00-joined string column (whitespace tokens
-        # cannot contain the separator); first rewrite splits chars
+        # symbols ride as a newline-joined string column: _tokens splits
+        # on \s+, so a token can contain NO whitespace character — newline
+        # is the one separator class guaranteed absent from any symbol
+        # (a NUL, by contrast, is legal inside a parquet string token)
         def to_syms(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
-                {"word": ["\x00".join(w) for w in df["word"]], "c": df["c"]}
+                {"word": ["\n".join(w) for w in df["word"]], "c": df["c"]}
             )
 
         words = words.map_batches(to_syms, batch_format="pandas").materialize()
@@ -1540,8 +1542,8 @@ def docs_bpe_train(sf_dir: str):
                 return pd.DataFrame(
                     {
                         "word": [
-                            "\x00".join(
-                                _bpe_apply(tuple(w.split("\x00")), lft, rgt)
+                            "\n".join(
+                                _bpe_apply(tuple(w.split("\n")), lft, rgt)
                             )
                             for w in df["word"]
                         ],

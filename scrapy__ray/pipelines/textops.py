@@ -1257,7 +1257,13 @@ class EmbedStub:
     def __init__(self):
         import numpy as _np
 
-        self._q = _np.ones(self.DIM) / _np.sqrt(float(self.DIM))  # "model"
+        # the "model": the uniform unit vector.  Held by the actor as the
+        # real batched-inference shape demands; the dot product below is
+        # computed as a row SUM (bit-exact vs the SQL mirror's SUM) rather
+        # than emb @ q — the general matmul is NOT IEEE-identical to
+        # sum/(sqrt(D)*sqrt(ss)) and a row landing on a .00005 rounding
+        # boundary would flip the 4-dp compare (~1 row per 200k measured)
+        self._q = _np.ones(self.DIM) / _np.sqrt(float(self.DIM))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -1267,10 +1273,7 @@ class EmbedStub:
             dtype=np.float64,
         )
         ss = (emb * emb).sum(axis=1)
-        # the batched "inference": one matmul against the actor-held model
-        # vector (unit uniform -> equals sum/sqrt(DIM), which is what the
-        # SQL mirror computes)
-        cos = (emb @ self._q) / np.sqrt(ss)
+        cos = emb.sum(axis=1) / (np.sqrt(float(self.DIM)) * np.sqrt(ss))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
