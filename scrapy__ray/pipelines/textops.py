@@ -582,6 +582,135 @@ ORDER BY n DESC, shingle LIMIT {_TOPK_NGRAMS}
 """
 
 
+# ------------------------------------------- incremental (cross-snapshot) dedup
+#: snapshot slice: sources src0..src9 model the previously-ingested corpus
+#: snapshot; the rest is the new batch being deduped AGAINST it (the
+#: production shape: each crawl increment dedups against the accumulated
+#: index, not just within itself).
+_SNAPSHOT_SOURCES = tuple(f"src{i}" for i in range(10))
+#: at or below this many snapshot docs the snapshot hash set broadcasts
+#: (16 B/doc); above it the membership test is a shuffle semi-join on the
+#: content hash — a 10^10-doc snapshot index lives in hash partitions.
+_SNAPSHOT_BROADCAST_MAX = 10_000_000
+
+
+def docs_dedup_incremental(sf_dir: str):
+    """Dedup the NEW batch against the accumulated snapshot: flag every
+    non-snapshot document whose exact text already exists in the snapshot
+    slice, returning (doc_id, is_dup) for the new batch.  Both sides hash
+    in map_batches; below _SNAPSHOT_BROADCAST_MAX snapshot docs the
+    snapshot's md5 set folds to the driver (mergeable set partials) and
+    broadcasts; above it the new batch inner-shuffle_joins the DISTINCT
+    snapshot hashes and flips flags via zero-partial union (forced in CI).
+    Exact SQL mirror (semi-join on md5)."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        snap = [s in _SNAPSHOT_SOURCES for s in t["source"].to_pylist()]
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(h, pa.string()),
+                "snap": pa.array(snap, pa.bool_()),
+            }
+        )
+
+    hs = ds.map_batches(hashed, batch_format="pyarrow").materialize()
+    import pyarrow.parquet as _pq
+
+    n_snap_bound = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def new_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[~df["snap"]]
+        return pd.DataFrame({"doc_id": d["doc_id"].values, "h": d["h"].values})
+
+    new = hs.map_batches(new_rows, batch_format="pandas")
+
+    if n_snap_bound <= _SNAPSHOT_BROADCAST_MAX:
+        from scrapy__ray.pipelines.util import broadcast, lookup_broadcast
+
+        snap_sets = driver_agg(
+            hs,
+            lambda df: pd.DataFrame({"h": df[df["snap"]]["h"].unique()}),
+            lambda df: df.drop_duplicates("h"),
+        )
+        ref = broadcast(set(snap_sets["h"]))
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            s = lookup_broadcast(ref)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].values,
+                    "is_dup": df["h"].isin(s).values,
+                }
+            )
+
+        out_ds = new.map_batches(flag, batch_format="pandas")
+    else:
+        from scrapy__ray.pipelines.util import shuffle_join
+
+        def snap_rows(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["snap"]].drop_duplicates("h")
+            return pd.DataFrame({"h": d["h"].values, "m": np.ones(len(d), np.int64)})
+
+        snap_hashes = shuffle_agg(
+            hs,
+            ["h"],
+            snap_rows,
+            lambda df: df.drop_duplicates("h"),
+        )
+        joined = shuffle_join(
+            new, snap_hashes, on="h", left_cols=["doc_id", "h"], right_cols=["h", "m"]
+        )
+
+        def dup_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].values,
+                    "is_dup": np.ones(len(df), np.int64),
+                }
+            )
+
+        def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].values,
+                    "is_dup": np.zeros(len(df), np.int64),
+                }
+            )
+
+        unioned = joined.map_batches(dup_rows, batch_format="pandas").union(
+            new.map_batches(zero_rows, batch_format="pandas")
+        )
+
+        def fin_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("doc_id", as_index=False)["is_dup"].max()
+
+        flagged = shuffle_agg(unioned, ["doc_id"], fin_partial, fin_partial)
+        out_ds = flagged.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].values, "is_dup": df["is_dup"].astype(bool).values}
+            ),
+            batch_format="pandas",
+        )
+
+    return collect_arrow(
+        out_ds, pa.schema([("doc_id", pa.int64()), ("is_dup", pa.bool_())])
+    )
+
+
+_SNAP_SQL_LIST = ", ".join(f"'{s}'" for s in _SNAPSHOT_SOURCES)
+DOCS_DEDUP_INCR_SQL = f"""
+WITH snap AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE source IN ({_SNAP_SQL_LIST})
+)
+SELECT d.doc_id,
+       (md5(d.text) IN (SELECT h FROM snap)) AS is_dup
+FROM documents d WHERE d.source NOT IN ({_SNAP_SQL_LIST})
+"""
+
+
 # --------------------------------------------- token frequency spectrum
 def docs_token_spectrum(sf_dir: str):
     """Frequency-of-frequencies over the corpus token counts (the
@@ -1533,6 +1662,7 @@ QUERIES = {
     "docs_ngram_jaccard_dups": (docs_ngram_jaccard_dups, DOCS_NGRAM_JACCARD_SQL),
     "docs_topk_ngrams": (docs_topk_ngrams, DOCS_TOPK_NGRAMS_SQL),
     "docs_token_spectrum": (docs_token_spectrum, DOCS_TOKEN_SPECTRUM_SQL),
+    "docs_dedup_incremental": (docs_dedup_incremental, DOCS_DEDUP_INCR_SQL),
     "docs_sample_stratified": (docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
     "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
     "docs_bpe_tokens": (docs_bpe_tokens, DOCS_BPE_TOKENS_SQL),

@@ -146,3 +146,26 @@ def test_parts_small_qty_join_regime_matches_broadcast(ray_session, monkeypatch)
     monkeypatch.setattr(relational, "_PART_BROADCAST_MAX", 0)
     large = _canon(_to_df(relational.parts_small_qty_revenue(SF_DIR)))
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_dedup_incremental_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_SNAPSHOT_BROADCAST_MAX regime (distinct snapshot hashes
+    as a dataset, semi-join via inner join + zero-partial union) and assert
+    identical flags."""
+    import scrapy__ray.pipelines.textops as textops
+
+    small = _canon(_to_df(textops.docs_dedup_incremental(SF_DIR)))
+    monkeypatch.setattr(textops, "_SNAPSHOT_BROADCAST_MAX", 0)
+    large = _canon(_to_df(textops.docs_dedup_incremental(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_cohort_retention_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_COHORT_BROADCAST_MAX regime (cohort tag via shuffle_join
+    on user_id) and assert an identical retention matrix."""
+    import scrapy__ray.pipelines.streamops as streamops
+
+    small = _canon(_to_df(streamops.events_cohort_retention(SF_DIR)))
+    monkeypatch.setattr(streamops, "_COHORT_BROADCAST_MAX", 0)
+    large = _canon(_to_df(streamops.events_cohort_retention(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
