@@ -715,6 +715,38 @@ GROUP BY p.p_brand
 """
 
 
+# ------------------------------------------------- global total-order sort
+_SORTED_HEAD_N = 100
+
+
+def events_sorted_head(sf_dir: str):
+    """First _SORTED_HEAD_N events in global (ts, event_id) order via Ray
+    Data's NATIVE distributed sort — the one all-to-all operator the rest
+    of the suite deliberately avoids (top-k wants per-partition heads +
+    driver merge, the top_revenue_orders shape, which moves K rows instead
+    of all of them).  This query exists to cover the total-order operator
+    itself: the shape a sorted OUTPUT (time-ordered training shards,
+    merge-ready parquet runs) genuinely needs, where every row must move
+    anyway.  Range-partitioned sample sort under the hood; limit() then
+    reads only the head blocks."""
+    ds = read_parquet(sf_dir, "events", columns=["event_id", "ts"])
+    head = ds.sort(["ts", "event_id"]).limit(_SORTED_HEAD_N)
+    out = head.to_pandas()
+    us = out["ts"].values.astype("datetime64[us]").astype("int64")
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+        }
+    )
+
+
+EVENTS_SORTED_HEAD_SQL = f"""
+SELECT event_id, epoch_us(ts) AS ts_us
+FROM events ORDER BY ts, event_id LIMIT {_SORTED_HEAD_N}
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
@@ -727,4 +759,5 @@ QUERIES = {
     "orders_rank_window": (orders_rank_window, ORDERS_RANK_SQL),
     "orders_priority_rollup": (orders_priority_rollup, ORDERS_ROLLUP_SQL),
     "parts_small_qty_revenue": (parts_small_qty_revenue, PARTS_SMALL_QTY_SQL),
+    "events_sorted_head": (events_sorted_head, EVENTS_SORTED_HEAD_SQL),
 }

@@ -615,6 +615,119 @@ GROUP BY f.cohort_day, day_offset
 """
 
 
+# ----------------------------------------------------- salted hot-key join
+_SALT_FANOUT = 8  # replicas of each per-user total; salt = event_id % this
+_SHARE_TOPK = 50
+_SHARE_FIX = 1_000_000  # share as integer millionths (exact floor division)
+
+
+def events_value_share_topk(sf_dir: str):
+    """Top-_SHARE_TOPK events by their share of the emitting user's total
+    value — the decorrelated fact-vs-its-own-aggregate join, executed as a
+    SALTED shuffle_join: real event logs are Zipf-skewed in user_id, so an
+    unsalted exchange sends a hot user's entire row set to ONE partition
+    (the straggler that gates the stage).  Here every per-user total is
+    replicated _SALT_FANOUT times and each fact row joins on the composite
+    key user_id*F + (event_id mod F), spreading a hot key over F partitions
+    at the cost of F small-side copies — the standard skew-mitigation
+    trade.  The share is exact integer arithmetic end to end:
+    floor(value_cents * 1e6 / total_cents), mirrored verbatim in SQL, and
+    the top-k moves K rows per partition (the top_revenue shape), never the
+    fact table."""
+    ds = read_parquet(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").values,
+                "user_id": df["user_id"].astype("int64").values,
+                "cents": np.rint(df["value"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    facts = ds.map_batches(cents, batch_format="pandas").materialize()
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["cents"].sum().rename(
+            columns={"cents": "total_cents"}
+        )
+
+    def tot_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["total_cents"].sum()
+
+    totals = shuffle_agg(facts, ["user_id"], tot_partial, tot_final)
+
+    F = _SALT_FANOUT
+
+    def salt_facts(df: pd.DataFrame) -> pd.DataFrame:
+        uk = df["user_id"].values * F + df["event_id"].values % F
+        return pd.DataFrame(
+            {"uk": uk, "event_id": df["event_id"].values, "cents": df["cents"].values}
+        )
+
+    def replicate_totals(df: pd.DataFrame) -> pd.DataFrame:
+        reps = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "uk": df["user_id"].values * F + s,
+                        "total_cents": df["total_cents"].values,
+                    }
+                )
+                for s in range(F)
+            ],
+            ignore_index=True,
+        )
+        return reps
+
+    from scrapy__ray.pipelines.util import shuffle_join
+
+    joined = shuffle_join(
+        facts.map_batches(salt_facts, batch_format="pandas"),
+        totals.map_batches(replicate_totals, batch_format="pandas"),
+        on="uk",
+        left_cols=["uk", "event_id", "cents"],
+        right_cols=["uk", "total_cents"],
+    )
+
+    def head_partial(df: pd.DataFrame) -> pd.DataFrame:
+        share = df["cents"].values * _SHARE_FIX // df["total_cents"].values
+        g = pd.DataFrame({"event_id": df["event_id"].values, "share_fix": share})
+        g = g.sort_values(["share_fix", "event_id"], ascending=[False, True])
+        return g.head(_SHARE_TOPK)
+
+    out = driver_agg(
+        joined,
+        head_partial,
+        lambda df: df.sort_values(
+            ["share_fix", "event_id"], ascending=[False, True]
+        ).head(_SHARE_TOPK),
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+            "share_fix": pa.array(out["share_fix"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+EVENTS_SHARE_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+t AS (SELECT user_id, SUM(cents) AS total_cents FROM c GROUP BY user_id)
+SELECT c.event_id,
+       -- integer floor division (//): BIGINT / BIGINT in DuckDB is DOUBLE
+       -- division, whose nearest-rounding can flip FLOOR vs the engine's
+       -- exact int64 floor division at large totals
+       CAST(c.cents * {_SHARE_FIX} // t.total_cents AS BIGINT) AS share_fix
+FROM c JOIN t USING (user_id)
+ORDER BY share_fix DESC, c.event_id LIMIT {_SHARE_TOPK}
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
@@ -622,4 +735,5 @@ QUERIES = {
     "events_range_join": (events_range_join, EVENTS_RANGE_SQL),
     "events_heavy_hitters": (events_heavy_hitters, None),
     "events_cohort_retention": (events_cohort_retention, EVENTS_COHORT_SQL),
+    "events_value_share_topk": (events_value_share_topk, EVENTS_SHARE_SQL),
 }
