@@ -488,103 +488,42 @@ GROUP BY v.event_id
 
 
 # ------------------------------------------------------- cohort retention
-#: at or below this many distinct users the (user -> cohort day) map is
-#: broadcast; above it the cohort tag is a shuffle_join on user_id — a
-#: 10^9-user event log cannot put per-user state on the driver.
-_COHORT_BROADCAST_MAX = 10_000_000
-
-
 def events_cohort_retention(sf_dir: str):
     """Classic cohort-retention matrix: users grouped by first-seen DAY
     (their cohort), counting distinct users active at each day offset —
-    (cohort_day, day_offset, n_users).  The self-referential 'join events
-    against an aggregate of events' shape, decorrelated like the Q17 query:
-    (1) min-ts per user in ONE hash exchange, (2) cohort tag joined back
-    (broadcast below _COHORT_BROADCAST_MAX users, shuffle_join on user_id
-    above — forced in CI), (3) distinct (cohort, offset, user) resolved
-    inside the user-keyed partial so the driver reduce sees pre-deduped
-    partials whose union is exact: a user's rows all carry one user_id, so
-    every partition-local distinct is globally distinct.  Integer day
-    arithmetic only."""
+    (cohort_day, day_offset, n_users).
+
+    ONE exchange total: hash-partition the block-distinct (user_id, day)
+    rows by user_id — a user's whole history lands in one partition, so the
+    partition computes that user's cohort (min day), its distinct day
+    offsets, and a partial (cohort_day, day_offset, count) cell table whose
+    driver sum is exact (users are partition-disjoint, so no cell is
+    double-counted).  The naive form of this query is a self-join of events
+    against its own min-aggregate; co-locating by the correlation key
+    deletes the join entirely — the same decorrelation the sessionization
+    op uses.  Integer day arithmetic only."""
     ds = read_parquet(sf_dir, "events", columns=["ts", "user_id"])
 
-    def day_col(df: pd.DataFrame) -> np.ndarray:
-        return df["ts"].values.astype("datetime64[us]").astype("int64") // 86_400_000_000
-
-    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({"user_id": df["user_id"].values, "day": day_col(df)})
-        return g.groupby("user_id", as_index=False)["day"].min()
-
-    def first_final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", as_index=False)["day"].min().rename(
-            columns={"day": "cohort_day"}
-        )
-
-    # materialized: consumed twice (the regime-deciding count, then the
-    # cohort tag) — unmaterialized lineage would re-run the exchange
-    firsts = shuffle_agg(ds, ["user_id"], first_partial, first_final).materialize()
-
     def active_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({"user_id": df["user_id"].values, "day": day_col(df)})
+        days = df["ts"].values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+        g = pd.DataFrame({"user_id": df["user_id"].values, "day": days})
         return g.drop_duplicates()
 
     active = ds.map_batches(active_rows, batch_format="pandas")
 
-    n_users_est = firsts.count()
-    if n_users_est <= _COHORT_BROADCAST_MAX:
-        from scrapy__ray.pipelines.util import broadcast, lookup_broadcast
-
-        fd = driver_agg(firsts, lambda df: df, lambda df: df)
-        ref = broadcast(dict(zip(fd["user_id"].astype("int64"), fd["cohort_day"].astype("int64"))))
-
-        def tag(df: pd.DataFrame) -> pd.DataFrame:
-            cs = lookup_broadcast(ref)
-            cohort = df["user_id"].map(cs).astype("int64")
-            return pd.DataFrame(
-                {
-                    "user_id": df["user_id"].values,
-                    "cohort_day": cohort.values,
-                    "day_offset": df["day"].values - cohort.values,
-                }
-            )
-
-        tagged = active.map_batches(tag, batch_format="pandas")
-    else:
-        from scrapy__ray.pipelines.util import shuffle_join
-
-        joined = shuffle_join(
-            active,
-            firsts,
-            on="user_id",
-            left_cols=["user_id", "day"],
-            right_cols=["user_id", "cohort_day"],
+    def per_user_cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()  # block-level distinct -> partition-exact
+        cohort = d.groupby("user_id")["day"].transform("min")
+        cells = pd.DataFrame(
+            {
+                "cohort_day": cohort.values,
+                "day_offset": d["day"].values - cohort.values,
+            }
         )
-
-        def offs(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "user_id": df["user_id"].values,
-                    "cohort_day": df["cohort_day"].astype("int64").values,
-                    "day_offset": (df["day"] - df["cohort_day"]).astype("int64").values,
-                }
-            )
-
-        tagged = joined.map_batches(offs, batch_format="pandas")
-
-    # distinct users per (cohort, offset): dedup inside a user-keyed
-    # exchange — each user's rows land in ONE partition, so per-partition
-    # distinct (cohort, offset, user) rows are globally distinct and the
-    # driver just sums counts
-    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["cohort_day", "day_offset", "user_id"])
-        return d[["cohort_day", "day_offset", "user_id"]]
-
-    def cell_final(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["cohort_day", "day_offset", "user_id"])
-        g = d.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        g = cells.groupby(["cohort_day", "day_offset"], as_index=False).size()
         return g.rename(columns={"size": "n_users"})
 
-    cells = shuffle_agg(tagged, ["user_id"], cell_partial, cell_final)
+    cells = hash_partition_map(active, ["user_id"], per_user_cells)
     out = driver_agg(
         cells,
         lambda df: df,

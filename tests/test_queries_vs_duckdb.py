@@ -160,12 +160,6 @@ def test_dedup_incremental_join_regime_matches_broadcast(ray_session, monkeypatc
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
 
 
-def test_cohort_retention_join_regime_matches_broadcast(ray_session, monkeypatch):
-    """Force the >_COHORT_BROADCAST_MAX regime (cohort tag via shuffle_join
-    on user_id) and assert an identical retention matrix."""
-    import scrapy__ray.pipelines.streamops as streamops
-
-    small = _canon(_to_df(streamops.events_cohort_retention(SF_DIR)))
-    monkeypatch.setattr(streamops, "_COHORT_BROADCAST_MAX", 0)
-    large = _canon(_to_df(streamops.events_cohort_retention(SF_DIR)))
-    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+# (events_cohort_retention needs no forced-regime test: the rewrite is a
+# single user-keyed exchange with no join and no broadcast/dataset split —
+# the SQL-oracle equality above is the full correctness gate.)
