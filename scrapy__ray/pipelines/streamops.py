@@ -667,6 +667,78 @@ ORDER BY share_fix DESC, c.event_id LIMIT {_SHARE_TOPK}
 """
 
 
+# ------------------------------------------- semi-structured (JSON) column
+def events_props_stats(sf_dir: str):
+    """Aggregate over a JSON payload column (events.props — the
+    semi-structured sidecar every real event log carries): parse each
+    row's JSON, extract the integer field 'k', and roll up per event_type
+    (count, rows-with-k, exact integer sum, min, max).  The parse is a
+    plain vectorizable map — JSON columns need no special machinery in a
+    batch engine, just a per-batch decode before the usual combiner — and
+    the rollup is the low-cardinality driver-reduce path (no shuffle).
+    Exact SQL mirror via DuckDB json_extract."""
+    import json as _json
+
+    ds = read_parquet(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = []
+        for p in df["props"]:
+            try:
+                v = _json.loads(p).get("k") if p else None
+            except (ValueError, TypeError):
+                v = None
+            # bool is an int subclass in Python; JSON true must not read as 1
+            ks.append(v if isinstance(v, int) and not isinstance(v, bool) else None)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].values,
+                "k": pd.array(ks, dtype="Int64"),
+            }
+        )
+        out = g.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"),
+            n_with_k=("k", "count"),
+            k_sum=("k", "sum"),
+            k_min=("k", "min"),
+            k_max=("k", "max"),
+        )
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            n_with_k=("n_with_k", "sum"),
+            k_sum=("k_sum", "sum"),
+            k_min=("k_min", "min"),
+            k_max=("k_max", "max"),
+        )
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "n_with_k": pa.array(out["n_with_k"].astype("int64"), pa.int64()),
+            "k_sum": pa.array(out["k_sum"].astype("int64"), pa.int64()),
+            "k_min": pa.array(out["k_min"].astype("int64"), pa.int64()),
+            "k_max": pa.array(out["k_max"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+EVENTS_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+FROM x GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
@@ -675,4 +747,5 @@ QUERIES = {
     "events_heavy_hitters": (events_heavy_hitters, None),
     "events_cohort_retention": (events_cohort_retention, EVENTS_COHORT_SQL),
     "events_value_share_topk": (events_value_share_topk, EVENTS_SHARE_SQL),
+    "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),
 }
