@@ -98,3 +98,44 @@ def test_host_of_is_lowercase_no_port(u):
     h = host_of(u)
     assert h == h.lower()
     assert ":" not in h
+
+
+# ------------------------------------------------------- BPE merge helpers
+_sym = st.text(alphabet=st.characters(blacklist_categories=("Cs", "Zs"), blacklist_characters="\n\t\r "), min_size=1, max_size=4)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_sym, min_size=1, max_size=12), _sym, _sym)
+def test_bpe_apply_preserves_concatenation(syms, left, right):
+    """Merging never changes the underlying word: the concatenation of the
+    symbol sequence is invariant under any _bpe_apply."""
+    from scrapy__ray.pipelines.qualityops import _bpe_apply
+
+    merged = _bpe_apply(tuple(syms), left, right)
+    assert "".join(merged) == "".join(syms)
+    # a merged sequence never contains the adjacent pair again UNLESS the
+    # pair overlaps its own merge output (left==right-style run effects);
+    if left != right and left + right != left:
+        for a, b in zip(merged, merged[1:]):
+            assert not (a == left and b == right)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.lists(_sym, min_size=1, max_size=8), st.integers(min_value=1, max_value=50)), min_size=0, max_size=8))
+def test_bpe_pair_counts_total(words):
+    """Sum of all pair counts == sum over words of (len-1)*count — every
+    adjacency counted exactly once, weighted by word frequency."""
+    from scrapy__ray.pipelines.qualityops import _bpe_pair_counts
+
+    pc = _bpe_pair_counts([tuple(w) for w, _ in words], [c for _, c in words])
+    assert sum(pc.values()) == sum((len(w) - 1) * c for w, c in words)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_norm_ws_idempotent(s):
+    from scrapy__ray.pipelines.crawlq import _norm_ws
+
+    once = _norm_ws(s)
+    assert _norm_ws(once) == once
+    assert "  " not in once and once == once.strip()
