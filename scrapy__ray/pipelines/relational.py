@@ -592,95 +592,79 @@ def parts_small_qty_revenue(sf_dir: str):
     0.2x their part's average quantity, summed as exact integer cents and
     grouped by p_brand.
 
-    Scale pattern: the correlated avg decorrelates into (1) ONE hash
-    exchange aggregating (cnt, qsum) per partkey, (2) a LARGE x LARGE
-    shuffle_join of lineitem against that aggregate on partkey, (3) the
-    predicate evaluated EXACTLY in integers — qty < 0.2*avg <=>
-    5*qty*cnt < qsum, no float division anywhere — and (4) the part
-    dimension joined for the brand rollup, finishing with a tiny driver
-    reduce over ~brand-count rows.  The SQL oracle states the predicate in
-    the same integer form.
+    Scale pattern: the textbook decorrelation is aggregate-then-join-back
+    (two exchanges, the fact table scanned twice).  Co-locating by the
+    correlation key does strictly better: ONE hash exchange of the pruned
+    fact columns by l_partkey puts every part's rows in one partition,
+    which computes that part's (cnt, qsum) AND filters its own rows
+    locally — the join is gone and lineitem is scanned once.  The
+    predicate is evaluated EXACTLY in integers (qty < 0.2*avg  <=>
+    5*qty*cnt < qsum — no float division anywhere); the SQL oracle states
+    the identical integer form.
 
     Part-dimension regime (TPC-H part GROWS with SF — 2x10^8 rows at
     SF=1000, NOT broadcastable at the design point): at or below
-    _PART_BROADCAST_MAX rows the (partkey -> brand) dict is broadcast once;
-    above it the filtered (partkey, cents) rows shuffle_join against the
-    part dataset on partkey — forced + compared in tests."""
+    _PART_BROADCAST_MAX rows the (partkey -> brand) dict is broadcast once
+    and applied inside the same partition pass; above it the filtered
+    (partkey, cents) rows shuffle_join against the part dataset on partkey
+    — forced + compared in tests."""
+    import pyarrow.parquet as _pq
+
     li = read_parquet(
         sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
-
-    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.assign(q=df["l_quantity"].astype("int64")).groupby(
-            "l_partkey", as_index=False
-        )
-        return g.agg(cnt=("q", "size"), qsum=("q", "sum"))
-
-    def agg_final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("l_partkey", as_index=False)[["cnt", "qsum"]].sum()
-
-    per_part = shuffle_agg(li, ["l_partkey"], agg_partial, agg_final)
-
-    joined = shuffle_join(
-        li,
-        per_part,
-        on="l_partkey",
-        left_cols=["l_partkey", "l_quantity", "l_extendedprice"],
-        right_cols=["l_partkey", "cnt", "qsum"],
-    )
-
-    import pyarrow.parquet as _pq
-
-    def small_qty(df: pd.DataFrame) -> pd.DataFrame:
-        q = df["l_quantity"].to_numpy("int64")
-        cnt = df["cnt"].to_numpy("int64")
-        qsum = df["qsum"].to_numpy("int64")
-        keep = 5 * q * cnt < qsum
-        cents = np.rint(df["l_extendedprice"].to_numpy("float64")[keep] * 100).astype(
-            "int64"
-        )
-        return pd.DataFrame(
-            {"l_partkey": df["l_partkey"].to_numpy("int64")[keep], "cents": cents}
-        )
-
-    filtered = joined.map_batches(small_qty, batch_format="pandas")
     n_parts = _pq.read_metadata(sf_dir + "/part.parquet").num_rows
-
-    if n_parts <= _PART_BROADCAST_MAX:
+    small_part = n_parts <= _PART_BROADCAST_MAX
+    if small_part:
         pt = _pq.read_table(sf_dir + "/part.parquet", columns=["p_partkey", "p_brand"])
         brand_ref = broadcast(
             dict(zip(pt["p_partkey"].to_pylist(), pt["p_brand"].to_pylist()))
         )
 
-        def tag_brand(df: pd.DataFrame) -> pd.DataFrame:
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy("int64")
+        g = pd.DataFrame({"k": df["l_partkey"].to_numpy("int64"), "q": q})
+        grp = g.groupby("k")
+        cnt = grp["q"].transform("size").to_numpy("int64")
+        qsum = grp["q"].transform("sum").to_numpy("int64")
+        keep = 5 * q * cnt < qsum
+        cents = np.rint(
+            df["l_extendedprice"].to_numpy("float64")[keep] * 100
+        ).astype("int64")
+        sub = pd.DataFrame({"l_partkey": g["k"].to_numpy()[keep], "cents": cents})
+        if small_part:
             brands = lookup_broadcast(brand_ref)
-            return pd.DataFrame(
-                {"p_brand": df["l_partkey"].map(brands).values, "cents": df["cents"].values}
+            sub["p_brand"] = sub["l_partkey"].map(brands)
+            return sub.groupby("p_brand", as_index=False).agg(
+                revenue_cents=("cents", "sum"), n_items=("cents", "size")
             )
+        return sub
 
-        branded = filtered.map_batches(tag_brand, batch_format="pandas")
-    else:
+    cells = hash_partition_map(li, ["l_partkey"], per_part)
+
+    if not small_part:
         part_ds = read_parquet(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
         def as_partkey(df: pd.DataFrame) -> pd.DataFrame:
             return df.rename(columns={"p_partkey": "l_partkey"})
 
-        branded = shuffle_join(
-            filtered,
+        joined = shuffle_join(
+            cells,
             part_ds.map_batches(as_partkey, batch_format="pandas"),
             on="l_partkey",
             left_cols=["l_partkey", "cents"],
             right_cols=["l_partkey", "p_brand"],
         )
-
-    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("p_brand", as_index=False).agg(
-            revenue_cents=("cents", "sum"), n_items=("cents", "size")
+        cells = joined.map_batches(
+            lambda df: df.groupby("p_brand", as_index=False).agg(
+                revenue_cents=("cents", "sum"), n_items=("cents", "size")
+            ),
+            batch_format="pandas",
         )
 
     out = driver_agg(
-        branded,
-        brand_partial,
+        cells,
+        lambda df: df,
         lambda df: df.groupby("p_brand", as_index=False)[
             ["revenue_cents", "n_items"]
         ].sum(),
