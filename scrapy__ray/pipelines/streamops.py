@@ -570,17 +570,24 @@ def events_value_share_topk(sf_dir: str):
     key user_id*F + (event_id mod F), spreading a hot key over F partitions
     at the cost of F small-side copies — the standard skew-mitigation
     trade.  The share is exact integer arithmetic end to end:
-    floor(value_cents * 1e6 / total_cents), mirrored verbatim in SQL, and
-    the top-k moves K rows per partition (the top_revenue shape), never the
-    fact table."""
+    value_cents * 1e6 // total_cents over a NON-NEGATIVE domain (the
+    WHERE value >= 0 filter is part of the query's contract on both
+    sides, and users whose filtered total is zero are excluded: numpy //
+    floor-divides while DuckDB // truncates toward zero, so the two only
+    agree when numerator and denominator are non-negative and the
+    denominator is positive — the restriction that makes 'exact mirror'
+    true rather than asserted).  The top-k moves K rows per partition
+    (the top_revenue shape), never the fact table."""
     ds = read_parquet(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy("float64")
+        keep = v >= 0
         return pd.DataFrame(
             {
-                "event_id": df["event_id"].astype("int64").values,
-                "user_id": df["user_id"].astype("int64").values,
-                "cents": np.rint(df["value"].to_numpy("float64") * 100).astype("int64"),
+                "event_id": df["event_id"].astype("int64").values[keep],
+                "user_id": df["user_id"].astype("int64").values[keep],
+                "cents": np.rint(v[keep] * 100).astype("int64"),
             }
         )
 
@@ -630,8 +637,15 @@ def events_value_share_topk(sf_dir: str):
     )
 
     def head_partial(df: pd.DataFrame) -> pd.DataFrame:
-        share = df["cents"].values * _SHARE_FIX // df["total_cents"].values
-        g = pd.DataFrame({"event_id": df["event_id"].values, "share_fix": share})
+        # total > 0 guaranteed: only non-negative cents enter, and a user
+        # with any fact row has total >= that row's cents >= 0; a user
+        # whose rows are ALL zero still has total 0 — exclude, as the SQL
+        # side's t.total_cents > 0 does
+        pos = df["total_cents"].values > 0
+        share = (
+            df["cents"].values[pos] * _SHARE_FIX // df["total_cents"].values[pos]
+        )
+        g = pd.DataFrame({"event_id": df["event_id"].values[pos], "share_fix": share})
         g = g.sort_values(["share_fix", "event_id"], ascending=[False, True])
         return g.head(_SHARE_TOPK)
 
@@ -654,15 +668,17 @@ EVENTS_SHARE_SQL = f"""
 WITH c AS (
   SELECT event_id, user_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE value >= 0
 ),
 t AS (SELECT user_id, SUM(cents) AS total_cents FROM c GROUP BY user_id)
 SELECT c.event_id,
-       -- integer floor division (//): BIGINT / BIGINT in DuckDB is DOUBLE
-       -- division, whose nearest-rounding can flip FLOOR vs the engine's
-       -- exact int64 floor division at large totals
+       -- integer // (BIGINT / is DOUBLE division, whose nearest-rounding
+       -- can flip the floor at large totals).  DuckDB // truncates toward
+       -- zero while the engine floor-divides: identical ONLY on the
+       -- non-negative domain both sides pin (value >= 0, total > 0)
        CAST(c.cents * {_SHARE_FIX} // t.total_cents AS BIGINT) AS share_fix
 FROM c JOIN t USING (user_id)
+WHERE t.total_cents > 0
 ORDER BY share_fix DESC, c.event_id LIMIT {_SHARE_TOPK}
 """
 
@@ -672,11 +688,15 @@ def events_props_stats(sf_dir: str):
     """Aggregate over a JSON payload column (events.props — the
     semi-structured sidecar every real event log carries): parse each
     row's JSON, extract the integer field 'k', and roll up per event_type
-    (count, rows-with-k, exact integer sum, min, max).  The parse is a
-    plain vectorizable map — JSON columns need no special machinery in a
-    batch engine, just a per-batch decode before the usual combiner — and
-    the rollup is the low-cardinality driver-reduce path (no shuffle).
-    Exact SQL mirror via DuckDB json_extract."""
+    (count, rows-with-k, exact integer sum, min, max — the latter three
+    NULL for a type with no valid k, matching SQL aggregate semantics).
+    'Valid k' is pinned strictly on BOTH sides: top-level JSON object with
+    an integer-typed k — JSON true, "5", 2.7, non-objects (null/5/[1]) and
+    malformed strings all read as missing, never coerced.  The parse is a
+    plain vectorizable map; the rollup is the low-cardinality
+    driver-reduce path (no shuffle).  SQL mirror guards with
+    json_valid + json_type so it errors and coerces nowhere the engine
+    doesn't."""
     import json as _json
 
     ds = read_parquet(sf_dir, "events", columns=["event_type", "props"])
@@ -684,10 +704,14 @@ def events_props_stats(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ks = []
         for p in df["props"]:
-            try:
-                v = _json.loads(p).get("k") if p else None
-            except (ValueError, TypeError):
-                v = None
+            v = None
+            if p:
+                try:
+                    doc = _json.loads(p)
+                    # non-object payloads (null, scalars, arrays) have no k
+                    v = doc.get("k") if isinstance(doc, dict) else None
+                except (ValueError, TypeError):
+                    v = None
             # bool is an int subclass in Python; JSON true must not read as 1
             ks.append(v if isinstance(v, int) and not isinstance(v, bool) else None)
         g = pd.DataFrame(
@@ -699,7 +723,9 @@ def events_props_stats(sf_dir: str):
         out = g.groupby("event_type", as_index=False).agg(
             n_events=("k", "size"),
             n_with_k=("k", "count"),
-            k_sum=("k", "sum"),
+            # min_count=1: an all-missing group must stay NA (SQL SUM over
+            # zero non-NULLs is NULL, not 0)
+            k_sum=("k", lambda s: s.sum(min_count=1)),
             k_min=("k", "min"),
             k_max=("k", "max"),
         )
@@ -709,20 +735,24 @@ def events_props_stats(sf_dir: str):
         return df.groupby("event_type", as_index=False).agg(
             n_events=("n_events", "sum"),
             n_with_k=("n_with_k", "sum"),
-            k_sum=("k_sum", "sum"),
+            k_sum=("k_sum", lambda s: s.sum(min_count=1)),
             k_min=("k_min", "min"),
             k_max=("k_max", "max"),
         )
 
     out = driver_agg(ds, partial, final)
+
+    def nullable(col) -> list:
+        return [None if pd.isna(v) else int(v) for v in col]
+
     return pa.table(
         {
             "event_type": pa.array(out["event_type"], pa.string()),
             "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
             "n_with_k": pa.array(out["n_with_k"].astype("int64"), pa.int64()),
-            "k_sum": pa.array(out["k_sum"].astype("int64"), pa.int64()),
-            "k_min": pa.array(out["k_min"].astype("int64"), pa.int64()),
-            "k_max": pa.array(out["k_max"].astype("int64"), pa.int64()),
+            "k_sum": pa.array(nullable(out["k_sum"]), pa.int64()),
+            "k_min": pa.array(nullable(out["k_min"]), pa.int64()),
+            "k_max": pa.array(nullable(out["k_max"]), pa.int64()),
         }
     )
 
@@ -730,7 +760,10 @@ def events_props_stats(sf_dir: str):
 EVENTS_PROPS_SQL = """
 WITH x AS (
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+                   AND json_type(props) = 'OBJECT'
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,

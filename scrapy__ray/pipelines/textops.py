@@ -648,11 +648,12 @@ def docs_dedup_incremental(sf_dir: str):
 
         out_ds = new.map_batches(flag, batch_format="pandas")
     else:
-        from scrapy__ray.pipelines.util import shuffle_join
+        # consumed twice below (join left side + zero-partial union):
+        # unmaterialized lineage would re-run the hash pass per consumer
+        new = new.materialize()
 
         def snap_rows(df: pd.DataFrame) -> pd.DataFrame:
-            d = df[df["snap"]].drop_duplicates("h")
-            return pd.DataFrame({"h": d["h"].values, "m": np.ones(len(d), np.int64)})
+            return pd.DataFrame({"h": df[df["snap"]]["h"].unique()})
 
         snap_hashes = shuffle_agg(
             hs,
@@ -661,7 +662,7 @@ def docs_dedup_incremental(sf_dir: str):
             lambda df: df.drop_duplicates("h"),
         )
         joined = shuffle_join(
-            new, snap_hashes, on="h", left_cols=["doc_id", "h"], right_cols=["h", "m"]
+            new, snap_hashes, on="h", left_cols=["doc_id", "h"], right_cols=["h"]
         )
 
         def dup_rows(df: pd.DataFrame) -> pd.DataFrame:
