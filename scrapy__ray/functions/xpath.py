@@ -28,7 +28,12 @@ Supported surface:
                 ``or``, comparisons ``= != < <= > >=`` with XPath-1.0
                 node-set/any-match semantics
   functions     position last count not contains starts-with string
-                normalize-space string-length concat name true false
+                normalize-space string-length concat name local-name
+                true false substring substring-before substring-after
+                translate number sum boolean floor ceiling round
+                (round/substring follow the 1.0 spec: half toward +inf;
+                negative NUMBER LITERALS need unary minus, which is part
+                of the out-of-scope arithmetic grammar)
   result types  node-sets (elements / text nodes / attributes) and, at the
                 top level, scalars (``count(//a)`` etc.)
 
@@ -241,8 +246,19 @@ _FUNCS = {
     "string-length": (0, 1),
     "concat": (2, 99),
     "name": (0, 1),
+    "local-name": (0, 1),
     "true": (0, 0),
     "false": (0, 0),
+    "substring": (2, 3),
+    "substring-before": (2, 2),
+    "substring-after": (2, 2),
+    "translate": (3, 3),
+    "number": (0, 1),
+    "sum": (1, 1),
+    "boolean": (1, 1),
+    "floor": (1, 1),
+    "ceiling": (1, 1),
+    "round": (1, 1),
 }
 
 
@@ -545,6 +561,15 @@ def _eval_union(u: UnionExpr, ctx_items: list, env: _Env) -> list:
     return env.doc_sort(out)
 
 
+def _xpath_round(v: float) -> float:
+    """XPath 1.0 round(): half rounds toward POSITIVE infinity (round(-1.5)
+    is -1, round(1.5) is 2) — neither Python's banker's rounding nor
+    away-from-zero.  NaN passes through."""
+    if math.isnan(v) or math.isinf(v):
+        return v
+    return float(math.floor(v + 0.5))
+
+
 def _to_number(v) -> float:
     if isinstance(v, bool):
         return 1.0 if v else 0.0
@@ -663,13 +688,62 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
             return float(len(s))
         if n == "concat":
             return "".join(_to_string(a) for a in args)
-        if n == "name":
+        if n in ("name", "local-name"):  # no namespaces in this DOM
             t = args[0][0] if args and isinstance(args[0], list) and args[0] else item
             if isinstance(t, Node):
                 return t.tag
             if isinstance(t, AttrItem):
                 return t.name
             return ""
+        if n == "substring":
+            # XPath 1.0 4.2: 1-based, start/length pass through round()
+            # (half toward +inf); chars kept where round(start) <= p <
+            # round(start)+round(length); any NaN -> empty
+            s = _to_string(args[0])
+            start = _xpath_round(_to_number(args[1]))
+            if math.isnan(start):
+                return ""
+            if len(args) == 3:
+                ln = _xpath_round(_to_number(args[2]))
+                if math.isnan(ln):
+                    return ""
+                end = start + ln
+            else:
+                end = math.inf
+            return "".join(
+                c for p, c in enumerate(s, start=1) if start <= p < end
+            )
+        if n == "substring-before":
+            s, sub = _to_string(args[0]), _to_string(args[1])
+            i = s.find(sub)
+            return s[:i] if i >= 0 else ""
+        if n == "substring-after":
+            s, sub = _to_string(args[0]), _to_string(args[1])
+            i = s.find(sub)
+            return s[i + len(sub):] if i >= 0 else ""
+        if n == "translate":
+            s, frm, to = (_to_string(a) for a in args)
+            table = {}
+            for i, c in enumerate(frm):
+                if ord(c) not in table:  # first occurrence wins per spec
+                    table[ord(c)] = to[i] if i < len(to) else None
+            return s.translate(table)
+        if n == "number":
+            return _to_number(args[0]) if args else _to_number(_string_value(item))
+        if n == "sum":
+            if not isinstance(args[0], list):
+                raise XPathError("sum() needs a node-set")
+            return float(sum(_to_number(_string_value(t)) for t in args[0]))
+        if n == "boolean":
+            return _to_bool(args[0])
+        if n == "floor":
+            v = _to_number(args[0])
+            return v if math.isnan(v) else float(math.floor(v))
+        if n == "ceiling":
+            v = _to_number(args[0])
+            return v if math.isnan(v) else float(math.ceil(v))
+        if n == "round":
+            return _xpath_round(_to_number(args[0]))
         if n == "true":
             return True
         return False  # false()

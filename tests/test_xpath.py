@@ -164,7 +164,7 @@ BAD = [
     "",
     "//",
     "//a | 3",  # union operands must be paths
-    "substring(//a, 1, 2)",  # unsupported function parses as a path + trailing
+    "lang(//a)",  # unsupported function parses as a path + trailing junk
 ]
 
 
@@ -208,3 +208,43 @@ def test_extract_many_matches_single():
     many = xpath_extract_many(root, [xpath_compile(e) for e in exprs])
     for e, got in zip(exprs, many):
         assert got == xpath_extract(root, e)
+
+
+def test_string_function_library():
+    """XPath 1.0 §4.2/§4.4 function vectors, including the spec's own
+    substring() edge cases (1-based, round-half-toward-+inf on start and
+    length) and translate()'s first-occurrence-wins/deletion semantics."""
+    import math
+
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_select
+
+    r = parse_dom(b"<html><body><ul><li>3</li><li>4.5</li></ul></body></html>")
+    vectors = [
+        ('substring("12345", 2, 3)', "234"),
+        ('substring("12345", 1.5, 2.6)', "234"),  # spec example
+        ('substring("12345", 0, 3)', "12"),       # spec example
+        ('substring("12345", 2)', "2345"),
+        ('substring-before("1999/04/01", "/")', "1999"),
+        ('substring-after("1999/04/01", "/")', "04/01"),
+        ('substring-before("abc", "x")', ""),
+        ('substring-after("abc", "x")', ""),
+        ('translate("bar", "abc", "ABC")', "BAr"),
+        ('translate("--aaa--", "abc-", "ABC")', "AAA"),  # spec: delete '-'
+        ("number(' 12.5 ')", 12.5),
+        ('boolean("")', False),
+        ('boolean("x")', True),
+        ("floor(2.6)", 2.0),
+        ("ceiling(2.1)", 3.0),
+        ("round(2.5)", 3.0),  # half toward +inf
+        ("sum(//li)", 7.5),
+        ("local-name(//ul)", "ul"),
+        ('concat(substring-before("a=b", "="), ":", substring-after("a=b", "="))', "a:b"),
+    ]
+    for expr, want in vectors:
+        assert xpath_select(r, expr) == want, expr
+    assert math.isnan(xpath_select(r, 'number("abc")'))
+    assert xpath_select(r, 'substring("12345", number("nan"), 3)') == ""
+    # predicate usage — the scraping idiom these exist for
+    assert len(xpath_select(r, '//li[number(.) > 4]')) == 1
+    assert len(xpath_select(r, '//li[substring(., 1, 1) = "3"]')) == 1
