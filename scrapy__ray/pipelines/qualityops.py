@@ -19,10 +19,11 @@ len(regexp_replace(trim(text), '\\s+', '', 'g'))):
   the benchmark set (an eval suite, not a corpus slice) stays O(MBs).
 * ``docs_tfidf_top_terms`` — distributed TF-IDF, top-3 terms per document:
   per-doc term counts in one map_batches pass (no shuffle: a document is
-  one row), document frequency via partial-count -> hash-shuffle by term,
-  then a LARGE x LARGE ``shuffle_join`` on the term (the vocabulary of a
-  100 TB corpus does not fit a broadcast side), and a final hash partition
-  by doc_id for the exact per-doc top-k.
+  one row); below the vocab threshold df folds to the driver and rides
+  back as a broadcast; above it ONE hash exchange by term co-locates each
+  term's tf rows so df is computed in place (a 100 TB corpus's vocabulary
+  fits neither a broadcast nor the driver); final hash partition by
+  doc_id for the exact per-doc top-k.
 
 No reference file citations: /root/reference is empty (SURVEY.md §0); the
 Gopher signal definitions follow the published paper.
@@ -316,11 +317,11 @@ def docs_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document (smooth idf: ln((1+N)/(1+df)) + 1).
 
     Shape: (1) per-doc term counts in one map_batches pass — a document is
-    a single row, so tf needs no exchange; (2) document frequency =
-    partial per-block counts -> hash-shuffle by term (one row per
-    (term, block) moves); (3) tf x idf via ``shuffle_join`` on the term —
-    both sides are corpus-scale (a 100 TB corpus's vocabulary cannot be
-    broadcast), so the repartition join is the right exchange; (4) hash
+    a single row, so tf needs no exchange; (2+3) document frequency and
+    its attachment in ONE hash exchange by term: co-locating each term's
+    tf rows makes df(term) the local row count (a 100 TB corpus's
+    vocabulary cannot be broadcast, and the former shuffle_agg +
+    shuffle_join pair moved the same rows twice); (4) hash
     partition by doc_id, exact per-doc top-3 on (rounded tfidf DESC, term).
     Ranking uses the ROUNDED score on both engine and oracle sides so the
     selected set is identical under float formatting differences."""
@@ -375,11 +376,17 @@ def docs_tfidf_top_terms(sf_dir: str):
 
         joined = tf.map_batches(attach_df, batch_format="pandas")
     else:
-        docfreq = shuffle_agg(tf, ["term"], df_partial, df_final)
-        joined = shuffle_join(
-            tf, docfreq, on="term",
-            left_cols=["term", "doc_id", "tf"], right_cols=["term", "df"],
-        )
+        # decorrelation-by-co-location (the Q17/cohort trick): ONE hash
+        # exchange of the tf rows by term puts every term's rows in one
+        # partition, where df(term) is just the per-term row count (tf has
+        # one row per (doc, term)) — the former shuffle_agg + shuffle_join
+        # pair over the same rows collapses into a single exchange
+        def attach_df_local(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                df=df.groupby("term")["doc_id"].transform("size").astype(np.int64)
+            )
+
+        joined = hash_partition_map(tf, ["term"], attach_df_local)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
