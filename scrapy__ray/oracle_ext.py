@@ -612,6 +612,44 @@ def oracle_crawl_inlinks(corpus: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_hits(corpus: str) -> pd.DataFrame:
+    """Integer-exact HITS mirror (spec pinned in crawlq.crawl_hits): 5
+    alternating iterations, each half renormalized to 10^12 mass by floor
+    division, top-20 by (authority desc, url).  Plain dict loops over the
+    independent single-process graph."""
+    iters, fix, topk = 5, 10**12, 20
+    urls, edges = _oracle_link_graph(corpus)
+    urls = sorted(set(urls))
+    n = len(urls)
+    hub = {u: fix // n for u in urls}
+    auth = {u: 0 for u in urls}
+
+    def renorm(raw: dict) -> dict:
+        total = sum(raw.values())
+        if total == 0:
+            return {u: 0 for u in urls}
+        return {u: raw.get(u, 0) * fix // total for u in urls}
+
+    for _ in range(iters):
+        acc: dict[str, int] = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + hub.get(s, 0)
+        auth = renorm(acc)
+        acc = {}
+        for s, d in edges:
+            acc[s] = acc.get(s, 0) + auth.get(d, 0)
+        hub = renorm(acc)
+
+    top = sorted(urls, key=lambda u: (-auth[u], u))[:topk]
+    return pd.DataFrame(
+        {
+            "url": top,
+            "auth_fix": [auth[u] for u in top],
+            "hub_fix": [hub[u] for u in top],
+        }
+    )
+
+
 def oracle_crawl_pagerank(corpus: str) -> pd.DataFrame:
     """Integer-exact PageRank mirror (spec pinned in crawlq.crawl_pagerank):
     5 iterations, damping 85/100 via floor division on 10^12 total mass,
@@ -1083,6 +1121,7 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_xpath_extract", oracle_crawl_css_extract(corpus)),
         ("crawl_inlinks", oracle_crawl_inlinks(corpus)),
         ("crawl_pagerank", oracle_crawl_pagerank(corpus)),
+        ("crawl_hits", oracle_crawl_hits(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),
         ("crawl_paragraph_dedup", oracle_crawl_paragraph_dedup(corpus)),
         ("crawl_anchor_text", oracle_crawl_anchor_text(corpus)),

@@ -825,6 +825,77 @@ def crawl_paragraph_dedup(sf_dir: str):
     )
 
 
+# ----------------------------------------------------- HITS hubs/authorities
+_HITS_ITERS = 5
+_HITS_FIX = 10**12  # each vector renormalized to this integer mass
+_HITS_TOPK = 20
+
+
+def crawl_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the corpus link graph,
+    _HITS_ITERS alternating iterations, top-_HITS_TOPK pages by authority.
+    Integer-exact variant: scores live on _HITS_FIX total mass and each
+    half-iteration renormalizes by integer floor division (L1-to-FIX
+    instead of the paper's L2 — convergence only needs a consistent
+    normalization, and integer mass makes every partial sum
+    order-independent, the pagerank/ADC/BM25 policy), so the distributed
+    result is bit-identical to the single-process oracle.
+
+    Shape (the pagerank broadcast regime — the k-means pattern): the edge
+    dataset streams twice per iteration (auth pass keyed by dst, hub pass
+    keyed by src), scores broadcast each pass, per-key partial sums merged
+    by driver reduce; the driver holds only the O(N) score vectors.  The
+    fully-distributed score-Dataset regime for N beyond driver memory is
+    the same construction crawl_pagerank ships and force-tests at
+    `_pagerank_distributed` — shared machinery, documented rather than
+    duplicated.  Oracle: independent single-process implementation
+    (oracle_ext.oracle_crawl_hits), materialized."""
+    from scrapy__ray.pipelines.util import broadcast, driver_agg, lookup_broadcast
+
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+    urls = sorted(
+        pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist()
+    )
+    n = len(urls)
+    hub = {u: _HITS_FIX // n for u in urls}
+    auth = {u: 0 for u in urls}
+
+    def propagate(score_ref, key_in: str, key_out: str):
+        """One half-iteration: sum broadcast scores over edges grouped by
+        key_out (auth pass: in=src, out=dst; hub pass: in=dst, out=src)."""
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            sc = lookup_broadcast(score_ref)
+            c = df[key_in].map(sc).fillna(0).astype("int64")
+            g = pd.DataFrame({"u": df[key_out].values, "c": c.values})
+            return g.groupby("u", as_index=False).sum()
+
+        inc = driver_agg(
+            edges, contrib, lambda df: df.groupby("u", as_index=False)["c"].sum()
+        )
+        return dict(zip(inc["u"], inc["c"].astype("int64")))
+
+    def renorm(raw: dict) -> dict:
+        total = sum(raw.values())
+        if total == 0:
+            return {u: 0 for u in urls}
+        return {u: raw.get(u, 0) * _HITS_FIX // total for u in urls}
+
+    for _ in range(_HITS_ITERS):
+        auth = renorm(propagate(broadcast(hub), "src", "dst"))
+        hub = renorm(propagate(broadcast(auth), "dst", "src"))
+
+    top = sorted(urls, key=lambda u: (-auth[u], u))[:_HITS_TOPK]
+    return pa.table(
+        {
+            "url": pa.array(top, pa.string()),
+            "auth_fix": pa.array([auth[u] for u in top], pa.int64()),
+            "hub_fix": pa.array([hub[u] for u in top], pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------- anchor-text aggregation
 def crawl_anchor_text(sf_dir: str):
     """Per-target-page anchor-text summary over the corpus link graph (the
@@ -936,6 +1007,7 @@ QUERIES = {
     "crawl_xpath_extract": (crawl_xpath_extract, None),
     "crawl_inlinks": (crawl_inlinks, None),
     "crawl_pagerank": (crawl_pagerank, None),
+    "crawl_hits": (crawl_hits, None),
     "crawl_main_content": (crawl_main_content, None),
     "crawl_paragraph_dedup": (crawl_paragraph_dedup, None),
     "crawl_anchor_text": (crawl_anchor_text, None),
