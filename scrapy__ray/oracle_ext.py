@@ -1062,6 +1062,101 @@ def oracle_docs_bpe_train(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_emb_pca(sf_dir: str) -> pd.DataFrame:
+    """Single-process PCA (contract pinned in pipelines/simops.emb_pca):
+    int-fix components as round(x * 2^16) int64, form the EXACT integer
+    scatter matrix n*M - s*sT in Python ints, divide once into float64,
+    top-8 eigenvalues of np.linalg.eigvalsh (descending) and
+    explained-variance ratios, both rounded to 8 dp with np.round."""
+    import numpy as np
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    x = np.rint(emb * 65536).astype(np.int64)
+    n, d = x.shape
+    m = x.T @ x
+    s = x.sum(axis=0, dtype=np.int64)
+    denom = float(n) * float(n) * float(65536) * float(65536)
+    cov = np.array(
+        [
+            [
+                float(n * int(m[i][j]) - int(s[i]) * int(s[j])) / denom
+                for j in range(d)
+            ]
+            for i in range(d)
+        ],
+        dtype=np.float64,
+    )
+    ev = np.linalg.eigvalsh(cov)[::-1][:8]
+    trace = float(np.trace(cov))
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, len(ev) + 1, dtype=np.int64),
+            "eigenvalue": np.round(ev, 8),
+            "explained_ratio": np.round(ev / trace, 8),
+        }
+    )
+
+
+def oracle_docs_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Single-process BPE application (Sennrich et al. 2016 apply_bpe,
+    contract pinned in pipelines/qualityops.docs_bpe_encode): learn the
+    merge table with the plain-Python loop above, then encode every word —
+    characters, merges applied in learned order, each left-to-right
+    non-overlapping.  Per doc: word count, subword count, first 8 subwords
+    space-joined."""
+    merges_df = oracle_docs_bpe_train(sf_dir)
+    ops = list(zip(merges_df["left"], merges_df["right"]))
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    cache: dict[str, list[str]] = {}
+
+    def enc(word: str) -> list[str]:
+        if word in cache:
+            return cache[word]
+        syms = list(word)
+        for la, rb in ops:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    doc_ids, n_words, n_subwords, heads = [], [], [], []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        words = _tokens(text)
+        total, head = 0, []
+        for w in words:
+            s = enc(w)
+            total += len(s)
+            if len(head) < 8:
+                head.extend(s[: 8 - len(head)])
+        doc_ids.append(doc_id)
+        n_words.append(len(words))
+        n_subwords.append(total)
+        heads.append(" ".join(head))
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "n_words": n_words,
+            "n_subwords": n_subwords,
+            "head_subwords": heads,
+        }
+    )
+
+
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
     "docs_langid": oracle_docs_langid,
@@ -1080,6 +1175,8 @@ _SF_ORACLES = {
     "docs_lm_quality": oracle_docs_lm_quality,
     "events_heavy_hitters": oracle_events_heavy_hitters,
     "docs_bpe_train": oracle_docs_bpe_train,
+    "docs_bpe_encode": oracle_docs_bpe_encode,
+    "emb_pca": oracle_emb_pca,
 }
 
 _cache: dict[str, dict[str, str]] = {}

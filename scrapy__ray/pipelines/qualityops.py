@@ -1574,6 +1574,81 @@ def docs_bpe_train(sf_dir: str):
     )
 
 
+def docs_bpe_encode(sf_dir: str):
+    """Apply the learned BPE merges to the corpus (Sennrich et al. 2016
+    apply_bpe: each word starts as its characters, the learned operations
+    apply IN LEARNED ORDER, each as one left-to-right non-overlapping
+    rewrite — exactly the evolution the training loop performed).  Returns
+    per doc (doc_id, n_words, n_subwords, head_subwords) where
+    head_subwords is the first 8 subwords space-joined (subwords contain no
+    whitespace, so the join is unambiguous).
+
+    Scale: training touches the corpus once (docs_bpe_train's contract);
+    the ~K learned merges broadcast once via ray.put, and the encode pass
+    is a single map_batches with ZERO exchanges.  Each batch encodes its
+    DISTINCT words once (word-level memoization — the standard apply_bpe
+    cache; web text is Zipf so distinct words ≪ tokens).  Oracle:
+    independent pure-Python learner + encoder
+    (oracle_ext.oracle_docs_bpe_encode), materialized to parquet."""
+    merges_tbl = docs_bpe_train(sf_dir)
+    merges = list(
+        zip(merges_tbl["left"].to_pylist(), merges_tbl["right"].to_pylist())
+    )
+    ref = broadcast(merges)
+
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ops = lookup_broadcast(ref)
+        cache: dict[str, tuple] = {}
+
+        def enc(word: str) -> tuple:
+            syms = cache.get(word)
+            if syms is None:
+                syms = tuple(word)
+                for left, right in ops:
+                    if len(syms) > 1:
+                        syms = _bpe_apply(syms, left, right)
+                cache[word] = syms
+            return syms
+
+        n_words = np.zeros(len(df), dtype=np.int64)
+        n_subwords = np.zeros(len(df), dtype=np.int64)
+        heads: list[str] = []
+        for i, text in enumerate(df["text"]):
+            words = _tokens(text)
+            n_words[i] = len(words)
+            head: list[str] = []
+            total = 0
+            for w in words:
+                s = enc(w)
+                total += len(s)
+                if len(head) < 8:
+                    head.extend(s[: 8 - len(head)])
+            n_subwords[i] = total
+            heads.append(" ".join(head))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "n_words": n_words,
+                "n_subwords": n_subwords,
+                "head_subwords": heads,
+            }
+        )
+
+    return collect_arrow(
+        ds.map_batches(encode, batch_format="pandas"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_words", pa.int64()),
+                ("n_subwords", pa.int64()),
+                ("head_subwords", pa.string()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1587,4 +1662,5 @@ QUERIES = {
     "docs_chunk_overlap": (docs_chunk_overlap, DOCS_CHUNK_SQL),
     "docs_bm25_topk": (docs_bm25_topk, DOCS_BM25_SQL),
     "docs_bpe_train": (docs_bpe_train, None),
+    "docs_bpe_encode": (docs_bpe_encode, None),
 }

@@ -824,6 +824,107 @@ def emb_semdedup(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------ distributed PCA
+_PCA_FIX = 65536  # 2^16 per-component integer fixing
+_PCA_TOPK = 8
+
+
+def _pca_moment_partial(t: pa.Table):
+    """One block -> (count, component-sum, second-moment matrix) as a
+    single-row frame; the int64 entries cannot overflow below ~10^9
+    64-dim rows per block at this fix for unit-scale embeddings."""
+    import pandas as pd
+
+    _, emb = _batch_matrix(t)
+    x = np.rint(emb * _PCA_FIX).astype(np.int64)
+    m = x.T @ x
+    s = x.sum(axis=0, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "n": np.array([len(x)], dtype=np.int64),
+            "s": [s.tobytes()],
+            "m": [m.tobytes()],
+        }
+    )
+
+
+def _pca_merge(df):
+    """Driver reduce: merge moment partials in arbitrary-precision Python
+    ints, form the exact integer scatter n*M - s*sT, divide ONCE into
+    float64, eigendecompose.  Identical bits for any block split / merge
+    order — the integer scatter is associative-commutative exact."""
+    import pandas as pd
+
+    n = int(df["n"].sum())
+    d = None
+    s_tot = m_tot = None
+    for sb, mb in zip(df["s"], df["m"]):
+        s = np.frombuffer(sb, dtype=np.int64)
+        if d is None:
+            d = len(s)
+            s_tot = [0] * d
+            m_tot = [[0] * d for _ in range(d)]
+        m = np.frombuffer(mb, dtype=np.int64).reshape(d, d)
+        for i in range(d):
+            s_tot[i] += int(s[i])
+            row = m[i]
+            ti = m_tot[i]
+            for j in range(d):
+                ti[j] += int(row[j])
+    denom = float(n) * float(n) * float(_PCA_FIX) * float(_PCA_FIX)
+    cov = np.array(
+        [
+            [
+                float(n * m_tot[i][j] - s_tot[i] * s_tot[j]) / denom
+                for j in range(d)
+            ]
+            for i in range(d)
+        ],
+        dtype=np.float64,
+    )
+    ev = np.linalg.eigvalsh(cov)[::-1][:_PCA_TOPK]
+    trace = float(np.trace(cov))
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, len(ev) + 1, dtype=np.int64),
+            "eigenvalue": np.round(ev, 8),
+            "explained_ratio": np.round(ev / trace, 8),
+        }
+    )
+
+
+def emb_pca(sf_dir: str):
+    """Distributed PCA over the embedding column: top-_PCA_TOPK principal
+    eigenvalues of the sample covariance plus explained-variance ratios.
+
+    The classic mergeable-moments shape: each block int-fixes its vectors
+    (round(x * 2^16) as int64) and folds them to a (count, component-sum,
+    second-moment matrix) partial — D+D² integers per BLOCK, independent of
+    rows, so the exchange volume is O(blocks), never O(rows).  The driver
+    merges partials in arbitrary-precision Python ints (a block's int64
+    moment entries cannot overflow below ~10^5 rows x 64-dim at this fix,
+    and the driver sum never can), forms the EXACT integer scatter matrix
+    n·M − s·sᵀ, and only then divides into float64 — bit-identical input to
+    np.linalg.eigvalsh regardless of block boundaries or merge order, which
+    is what makes the distributed result equal the single-process oracle
+    byte-for-byte.  Eigen-decomposition of the tiny D×D matrix is driver
+    work by design (the data-scale passes are the moment folds).
+    Oracle: independent numpy implementation (oracle_ext.oracle_emb_pca)."""
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = driver_agg(
+        ds.map_batches(_pca_moment_partial, batch_format="pyarrow"),
+        lambda df: df,
+        _pca_merge,
+    )
+    return pa.table(
+        {
+            "component": pa.array(out["component"], pa.int64()),
+            "eigenvalue": pa.array(out["eigenvalue"], pa.float64()),
+            "explained_ratio": pa.array(out["explained_ratio"], pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
     "emb_ann_topk_multi": (emb_ann_topk_multi, EMB_ANN_MULTI_SQL),
@@ -835,4 +936,5 @@ QUERIES = {
     "emb_semdedup": (emb_semdedup, None),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_ivfpq_topk": (emb_ivfpq_topk, None),
+    "emb_pca": (emb_pca, None),
 }

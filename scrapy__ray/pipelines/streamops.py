@@ -772,6 +772,111 @@ FROM x GROUP BY event_type
 """
 
 
+# ------------------------------------------------------------ funnel analysis
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 86_400_000_000  # 24 h conversion window per step
+
+
+def events_funnel(sf_dir: str):
+    """Ordered-step conversion funnel with a per-step conversion window
+    (the classic product-analytics query): step 1 counts users with any
+    'view' event; step k counts users whose earliest QUALIFYING step-k
+    event lies strictly after their step-(k-1) completion time and within
+    _FUNNEL_WINDOW_US of it, where "completion time" is itself the earliest
+    qualifying time — greedy earliest-completion semantics, strict lower
+    bound / inclusive upper bound pinned on both sides (a same-microsecond
+    event does not advance the funnel; one exactly at the window edge
+    does).
+
+    ONE hash exchange total: the rows of the three step types (pruned in
+    the scan) hash-partition by user_id, so each user's full history lands
+    in one partition and the per-step earliest-completion times resolve
+    with vectorized groupby mins — the naive form is a k-deep chain of the
+    event table self-joined against its own min-aggregate, deleted here by
+    co-locating on the correlation key (the sessionization/cohort shape).
+    Partials are (step, n_users) rows; users are partition-disjoint so the
+    driver sum is exact.  Zero-user steps are emitted explicitly to match
+    the SQL mirror's constant three-row shape."""
+    ds = read_parquet(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def keep_steps(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(_FUNNEL_STEPS)]
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        counts: list[int] = []
+        if len(df) == 0:
+            counts = [0] * len(_FUNNEL_STEPS)
+        else:
+            us = df["user_id"].values
+            ts = df["ts"].values.astype("datetime64[us]").astype("int64")
+            et = df["event_type"].values
+            prev: pd.Series | None = None  # user_id -> completion time so far
+            for name in _FUNNEL_STEPS:
+                mask = et == name
+                g = pd.DataFrame({"u": us[mask], "t": ts[mask]})
+                if prev is not None:
+                    p = g["u"].map(prev)
+                    g = g[
+                        p.notna()
+                        & (g["t"].values > p.values)
+                        & (g["t"].values <= p.values + _FUNNEL_WINDOW_US)
+                    ]
+                prev = g.groupby("u")["t"].min()
+                counts.append(len(prev))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(_FUNNEL_STEPS) + 1, dtype=np.int64),
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    partials = hash_partition_map(
+        ds.map_batches(keep_steps, batch_format="pandas"), ["user_id"], per_user
+    )
+    out = driver_agg(
+        partials,
+        lambda df: df,
+        lambda df: df.groupby("step", as_index=False)["n_users"].sum(),
+    ).sort_values("step")
+    return pa.table(
+        {
+            "step": pa.array(out["step"].astype("int64"), pa.int64()),
+            "event_type": pa.array(
+                [_FUNNEL_STEPS[s - 1] for s in out["step"]], pa.string()
+            ),
+            "n_users": pa.array(out["n_users"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+    AND epoch_us(e.ts) <= epoch_us(s1.t) + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+    AND epoch_us(e.ts) <= epoch_us(s2.t) + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+         (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM s3)
+) ORDER BY step
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
@@ -781,4 +886,5 @@ QUERIES = {
     "events_cohort_retention": (events_cohort_retention, EVENTS_COHORT_SQL),
     "events_value_share_topk": (events_value_share_topk, EVENTS_SHARE_SQL),
     "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
 }

@@ -153,3 +153,40 @@ def test_range_join_sql_vs_naive(rows):
                 s += v2
         exp.append((i, n, float(s)))
     assert got == sorted(exp)
+
+
+def test_pca_moment_partials_block_split_invariant():
+    """emb_pca's design claim: the exact-integer scatter makes the final
+    eigen output bit-identical for ANY block split and merge order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from scrapy__ray.pipelines.simops import _pca_moment_partial, _pca_merge
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(scale=0.4, size=(257, 16))
+    ids = np.arange(257, dtype=np.int64)
+
+    def tbl(sl):
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sl], pa.int64()),
+                "embedding": pa.array(list(emb[sl]), pa.list_(pa.float32())),
+            }
+        )
+
+    whole = _pca_merge(_pca_moment_partial(tbl(slice(None))))
+    splits = [
+        [slice(0, 100), slice(100, 257)],
+        [slice(0, 1), slice(1, 256), slice(256, 257)],
+        [slice(0, 257, 2), slice(1, 257, 2)],
+    ]
+    for parts in splits:
+        df = pd.concat(
+            [_pca_moment_partial(tbl(s)) for s in reversed(parts)],
+            ignore_index=True,
+        )
+        got = _pca_merge(df)
+        assert got["eigenvalue"].tolist() == whole["eigenvalue"].tolist()
+        assert got["explained_ratio"].tolist() == whole["explained_ratio"].tolist()

@@ -393,3 +393,22 @@ def test_bpe_best_is_total_order():
     assert _bpe_best(_c.Counter()) is None
     pairs = _c.Counter({("b", "a"): 5, ("a", "z"): 5, ("a", "b"): 4})
     assert _bpe_best(pairs) == (("a", "z"), 5)
+
+
+def test_bpe_encode_applies_merges_in_learned_order():
+    """apply_bpe contract: characters, then each learned op once, in rank
+    order, left-to-right non-overlapping — 'lower' under [(l,o),(lo,w)]
+    segments to (low, e, r), and a word containing no merge pair stays
+    fully character-split."""
+    from scrapy__ray.pipelines.qualityops import _bpe_apply
+
+    ops = [("l", "o"), ("lo", "w")]
+    syms = tuple("lower")
+    for left, right in ops:
+        syms = _bpe_apply(syms, left, right)
+    assert syms == ("low", "e", "r")
+
+    syms = tuple("xyz")
+    for left, right in ops:
+        syms = _bpe_apply(syms, left, right)
+    assert syms == ("x", "y", "z")

@@ -114,3 +114,57 @@ def test_heavy_hitters_match_exact_topk(ray_session):
     )
     for uid, est in zip(got.user_id, got.est_count):
         assert est >= truth.get(int(uid), 0)
+
+
+def test_funnel_window_edge_semantics(ray_session, tmp_path):
+    """Pinned funnel boundaries: a same-microsecond event does NOT advance
+    the funnel (strict lower bound); an event exactly at the window edge
+    DOES (inclusive upper bound); one past it does not.  Engine and SQL
+    mirror agree on a corpus built to sit exactly on those edges."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.streamops import (
+        _FUNNEL_WINDOW_US,
+        EVENTS_FUNNEL_SQL,
+        events_funnel,
+    )
+
+    t0 = 1_700_000_000_000_000  # µs epoch
+    w = _FUNNEL_WINDOW_US
+    rows = [
+        # user 1: same-µs click must not count; edge click + edge purchase do
+        (1, "view", t0),
+        (1, "click", t0),           # strict >: ignored
+        (1, "click", t0 + w),       # exactly at edge: qualifies
+        (1, "purchase", t0 + 2 * w),  # edge from the click: qualifies
+        # user 2: click one µs past the window
+        (2, "view", t0),
+        (2, "click", t0 + w + 1),   # past edge: does not qualify
+        # user 3: purchase BEFORE the click can never convert
+        (3, "view", t0),
+        (3, "purchase", t0 + 1),
+        (3, "click", t0 + 2),
+        (3, "purchase", t0 + 2),    # same µs as click completion: ignored
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = events_funnel(str(tmp_path)).to_pandas()
+    assert got["n_users"].tolist() == [3, 2, 1], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(EVENTS_FUNNEL_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
