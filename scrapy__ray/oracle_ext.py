@@ -1062,6 +1062,73 @@ def oracle_docs_bpe_train(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_docs_cdc_dups(sf_dir: str) -> pd.DataFrame:
+    """Single-process CDC chunk dedup (contract pinned in
+    pipelines/textops._cdc_chunks / docs_cdc_dups): polynomial rolling hash
+    of the trailing 8 bytes (base 0x100000001B3 mod 2^64), cut when
+    h & 31 == 0, min 8 / max 128 greedy walk, md5 chunk ids, per-doc
+    DISTINCT chunks, dup = chunk present in ≥2 docs, fraction
+    (2e4·dup + total) // (2·total) / 1e4.  Plain per-position loops — no
+    shared chunker code."""
+    import hashlib as _hashlib
+
+    BASE, W, MASK, MN, MX = 0x100000001B3, 8, 31, 8, 128
+    M = 2**64
+    POWS = [pow(BASE, W - 1 - j, M) for j in range(W)]
+
+    def chunks(data: bytes) -> set:
+        n = len(data)
+        if n == 0:
+            return set()
+        cand = []
+        for p in range(W - 1, n - 1):
+            h = 0
+            for j in range(W):
+                h = (h + POWS[j] * data[p - W + 1 + j]) % M
+            if h & MASK == 0:
+                cand.append(p)
+        out = set()
+        last = 0
+        while True:
+            cut = None
+            for p in cand:
+                if last + MN - 1 <= p <= last + MX - 1:
+                    cut = p + 1
+                    break
+            if cut is None and last + MX - 1 <= n - 2:
+                cut = last + MX
+            if cut is None:
+                out.add(_hashlib.md5(data[last:]).hexdigest())
+                return out
+            out.add(_hashlib.md5(data[last:cut]).hexdigest())
+            last = cut
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    per_doc: dict[int, set] = {}
+    freq: dict[str, int] = {}
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        cs = chunks(text.encode("utf-8"))
+        if not cs:
+            continue
+        per_doc[doc_id] = cs
+        for c in cs:
+            freq[c] = freq.get(c, 0) + 1
+    rows = []
+    for doc_id, cs in per_doc.items():
+        total = len(cs)
+        dup = sum(1 for c in cs if freq[c] >= 2)
+        rows.append(
+            (doc_id, total, dup, (2 * 10_000 * dup + total) // (2 * total) / 1e4)
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_chunks", "n_dup_chunks", "dup_frac"]
+    ).astype({"doc_id": "int64", "n_chunks": "int64", "n_dup_chunks": "int64"})
+
+
 def oracle_emb_pca(sf_dir: str) -> pd.DataFrame:
     """Single-process PCA (contract pinned in pipelines/simops.emb_pca):
     int-fix components as round(x * 2^16) int64, form the EXACT integer
@@ -1177,6 +1244,7 @@ _SF_ORACLES = {
     "docs_bpe_train": oracle_docs_bpe_train,
     "docs_bpe_encode": oracle_docs_bpe_encode,
     "emb_pca": oracle_emb_pca,
+    "docs_cdc_dups": oracle_docs_cdc_dups,
 }
 
 _cache: dict[str, dict[str, str]] = {}

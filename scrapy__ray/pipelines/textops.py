@@ -1654,6 +1654,152 @@ FROM documents
 """
 
 
+# ------------------------------------------ content-defined chunking dedup
+# CDC (the storage/backup dedup family — Muthitacharoen et al. 2001 LBFS,
+# FastCDC 2016): chunk boundaries are chosen where a rolling hash of the
+# LAST _CDC_WINDOW bytes hits a mask, so boundaries are a function of local
+# CONTENT, not position — an insertion shifts at most the chunks it touches
+# and the stream re-synchronizes at the next content-defined cut (the
+# property fixed-window substring dedup lacks; property-tested).
+_CDC_WINDOW = 8
+_CDC_MASK = np.uint64(31)  # cut when h & 31 == 0 -> ~32-byte average chunks
+_CDC_MIN = 8  # smallest chunk the greedy walk accepts
+_CDC_MAX = 128  # forced cut beyond this
+_CDC_BASE = 0x100000001B3  # odd multiplier (FNV prime), arithmetic mod 2^64
+_CDC_POW = np.array(
+    [pow(_CDC_BASE, _CDC_WINDOW - 1 - j, 2**64) for j in range(_CDC_WINDOW)],
+    dtype=np.uint64,
+)
+
+
+def _cdc_chunks(data: bytes) -> list[str]:
+    """Deterministic CDC chunker, pinned contract (the oracle and the naive
+    property-test chunker reimplement it independently):
+      * h(p) = Σ_{j=0..W-1} BASE^(W-1-j)·byte[p-W+1+j]  (mod 2^64), the
+        polynomial hash of the W bytes ENDING at 0-based position p;
+      * p is a candidate cut (chunk ends at p inclusive) iff h(p) & 31 == 0
+        and p ≥ W-1 and p ≤ n-2 (a cut must leave a non-empty tail);
+      * greedy walk from the doc start: accept the first candidate giving a
+        chunk of ≥ _CDC_MIN bytes; if none within _CDC_MAX bytes, force a
+        cut at exactly _CDC_MAX; the remainder is the final chunk (any
+        length ≥ 1).
+    Returns md5 hexdigests (128-bit: content hashes used as exchange keys
+    collide by birthday at 64 bits on the 10^10-doc design point)."""
+    n = len(data)
+    if n == 0:
+        return []
+    if n >= _CDC_WINDOW:
+        b = np.frombuffer(data, np.uint8).astype(np.uint64)
+        h = np.zeros(n - _CDC_WINDOW + 1, np.uint64)
+        for j in range(_CDC_WINDOW):
+            h += b[j : j + n - _CDC_WINDOW + 1] * _CDC_POW[j]
+        cand = np.nonzero((h & _CDC_MASK) == 0)[0] + (_CDC_WINDOW - 1)
+    else:
+        cand = np.empty(0, dtype=np.int64)
+    cuts: list[int] = []
+    last = 0
+    while True:
+        lo = last + _CDC_MIN - 1
+        hi = last + _CDC_MAX - 1
+        i = int(np.searchsorted(cand, lo))
+        if i < len(cand) and cand[i] <= min(hi, n - 2):
+            last = int(cand[i]) + 1
+            cuts.append(last)
+        elif hi <= n - 2:
+            last = hi + 1
+            cuts.append(last)
+        else:
+            cuts.append(n)
+            break
+    out: list[str] = []
+    prev = 0
+    for c in cuts:
+        out.append(hashlib.md5(data[prev:c]).hexdigest())
+        prev = c
+    return out
+
+
+def docs_cdc_dups(sf_dir: str):
+    """Cross-document duplicated-content fraction via CDC chunks: per doc,
+    how many of its DISTINCT chunk hashes occur in at least one other doc,
+    and the duplicated fraction (round-half-away 4 dp, computed in exact
+    integers as (2·10⁴·dup + total) // (2·total)).  Documents whose text
+    encodes to zero bytes produce no chunks and are absent from the output
+    (pinned; the oracle mirrors).
+
+    Scale shape: the corpus is scanned once; only (doc_id, 16-byte chunk
+    hash) rows ever leave the scan — the text itself is never shuffled.
+    Exchange 1 counts distinct docs per chunk (partial-counted per block
+    first); exchange 2 is a shuffle_join carrying each chunk's doc count
+    back to its (doc_id, chunk) rows; exchange 3 folds per-doc totals.
+    Oracle: independent pure-Python chunker + Counter
+    (oracle_ext.oracle_docs_cdc_dups), materialized."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        chunks: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for ch in set(_cdc_chunks(text.encode("utf-8"))):
+                ids.append(int(doc_id))
+                chunks.append(ch)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "chunk": chunks})
+
+    rows = ds.map_batches(chunk_rows, batch_format="pandas").materialize()
+
+    counts = shuffle_agg(
+        rows,
+        ["chunk"],
+        lambda df: df.groupby("chunk", as_index=False).size().rename(columns={"size": "n_docs"}),
+        lambda df: df.groupby("chunk", as_index=False)["n_docs"].sum(),
+    )
+
+    joined = shuffle_join(
+        rows,
+        counts,
+        on="chunk",
+        left_cols=["chunk", "doc_id"],
+        right_cols=["chunk", "n_docs"],
+    )
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "one": np.ones(len(df), dtype=np.int64),
+                "dup": (df["n_docs"].values >= 2).astype(np.int64),
+            }
+        )
+        return g.groupby("doc_id", as_index=False).sum()
+
+    def doc_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).sum()
+        total = g["one"].values.astype(np.int64)
+        dup = g["dup"].values.astype(np.int64)
+        frac = (2 * 10_000 * dup + total) // (2 * total) / 1e4
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].values,
+                "n_chunks": total,
+                "n_dup_chunks": dup,
+                "dup_frac": frac,
+            }
+        )
+
+    out = shuffle_agg(joined, ["doc_id"], doc_partial, doc_final)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chunks", pa.int64()),
+                ("n_dup_chunks", pa.int64()),
+                ("dup_frac", pa.float64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": (docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKEN_STATS_SQL),
@@ -1669,6 +1815,7 @@ QUERIES = {
     "docs_bpe_tokens": (docs_bpe_tokens, DOCS_BPE_TOKENS_SQL),
     "docs_rolling_fingerprint": (docs_rolling_fingerprint, None),
     "docs_winnow_dups": (docs_winnow_dups, None),
+    "docs_cdc_dups": (docs_cdc_dups, None),
     "docs_minhash_lsh": (docs_minhash_lsh, None),
     "docs_simhash": (docs_simhash, None),
     "docs_langid": (docs_langid, None),

@@ -112,3 +112,81 @@ def test_exact_cosine_guard_routes_to_bucketed(ray_session, monkeypatch):
         simops.emb_cosine_dups(sf)
     out = simops.emb_cosine_dups(sf, force_exact=True)
     assert out.num_rows > 0
+
+
+# ---------------------------------------------------------------- CDC chunker
+def _naive_cdc(data: bytes) -> list[bytes]:
+    """Third implementation for the property gates: per-position window sum
+    with explicit byte indexing, returning the raw chunk byte strings."""
+    BASE, W, MASK, MN, MX = 0x100000001B3, 8, 31, 8, 128
+    n = len(data)
+    chunks = []
+    last = 0
+    while last < n:
+        cut = None
+        p = last + MN - 1
+        while p <= min(last + MX - 1, n - 2):
+            if p >= W - 1:
+                h = 0
+                for j in range(W):
+                    h = (h + pow(BASE, W - 1 - j, 2**64) * data[p - W + 1 + j]) % 2**64
+                if h & MASK == 0:
+                    cut = p + 1
+                    break
+            p += 1
+        if cut is None:
+            if last + MX - 1 <= n - 2:
+                cut = last + MX
+            else:
+                chunks.append(data[last:])
+                break
+        chunks.append(data[last:cut])
+        last = cut
+    return chunks
+
+
+def test_cdc_chunks_match_naive_reimplementation():
+    import hashlib
+    import random
+
+    from scrapy__ray.pipelines.textops import _cdc_chunks
+
+    rng = random.Random(42)
+    for trial in range(50):
+        n = rng.randrange(0, 700)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        want = [hashlib.md5(c).hexdigest() for c in _naive_cdc(data)]
+        assert _cdc_chunks(data) == want, (trial, n)
+
+
+def test_cdc_chunk_size_law():
+    """Every chunk is in [MIN, MAX] bytes except the final one (>= 1)."""
+    import random
+
+    from scrapy__ray.pipelines.textops import _CDC_MAX, _CDC_MIN
+
+    rng = random.Random(7)
+    for _ in range(20):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 2000)))
+        sizes = [len(c) for c in _naive_cdc(data)]
+        assert sum(sizes) == len(data)
+        for s in sizes[:-1]:
+            assert _CDC_MIN <= s <= _CDC_MAX
+        assert 1 <= sizes[-1] <= _CDC_MAX
+
+
+def test_cdc_self_synchronization():
+    """THE property that distinguishes CDC from fixed-window chunking: a
+    prefix insertion shifts every fixed-window boundary, but content-defined
+    boundaries re-synchronize — the perturbed doc shares most chunk hashes
+    with the original."""
+    import random
+
+    from scrapy__ray.pipelines.textops import _cdc_chunks
+
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(1500))
+    orig = set(_cdc_chunks(data))
+    shifted = set(_cdc_chunks(bytes([1, 2, 3, 4, 5]) + data))
+    overlap = len(orig & shifted) / len(orig)
+    assert overlap >= 0.8, overlap
