@@ -492,6 +492,40 @@ def oracle_events_approx_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_users": pd.array([int(round(est))], dtype="int64")})
 
 
+def oracle_events_approx_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped HLL mirror (contract pinned in
+    pipelines/streamops.events_approx_users_by_type): one p=12 sketch per
+    event_type over blake2b-64 user hashes — register maxes are
+    order-independent, so the distributed merge is bit-identical to this
+    single pass."""
+    p = 12
+    m = 1 << p
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    regs: dict[str, list[int]] = {}
+    for et, v in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        r = regs.setdefault(et, [0] * m)
+        h = _h64(str(v).encode())
+        idx = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        rho = 64 - w.bit_length() + 1 if w else (64 - p) + 1
+        if rho > r[idx]:
+            r[idx] = rho
+    rows = []
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et in sorted(regs):
+        r = regs[et]
+        est = alpha * m * m / float(np.sum(2.0 ** -np.asarray(r, dtype=np.float64)))
+        zeros = r.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * float(np.log(m / zeros))
+        rows.append((et, int(round(est))))
+    return pd.DataFrame(
+        rows, columns=["event_type", "approx_distinct_users"]
+    ).astype({"approx_distinct_users": "int64"})
+
+
 # ------------------------------------------------------------------- crawl
 def _oracle_crawl():
     """Run the pure-Python reference crawl simulator on the pinned sf-small
@@ -1238,6 +1272,7 @@ _SF_ORACLES = {
     "docs_winnow_dups": oracle_docs_winnow_dups,
     "emb_ivfpq_topk": oracle_emb_ivfpq_topk,
     "events_approx_users": oracle_events_approx_users,
+    "events_approx_users_by_type": oracle_events_approx_users_by_type,
     "docs_importance_weights": oracle_docs_importance_weights,
     "docs_lm_quality": oracle_docs_lm_quality,
     "events_heavy_hitters": oracle_events_heavy_hitters,

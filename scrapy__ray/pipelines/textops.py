@@ -1654,6 +1654,182 @@ FROM documents
 """
 
 
+# ------------------------------------------------------- PMI collocations
+_PMI_MIN_COUNT = 5  # candidate floor: bigrams seen fewer times carry no signal
+_PMI_TOPK = 20
+
+
+def docs_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-_PMI_TOPK word bigrams by pointwise mutual
+    information, PMI = ln( (c_ab/N_b) / ((c_a/N_u)(c_b/N_u)) ), among
+    bigrams occurring ≥ _PMI_MIN_COUNT times.  Float evaluation order is
+    pinned to the SQL mirror's parse tree — (c_ab·N_u·N_u) / (c_a·c_b·N_b)
+    left-associated in float64, ln, then ROUND-half-away to 6 dp — so the
+    hash compare is exact (ln() here and DuckDB's resolve to the same
+    libm, the docs_bm25_topk precedent).  Ties after rounding break on the
+    bigram string both sides.
+
+    Scale shape: ONE corpus scan emits block-combined (kind, key, n)
+    partials for unigrams and bigrams together; each count table is one
+    hash exchange; the two unigram attachments are shuffle_joins on the
+    left/right token (vocabulary is never broadcast and never driver-side
+    — the tfidf corpus-regime posture); totals N_u/N_b fold to the driver
+    as two scalars.  Per-partition top-k then a driver merge of
+    partitions × k rows."""
+    import math
+
+    ds = read_parquet(sf_dir, "documents", columns=["text"])
+
+    def tagged_counts(df: pd.DataFrame) -> pd.DataFrame:
+        uni: dict[str, int] = {}
+        big: dict[str, int] = {}
+        for text in df["text"]:
+            toks = _tokens(text)
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for i in range(len(toks) - 1):
+                bg = toks[i] + " " + toks[i + 1]
+                big[bg] = big.get(bg, 0) + 1
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [
+                        np.zeros(len(uni), dtype=np.int8),
+                        np.ones(len(big), dtype=np.int8),
+                    ]
+                ),
+                "key": list(uni.keys()) + list(big.keys()),
+                "n": np.fromiter(
+                    list(uni.values()) + list(big.values()),
+                    np.int64,
+                    len(uni) + len(big),
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(tagged_counts, batch_format="pandas").materialize()
+
+    totals = driver_agg(
+        tagged,
+        lambda df: df.groupby("kind", as_index=False)["n"].sum(),
+        lambda df: df.groupby("kind", as_index=False)["n"].sum(),
+    )
+    n_uni = int(totals.loc[totals["kind"] == 0, "n"].iloc[0])
+    n_big = int(totals.loc[totals["kind"] == 1, "n"].iloc[0])
+
+    def side(kind: int):
+        return tagged.map_batches(
+            lambda df, k=kind: df[df["kind"] == k][["key", "n"]],
+            batch_format="pandas",
+        )
+
+    agg = lambda df: df.groupby("key", as_index=False)["n"].sum()  # noqa: E731
+    uni = shuffle_agg(side(0), ["key"], agg, agg)
+
+    def big_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False)["n"].sum()
+        g = g[g["n"] >= _PMI_MIN_COUNT]
+        parts = g["key"].str.split(" ")
+        return pd.DataFrame(
+            {
+                "bigram": g["key"].values,
+                "left": parts.str[0].values,
+                "right": parts.str[1].values,
+                "c_ab": g["n"].values,
+            }
+        )
+
+    big = shuffle_agg(side(1), ["key"], agg, big_final)
+
+    with_a = shuffle_join(
+        big,
+        uni.map_batches(
+            lambda df: df.rename(columns={"key": "left", "n": "c_a"}),
+            batch_format="pandas",
+        ),
+        on="left",
+        left_cols=["left", "bigram", "right", "c_ab"],
+        right_cols=["left", "c_a"],
+    )
+    with_ab = shuffle_join(
+        with_a,
+        uni.map_batches(
+            lambda df: df.rename(columns={"key": "right", "n": "c_b"}),
+            batch_format="pandas",
+        ),
+        on="right",
+        left_cols=["right", "bigram", "c_ab", "c_a"],
+        right_cols=["right", "c_b"],
+    )
+
+    def score_head(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"bigram": [], "c_ab": [], "pmi": []}
+            ).astype({"c_ab": "int64", "pmi": "float64"})
+        pmis = []
+        for cab, ca, cb in zip(df["c_ab"], df["c_a"], df["c_b"]):
+            # mirror the SQL parse tree exactly, step by step in float64
+            num = (float(cab) * float(n_uni)) * float(n_uni)
+            den = (float(ca) * float(cb)) * float(n_big)
+            pmis.append(math.log(num / den))
+        g = pd.DataFrame(
+            {
+                "bigram": df["bigram"].values,
+                "c_ab": df["c_ab"].values.astype(np.int64),
+                "pmi": round_col(pmis, 6),
+            }
+        )
+        g = g.sort_values(["pmi", "bigram"], ascending=[False, True])
+        return g.head(_PMI_TOPK)
+
+    out = driver_agg(
+        with_ab,
+        score_head,
+        lambda df: df.sort_values(["pmi", "bigram"], ascending=[False, True]).head(
+            _PMI_TOPK
+        ),
+    )
+    return pa.table(
+        {
+            "bigram": pa.array(out["bigram"], pa.string()),
+            "c_ab": pa.array(out["c_ab"].astype("int64"), pa.int64()),
+            "pmi": pa.array(out["pmi"], pa.float64()),
+        }
+    )
+
+
+DOCS_PMI_SQL = f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''
+),
+uni AS (
+  SELECT w AS token, COUNT(*) AS c
+  FROM (SELECT unnest(a) AS w FROM t) GROUP BY w
+),
+nu AS (SELECT SUM(c) AS n_uni FROM uni),
+big AS (
+  SELECT a[i] AS l, a[i+1] AS r, a[i] || ' ' || a[i+1] AS bigram
+  FROM t CROSS JOIN UNNEST(range(1, len(a))) AS s(i)
+),
+bc AS (
+  SELECT bigram, MIN(l) AS l, MIN(r) AS r, COUNT(*) AS c_ab
+  FROM big GROUP BY bigram HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+nb AS (SELECT COUNT(*) AS n_big FROM big)
+SELECT bc.bigram, bc.c_ab,
+       ROUND(ln((bc.c_ab::DOUBLE * nu.n_uni * nu.n_uni)
+                / (ua.c::DOUBLE * ub.c * nb.n_big)), 6) AS pmi
+FROM bc
+JOIN uni ua ON ua.token = bc.l
+JOIN uni ub ON ub.token = bc.r
+CROSS JOIN nu CROSS JOIN nb
+QUALIFY row_number() OVER (ORDER BY pmi DESC, bc.bigram) <= {_PMI_TOPK}
+ORDER BY pmi DESC, bigram
+"""
+
+
 # ------------------------------------------ content-defined chunking dedup
 # CDC (the storage/backup dedup family — Muthitacharoen et al. 2001 LBFS,
 # FastCDC 2016): chunk boundaries are chosen where a rolling hash of the
@@ -1808,6 +1984,7 @@ QUERIES = {
     "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
     "docs_ngram_jaccard_dups": (docs_ngram_jaccard_dups, DOCS_NGRAM_JACCARD_SQL),
     "docs_topk_ngrams": (docs_topk_ngrams, DOCS_TOPK_NGRAMS_SQL),
+    "docs_pmi_bigrams": (docs_pmi_bigrams, DOCS_PMI_SQL),
     "docs_token_spectrum": (docs_token_spectrum, DOCS_TOKEN_SPECTRUM_SQL),
     "docs_dedup_incremental": (docs_dedup_incremental, DOCS_DEDUP_INCR_SQL),
     "docs_sample_stratified": (docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),

@@ -168,3 +168,20 @@ def test_funnel_window_edge_semantics(ray_session, tmp_path):
     )
     want = con.execute(EVENTS_FUNNEL_SQL).df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_events_approx_users_by_type_accuracy(ray_session):
+    import duckdb
+
+    from scrapy__ray.pipelines.streamops import events_approx_users_by_type
+
+    got = events_approx_users_by_type(SF_DIR).to_pandas()
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got.event_type) == set(exact)
+    for et, est in zip(got.event_type, got.approx_distinct_users):
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
