@@ -1657,6 +1657,12 @@ FROM documents
 # ------------------------------------------------------- PMI collocations
 _PMI_MIN_COUNT = 5  # candidate floor: bigrams seen fewer times carry no signal
 _PMI_TOPK = 20
+#: at or below this many corpus documents the unigram-count table is
+#: bounded well under driver/worker heap and broadcasts once (skipping
+#: both unigram-attachment joins — 1 exchange instead of 4); above it —
+#: the web-corpus regime where the vocabulary fits neither a broadcast
+#: nor the driver — the shuffle_join path runs (forced + compared in CI)
+_PMI_BROADCAST_MAX_DOCS = 200_000
 
 
 def docs_pmi_bigrams(sf_dir: str):
@@ -1670,15 +1676,21 @@ def docs_pmi_bigrams(sf_dir: str):
     bigram string both sides.
 
     Scale shape: ONE corpus scan emits block-combined (kind, key, n)
-    partials for unigrams and bigrams together; each count table is one
-    hash exchange; the two unigram attachments are shuffle_joins on the
-    left/right token (vocabulary is never broadcast and never driver-side
-    — the tfidf corpus-regime posture); totals N_u/N_b fold to the driver
-    as two scalars.  Per-partition top-k then a driver merge of
-    partitions × k rows."""
+    partials for unigrams and bigrams together; totals N_u/N_b fold to the
+    driver as two scalars.  Two regimes on corpus size (both bit-identical;
+    the join regime is forced and compared in CI): at or below
+    _PMI_BROADCAST_MAX_DOCS docs the unigram table broadcasts once and the
+    bigram exchange computes PMI in place (1 exchange); above it the two
+    unigram attachments are shuffle_joins on the left/right token
+    (vocabulary never broadcast and never driver-side — the tfidf
+    corpus-regime posture; 4 exchanges).  Per-partition top-k then a
+    driver merge of partitions × k rows."""
     import math
 
+    import pyarrow.parquet as _pq
+
     ds = read_parquet(sf_dir, "documents", columns=["text"])
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def tagged_counts(df: pd.DataFrame) -> pd.DataFrame:
         uni: dict[str, int] = {}
@@ -1724,68 +1736,111 @@ def docs_pmi_bigrams(sf_dir: str):
         )
 
     agg = lambda df: df.groupby("key", as_index=False)["n"].sum()  # noqa: E731
-    uni = shuffle_agg(side(0), ["key"], agg, agg)
 
-    def big_final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("key", as_index=False)["n"].sum()
-        g = g[g["n"] >= _PMI_MIN_COUNT]
-        parts = g["key"].str.split(" ")
-        return pd.DataFrame(
-            {
-                "bigram": g["key"].values,
-                "left": parts.str[0].values,
-                "right": parts.str[1].values,
-                "c_ab": g["n"].values,
-            }
+    def pmi_of(cab, ca, cb) -> float:
+        # mirror the SQL parse tree exactly, step by step in float64
+        num = (float(cab) * float(n_uni)) * float(n_uni)
+        den = (float(ca) * float(cb)) * float(n_big)
+        return math.log(num / den)
+
+    _EMPTY = pd.DataFrame({"bigram": [], "c_ab": [], "pmi": []}).astype(
+        {"c_ab": "int64", "pmi": "float64"}
+    )
+
+    if n_docs <= _PMI_BROADCAST_MAX_DOCS:
+        from scrapy__ray.pipelines.util import broadcast, lookup_broadcast
+
+        uni_counts = driver_agg(side(0), agg, agg)
+        ref = broadcast(
+            dict(zip(uni_counts["key"], (int(v) for v in uni_counts["n"])))
         )
 
-    big = shuffle_agg(side(1), ["key"], agg, big_final)
+        def big_final_scored(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("key", as_index=False)["n"].sum()
+            g = g[g["n"] >= _PMI_MIN_COUNT]
+            if len(g) == 0:
+                return _EMPTY
+            lut = lookup_broadcast(ref)
+            pmis = []
+            for key, cab in zip(g["key"], g["n"]):
+                l, r = key.split(" ")
+                pmis.append(pmi_of(cab, lut[l], lut[r]))
+            out = pd.DataFrame(
+                {
+                    "bigram": g["key"].values,
+                    "c_ab": g["n"].values.astype(np.int64),
+                    "pmi": round_col(pmis, 6),
+                }
+            )
+            out = out.sort_values(["pmi", "bigram"], ascending=[False, True])
+            return out.head(_PMI_TOPK)
 
-    with_a = shuffle_join(
-        big,
-        uni.map_batches(
-            lambda df: df.rename(columns={"key": "left", "n": "c_a"}),
-            batch_format="pandas",
-        ),
-        on="left",
-        left_cols=["left", "bigram", "right", "c_ab"],
-        right_cols=["left", "c_a"],
-    )
-    with_ab = shuffle_join(
-        with_a,
-        uni.map_batches(
-            lambda df: df.rename(columns={"key": "right", "n": "c_b"}),
-            batch_format="pandas",
-        ),
-        on="right",
-        left_cols=["right", "bigram", "c_ab", "c_a"],
-        right_cols=["right", "c_b"],
-    )
+        scored = shuffle_agg(side(1), ["key"], agg, big_final_scored)
+    else:
+        uni = shuffle_agg(side(0), ["key"], agg, agg)
 
-    def score_head(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+        def big_final(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("key", as_index=False)["n"].sum()
+            g = g[g["n"] >= _PMI_MIN_COUNT]
+            parts = g["key"].str.split(" ")
             return pd.DataFrame(
-                {"bigram": [], "c_ab": [], "pmi": []}
-            ).astype({"c_ab": "int64", "pmi": "float64"})
-        pmis = []
-        for cab, ca, cb in zip(df["c_ab"], df["c_a"], df["c_b"]):
-            # mirror the SQL parse tree exactly, step by step in float64
-            num = (float(cab) * float(n_uni)) * float(n_uni)
-            den = (float(ca) * float(cb)) * float(n_big)
-            pmis.append(math.log(num / den))
-        g = pd.DataFrame(
-            {
-                "bigram": df["bigram"].values,
-                "c_ab": df["c_ab"].values.astype(np.int64),
-                "pmi": round_col(pmis, 6),
-            }
+                {
+                    "bigram": g["key"].values,
+                    "left": parts.str[0].values,
+                    "right": parts.str[1].values,
+                    "c_ab": g["n"].values,
+                }
+            )
+
+        big = shuffle_agg(side(1), ["key"], agg, big_final)
+
+        with_a = shuffle_join(
+            big,
+            uni.map_batches(
+                lambda df: df.rename(columns={"key": "left", "n": "c_a"}),
+                batch_format="pandas",
+            ),
+            on="left",
+            left_cols=["left", "bigram", "right", "c_ab"],
+            right_cols=["left", "c_a"],
         )
-        g = g.sort_values(["pmi", "bigram"], ascending=[False, True])
-        return g.head(_PMI_TOPK)
+        with_ab = shuffle_join(
+            with_a,
+            uni.map_batches(
+                lambda df: df.rename(columns={"key": "right", "n": "c_b"}),
+                batch_format="pandas",
+            ),
+            on="right",
+            left_cols=["right", "bigram", "c_ab", "c_a"],
+            right_cols=["right", "c_b"],
+        )
+
+        def score_head(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return _EMPTY
+            g = pd.DataFrame(
+                {
+                    "bigram": df["bigram"].values,
+                    "c_ab": df["c_ab"].values.astype(np.int64),
+                    "pmi": round_col(
+                        [
+                            pmi_of(cab, ca, cb)
+                            for cab, ca, cb in zip(
+                                df["c_ab"], df["c_a"], df["c_b"]
+                            )
+                        ],
+                        6,
+                    ),
+                }
+            )
+            g = g.sort_values(["pmi", "bigram"], ascending=[False, True])
+            return g.head(_PMI_TOPK)
+
+        scored = with_ab.map_batches(score_head, batch_format="pandas")
 
     out = driver_agg(
-        with_ab,
-        score_head,
+        scored,
+        lambda df: df,
         lambda df: df.sort_values(["pmi", "bigram"], ascending=[False, True]).head(
             _PMI_TOPK
         ),

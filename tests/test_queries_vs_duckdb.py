@@ -163,3 +163,15 @@ def test_dedup_incremental_join_regime_matches_broadcast(ray_session, monkeypatc
 # (events_cohort_retention needs no forced-regime test: the rewrite is a
 # single user-keyed exchange with no join and no broadcast/dataset split —
 # the SQL-oracle equality above is the full correctness gate.)
+
+
+def test_pmi_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the >_PMI_BROADCAST_MAX_DOCS regime (unigram counts attached
+    via two token-keyed shuffle_joins — vocabulary never broadcast) and
+    assert identical top collocations."""
+    import scrapy__ray.pipelines.textops as textops
+
+    small = _canon(_to_df(textops.docs_pmi_bigrams(SF_DIR)))
+    monkeypatch.setattr(textops, "_PMI_BROADCAST_MAX_DOCS", 0)
+    large = _canon(_to_df(textops.docs_pmi_bigrams(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
