@@ -570,16 +570,22 @@ def _xpath_round(v: float) -> float:
     return float(math.floor(v + 0.5))
 
 
+_NUMBER_RE = re.compile(r"^[ \t\r\n]*-?(\d+(\.\d*)?|\.\d+)[ \t\r\n]*$")
+
+
 def _to_number(v) -> float:
     if isinstance(v, bool):
         return 1.0 if v else 0.0
     if isinstance(v, float):
         return v
     if isinstance(v, str):
-        try:
+        # XPath 1.0 §3.5 Number grammar: optional '-', digits with an
+        # optional fractional part (or a bare '.digits') — NOTHING else.
+        # Python float() is far more lenient ('1e5', '+5', 'inf', '5_0'
+        # all parse); every such string is NaN under the spec.
+        if _NUMBER_RE.match(v):
             return float(v.strip())
-        except ValueError:
-            return math.nan
+        return math.nan
     # node-set: number(string-value of first node)
     return _to_number(_string_value(v[0])) if v else math.nan
 
@@ -689,7 +695,14 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
         if n == "concat":
             return "".join(_to_string(a) for a in args)
         if n in ("name", "local-name"):  # no namespaces in this DOM
-            t = args[0][0] if args and isinstance(args[0], list) and args[0] else item
+            if args:
+                if not isinstance(args[0], list):
+                    raise XPathError(f"{n}() needs a node-set argument")
+                if not args[0]:
+                    return ""  # §4.1: empty node-set -> empty string
+                t = args[0][0]
+            else:
+                t = item
             if isinstance(t, Node):
                 return t.tag
             if isinstance(t, AttrItem):
@@ -737,11 +750,12 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
         if n == "boolean":
             return _to_bool(args[0])
         if n == "floor":
+            # NaN and ±inf pass through (math.floor(inf) raises Overflow)
             v = _to_number(args[0])
-            return v if math.isnan(v) else float(math.floor(v))
+            return v if math.isnan(v) or math.isinf(v) else float(math.floor(v))
         if n == "ceiling":
             v = _to_number(args[0])
-            return v if math.isnan(v) else float(math.ceil(v))
+            return v if math.isnan(v) or math.isinf(v) else float(math.ceil(v))
         if n == "round":
             return _xpath_round(_to_number(args[0]))
         if n == "true":

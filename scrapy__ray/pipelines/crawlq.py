@@ -854,8 +854,11 @@ def crawl_hits(sf_dir: str):
 
     corpus = _corpus()
     edges = _link_edges(corpus)
+    # set(): the node universe is DISTINCT urls — a duplicated page row
+    # must not double-count in n or emit twice in the top-k (the oracle
+    # dedups identically)
     urls = sorted(
-        pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist()
+        set(pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist())
     )
     n = len(urls)
     hub = {u: _HITS_FIX // n for u in urls}

@@ -832,10 +832,14 @@ _PCA_TOPK = 8
 def _pca_moment_partial(t: pa.Table):
     """One block -> (count, component-sum, second-moment matrix) as a
     single-row frame; the int64 entries cannot overflow below ~10^9
-    64-dim rows per block at this fix for unit-scale embeddings."""
+    64-dim rows per block at this fix for unit-scale embeddings.  A
+    zero-row block contributes NO partial (an empty batch_matrix is 1-D,
+    which would poison the merge's dimension inference)."""
     import pandas as pd
 
     _, emb = _batch_matrix(t)
+    if len(emb) == 0:
+        return pd.DataFrame({"n": pd.array([], dtype="int64"), "s": [], "m": []})
     x = np.rint(emb * _PCA_FIX).astype(np.int64)
     m = x.T @ x
     s = x.sum(axis=0, dtype=np.int64)
@@ -856,6 +860,10 @@ def _pca_merge(df):
     import pandas as pd
 
     n = int(df["n"].sum())
+    if n == 0:  # empty embeddings table: no components to report
+        return pd.DataFrame(
+            {"component": pd.array([], dtype="int64"), "eigenvalue": [], "explained_ratio": []}
+        )
     d = None
     s_tot = m_tot = None
     for sb, mb in zip(df["s"], df["m"]):
@@ -902,8 +910,9 @@ def emb_pca(sf_dir: str):
     second-moment matrix) partial — D+D² integers per BLOCK, independent of
     rows, so the exchange volume is O(blocks), never O(rows).  The driver
     merges partials in arbitrary-precision Python ints (a block's int64
-    moment entries cannot overflow below ~10^5 rows x 64-dim at this fix,
-    and the driver sum never can), forms the EXACT integer scatter matrix
+    moment entries cannot overflow below ~10^9 unit-scale rows at this
+    fix — see _pca_moment_partial — and the driver sum never can), forms
+    the EXACT integer scatter matrix
     n·M − s·sᵀ, and only then divides into float64 — bit-identical input to
     np.linalg.eigvalsh regardless of block boundaries or merge order, which
     is what makes the distributed result equal the single-process oracle

@@ -1726,8 +1726,20 @@ def docs_pmi_bigrams(sf_dir: str):
         lambda df: df.groupby("kind", as_index=False)["n"].sum(),
         lambda df: df.groupby("kind", as_index=False)["n"].sum(),
     )
-    n_uni = int(totals.loc[totals["kind"] == 0, "n"].iloc[0])
-    n_big = int(totals.loc[totals["kind"] == 1, "n"].iloc[0])
+    _EMPTY_OUT = pa.table(
+        {
+            "bigram": pa.array([], pa.string()),
+            "c_ab": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    uni_tot = totals.loc[totals["kind"] == 0, "n"]
+    big_tot = totals.loc[totals["kind"] == 1, "n"]
+    if len(uni_tot) == 0 or len(big_tot) == 0:
+        # no tokens / no bigrams anywhere: the SQL mirror returns zero rows
+        return _EMPTY_OUT
+    n_uni = int(uni_tot.iloc[0])
+    n_big = int(big_tot.iloc[0])
 
     def side(kind: int):
         return tagged.map_batches(

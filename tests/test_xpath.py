@@ -248,3 +248,33 @@ def test_string_function_library():
     # predicate usage — the scraping idiom these exist for
     assert len(xpath_select(r, '//li[number(.) > 4]')) == 1
     assert len(xpath_select(r, '//li[substring(., 1, 1) = "3"]')) == 1
+
+
+def test_number_grammar_and_inf_edges():
+    """Review-pass regressions: (a) the XPath 1.0 Number grammar rejects
+    Python-float leniencies ('1e5', '+5', 'inf', '5_0' are all NaN);
+    (b) floor()/ceiling() pass infinities through instead of raising;
+    (c) name()/local-name() of an EMPTY node-set is '' (§4.1), never the
+    context node's name."""
+    import math
+
+    from scrapy__ray.functions.xpath import xpath_select
+    from scrapy__ray.functions.cssselect import parse_dom
+
+    r = parse_dom("<div><p>x</p></div>")
+    for bad in ('number("1e5")', 'number("+5")', 'number("inf")',
+                'number("Infinity")', 'number("5_0")', 'number("1.2.3")'):
+        assert math.isnan(xpath_select(r, bad)), bad
+    assert xpath_select(r, 'number("-3.5")') == -3.5
+    assert xpath_select(r, 'number(".5")') == 0.5
+    assert xpath_select(r, 'number("5.")') == 5.0
+    # infinities are unreachable through the public grammar (arithmetic is
+    # out of scope and the Number grammar rejects 'inf'), but the
+    # floor/ceiling guard must still pass them through rather than raise
+    # OverflowError if an extension ever produces one
+    from scrapy__ray.functions import xpath as _xp
+
+    assert _xp._xpath_round(math.inf) == math.inf
+    assert xpath_select(r, "local-name(//absent)") == ""
+    assert xpath_select(r, "name(//absent)") == ""
+    assert len(xpath_select(r, '//p[name(//absent) = ""]')) == 1
