@@ -1574,6 +1574,103 @@ def docs_bpe_train(sf_dir: str):
     )
 
 
+# ----------------------------------------------------- inverted-index build
+_IDX_MIN_DF = 10  # emit postings only for terms in at least this many docs
+_IDX_POSTINGS = 5  # top docs kept per term, by (tf desc, doc_id asc)
+
+
+def docs_inverted_index(sf_dir: str):
+    """Search-index construction (the IR artifact BM25/TF-IDF presuppose):
+    for every term with document frequency ≥ _IDX_MIN_DF, its df and a
+    postings head — the top-_IDX_POSTINGS documents by (tf desc, doc_id),
+    serialized 'doc_id:tf,doc_id:tf,…'.  Tokens are lowercased whitespace
+    words (the bm25/tfidf contract).
+
+    Scale shape: one corpus scan emits (doc_id, term, tf) rows — a document
+    is one row, so tf needs no exchange — then ONE hash exchange by term
+    co-locates each term's postings; df is the local row count and the
+    postings head a vectorized sort + groupby-head inside the partition.
+    The full index (all postings, partitioned by term hash) would be
+    written per-partition from exactly this exchange; the bounded head
+    keeps the oracle compare exact.  SQL mirror: window-ranked
+    string_agg."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for term, c in collections.Counter(
+                w.lower() for w in _tokens(text)
+            ).items():
+                ids.append(did)
+                terms.append(term)
+                tfs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"term": [], "df": [], "postings": []}).astype(
+                {"df": "int64"}
+            )
+        counts = df.groupby("term", as_index=False).size().rename(
+            columns={"size": "df"}
+        )
+        counts = counts[counts["df"] >= _IDX_MIN_DF]
+        s = df.sort_values(
+            ["term", "tf", "doc_id"], ascending=[True, False, True]
+        )
+        head = s.groupby("term").head(_IDX_POSTINGS)
+        post = (
+            head.assign(
+                s=head["doc_id"].astype(str) + ":" + head["tf"].astype(str)
+            )
+            .groupby("term", as_index=False)["s"]
+            .agg(",".join)
+            .rename(columns={"s": "postings"})
+        )
+        return counts.merge(post, on="term", how="inner")
+
+    out = hash_partition_map(
+        ds.map_batches(term_rows, batch_format="pyarrow"), ["term"], per_term
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("term", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+        ),
+    )
+
+
+DOCS_INVERTED_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) >= {_IDX_MIN_DF}
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+p AS (
+  SELECT term,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY tf DESC, doc_id) AS postings
+  FROM ranked WHERE rn <= {_IDX_POSTINGS} GROUP BY term
+)
+SELECT agg.term, agg.df, p.postings FROM agg JOIN p USING (term)
+"""
+
+
 def docs_bpe_encode(sf_dir: str):
     """Apply the learned BPE merges to the corpus (Sennrich et al. 2016
     apply_bpe: each word starts as its characters, the learned operations
@@ -1663,4 +1760,5 @@ QUERIES = {
     "docs_bm25_topk": (docs_bm25_topk, DOCS_BM25_SQL),
     "docs_bpe_train": (docs_bpe_train, None),
     "docs_bpe_encode": (docs_bpe_encode, None),
+    "docs_inverted_index": (docs_inverted_index, DOCS_INVERTED_SQL),
 }
