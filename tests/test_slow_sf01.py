@@ -51,6 +51,9 @@ def _run(name: str):
         "docs_dup_clusters",      # jaccard pairs -> connected components
         "parts_small_qty_revenue",  # per-key agg + LARGE x LARGE join back
         "docs_token_spectrum",    # token exchange + count-of-count fold
+        "docs_pmi_bigrams",       # bigram exchange (+ joins above threshold)
+        "docs_inverted_index",    # term-keyed postings exchange
+        "events_funnel",          # user-keyed step-min co-location
     ],
 )
 def test_sql_oracle_at_sf01(ray_session, name):
@@ -68,6 +71,7 @@ def test_sql_oracle_at_sf01(ray_session, name):
     [
         "docs_minhash_lsh",        # shingle -> band -> bucket chain
         "docs_dup_clusters_minhash",
+        "docs_cdc_dups",           # chunk exchange + join + per-doc fold
     ],
 )
 def test_materialized_oracle_at_sf01(ray_session, name):
