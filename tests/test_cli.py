@@ -1,0 +1,69 @@
+"""CLI surface (`python -m scrapy__ray`, SURVEY.md §3.1/§3.2): the
+`scrapy crawl` analogue that `ray job submit` invokes.  The crawl
+subcommand owns its own Ray session, so the smoke test runs it in a
+subprocess rather than under the shared session fixture."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def test_parse_set_typing():
+    from scrapy__ray.__main__ import _parse_set
+    from scrapy__ray.config import CrawlConfig
+
+    out = _parse_set(
+        CrawlConfig,
+        [
+            "retry_times=3",
+            "download_delay=0.25",
+            "robots_obey=false",
+            "allowed_domains=example,other",
+            "max_pages=none",
+        ],
+    )
+    assert out == {
+        "retry_times": 3,
+        "download_delay": 0.25,
+        "robots_obey": False,
+        "allowed_domains": ("example", "other"),
+        "max_pages": None,
+    }
+    with pytest.raises(SystemExit):
+        _parse_set(CrawlConfig, ["not_a_field=1"])
+    with pytest.raises(SystemExit):
+        _parse_set(CrawlConfig, ["retry_times"])  # missing '='
+
+
+def test_cli_crawl_smoke(tmp_path):
+    import fixtures.gen as fxgen
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "scrapy__ray",
+            "crawl",
+            "--corpus",
+            corpus,
+            "--out",
+            str(tmp_path / "out"),
+            "--max-rounds",
+            "2",
+            "--set",
+            "download_delay=0.5",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rounds"] == 2
+    assert summary["fetched"] > 0
+    assert summary["totals"]["fetched"] == summary["fetched"]
