@@ -74,9 +74,36 @@ def docs_csvfeed(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def docs_jsonl_source(sf_dir: str):
+    """JSONL as a SOURCE format (sources/jsonl.py): the documents table is
+    mirrored once to a sharded .jsonl directory (one file per parquet
+    row-group — multi-node reads parallelize like the parquet read), read
+    back with ``ray.data.read_json``, and every downstream row must equal
+    a plain SELECT of the parquet original — proving the JSON write→read
+    roundtrip (types, unicode text, field order) is lossless, so any
+    pipeline in this repo runs unchanged over JSONL input by swapping only
+    the leading read node."""
+    from scrapy__ray.sources.jsonl import read_jsonl
+
+    ds = read_jsonl(sf_dir, "documents")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"].cast(pa.string()),
+                "source": t["source"].cast(pa.string()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 _FEED_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
 
 QUERIES = {
     "docs_xmlfeed": (docs_xmlfeed, _FEED_SQL),
     "docs_csvfeed": (docs_csvfeed, _FEED_SQL),
+    "docs_jsonl_source": (docs_jsonl_source, _FEED_SQL),
 }
