@@ -731,9 +731,140 @@ FROM events ORDER BY ts, event_id LIMIT {_SORTED_HEAD_N}
 """
 
 
+# --------------------------------------------- TPC-H Q5: star-schema join
+_Q5_REGION = "ASIA"
+_Q5_DATE_LO = "1995-01-01"
+_Q5_DATE_HI = "1997-01-01"  # exclusive
+
+
+def lineitem_local_supplier_volume(sf_dir: str):
+    """The TPC-H Q5 shape — revenue from orders where the supplier and the
+    customer share a nation, per nation of one region, over a date range.
+    Six tables: the classic star-schema plan is ONE fact×fact shuffle join
+    (lineitem ⋈ date-filtered orders on orderkey) with every dimension
+    broadcast (supplier→nation, customer→nation, nation→name, region
+    filter folded into the nation map).  The correlated predicate
+    s_nationkey = c_nationkey evaluates per joined row from the two
+    broadcast maps; the rollup is 25-key driver reduce.
+
+    Money exact: revenue = Σ cents(l_extendedprice)·(100 − disc100), an
+    int64 in 10⁻⁴ dollars (`revenue_fix`), so partial-sum order cannot
+    change a bit; the SQL mirror states the identical integer expression."""
+    nat = read_parquet(sf_dir, "nation").to_pandas()
+    reg = read_parquet(sf_dir, "region").to_pandas()
+    region_keys = set(reg.loc[reg["r_name"] == _Q5_REGION, "r_regionkey"])
+    nation_name = {
+        int(k): str(n)
+        for k, n, rk in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+        if rk in region_keys
+    }
+    sup = read_parquet(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = read_parquet(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dims = broadcast(
+        {
+            "sup": dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int))),
+            "cust": dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int))),
+            "nation": nation_name,
+        }
+    )
+
+    lo = np.datetime64(_Q5_DATE_LO, "us").astype("int64")
+    hi = np.datetime64(_Q5_DATE_HI, "us").astype("int64")
+    orders = read_parquet(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        d = lookup_broadcast(dims)
+        ts = df["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        keep = (ts >= lo) & (ts < hi)
+        g = df[keep]
+        cnat = g["o_custkey"].map(d["cust"])
+        # region filter folds in here: a customer outside the region's
+        # nations can never contribute
+        in_region = cnat.map(lambda k: k in d["nation"]).values
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].values[in_region],
+                "c_nat": cnat.values[in_region].astype(np.int64),
+            }
+        )
+
+    line = read_parquet(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def line_side(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].values * 100).astype(np.int64)
+        disc = np.rint(df["l_discount"].values * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].values,
+                "l_suppkey": df["l_suppkey"].values,
+                "rev_fix": cents * (100 - disc),
+            }
+        )
+
+    joined = shuffle_join(
+        line.map_batches(line_side, batch_format="pandas"),
+        orders.map_batches(order_side, batch_format="pandas"),
+        on="o_orderkey",
+        left_cols=["o_orderkey", "l_suppkey", "rev_fix"],
+        right_cols=["o_orderkey", "c_nat"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = lookup_broadcast(dims)
+        snat = df["l_suppkey"].map(d["sup"]).values
+        local = snat == df["c_nat"].values
+        g = pd.DataFrame(
+            {
+                "n_name": df["c_nat"].values[local],
+                "revenue_fix": df["rev_fix"].values[local],
+            }
+        )
+        out = g.groupby("n_name", as_index=False)["revenue_fix"].sum()
+        out["n_name"] = out["n_name"].map(d["nation"])
+        return out
+
+    out = driver_agg(
+        joined,
+        partial,
+        lambda df: df.groupby("n_name", as_index=False)["revenue_fix"].sum(),
+    ).sort_values(["revenue_fix", "n_name"], ascending=[False, True])
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "revenue_fix": pa.array(out["revenue_fix"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+LINEITEM_Q5_SQL = f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_fix
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_DATE_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q5_DATE_HI}'
+GROUP BY n.n_name
+ORDER BY revenue_fix DESC, n_name
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
+    "lineitem_local_supplier_volume": (
+        lineitem_local_supplier_volume,
+        LINEITEM_Q5_SQL,
+    ),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
     "customer_nation_rollup": (customer_nation_rollup, CUSTOMER_NATION_SQL),

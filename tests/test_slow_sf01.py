@@ -25,7 +25,7 @@ def _canon(d: pd.DataFrame) -> pd.DataFrame:
 def _con():
     con = duckdb.connect()
     for t in ("orders", "lineitem", "events", "documents", "embeddings",
-              "customer", "nation", "part"):
+              "customer", "nation", "part", "supplier", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -54,6 +54,7 @@ def _run(name: str):
         "docs_pmi_bigrams",       # bigram exchange (+ joins above threshold)
         "docs_inverted_index",    # term-keyed postings exchange
         "events_funnel",          # user-keyed step-min co-location
+        "lineitem_local_supplier_volume",  # Q5 star join: fact x fact + dims
     ],
 )
 def test_sql_oracle_at_sf01(ray_session, name):
