@@ -31,15 +31,19 @@ Supported surface:
                 normalize-space string-length concat name local-name
                 true false substring substring-before substring-after
                 translate number sum boolean floor ceiling round
-                (round/substring follow the 1.0 spec: half toward +inf;
-                negative NUMBER LITERALS need unary minus, which is part
-                of the out-of-scope arithmetic grammar)
+                (round/substring follow the 1.0 spec: half toward +inf)
+  arithmetic    ``+ - * div mod`` and unary minus, full §3.5 semantics:
+                left-associative, IEEE division (x div 0 → ±inf, 0 div 0
+                → NaN), mod keeps the DIVIDEND's sign (Java %, not
+                Python's), negative literals, and the §3.7 ``*``/``div``/
+                ``mod`` operator-vs-name disambiguation (``//div div 2``
+                parses; idioms ``//tr[position() mod 2 = 1]`` and
+                ``//li[last() - 1]`` work)
   result types  node-sets (elements / text nodes / attributes) and, at the
                 top level, scalars (``count(//a)`` etc.)
 
 Out of scope (documented): the remaining axes (ancestor*, following,
-preceding, namespace), variables (``$x``), arithmetic operators (``+ - *
-div mod``), ``id()``/``translate()``/``substring*``/``lang()``,
+preceding, namespace), variables (``$x``), ``id()``/``lang()``,
 namespaced names.  ``xpath_extract`` maps element results to their
 recursive text (same pragmatic divergence as css_extract — parsel returns
 outer HTML; re-serialization is out of scope, noted in the docstring
@@ -153,11 +157,14 @@ _TOKEN_RE = re.compile(
     r"\s*("
     r"//|/|\.\.|::|!=|<=|>=|"
     r"\d+(?:\.\d+)?|\.\d+|"
-    r"\.|@|\||\[|\]|\(|\)|,|=|<|>|\*|"
+    r"\.|@|\||\[|\]|\(|\)|,|=|<|>|\*|\+|-|"
     r'"[^"]*"|\'[^\']*\'|'
     r"[A-Za-z_][\w-]*"
     r")"
 )
+# NB: the name pattern consumes hyphens greedily, so `foo-bar` is ONE QName
+# (spec: '-' without surrounding whitespace continues the name) while
+# `foo - bar` and `4-2` lex the '-' as the subtraction operator.
 
 
 def _tokenize(expr: str) -> list[str]:
@@ -217,6 +224,18 @@ class BoolOp:
 class Func:
     name: str
     args: list
+
+
+@dataclass
+class Arith:
+    op: str  # "+" | "-" | "*" | "div" | "mod"
+    left: object
+    right: object
+
+
+@dataclass
+class Neg:
+    inner: object
 
 
 @dataclass
@@ -406,12 +425,46 @@ class _Parser:
         return parts[0] if len(parts) == 1 else BoolOp("and", parts)
 
     def parse_cmp(self):
-        left = self.parse_union_tight()
-        if self.peek() in ("=", "!=", "<", "<=", ">", ">="):
+        # spec §3.4/§3.5: EqualityExpr and RelationalExpr are separate,
+        # LEFT-associative levels above the additive chain
+        left = self.parse_rel()
+        while self.peek() in ("=", "!="):
             op = self.next()
-            right = self.parse_union_tight()
-            return Cmp(op, left, right)
+            left = Cmp(op, left, self.parse_rel())
         return left
+
+    def parse_rel(self):
+        left = self.parse_add()
+        while self.peek() in ("<", "<=", ">", ">="):
+            op = self.next()
+            left = Cmp(op, left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            left = Arith(op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        # §3.7 disambiguation: at this loop position an operand has just
+        # been parsed, so a following '*' is the MultiplyOperator and the
+        # NCNames 'div'/'mod' are OperatorNames — where an operand is
+        # EXPECTED (after '/', '//', '::', '(', '[', ',' or an operator),
+        # the same spellings lex as node tests instead, which the step /
+        # operand parsers consume before control ever returns here.
+        left = self.parse_unary()
+        while self.peek() in ("*", "div", "mod"):
+            op = self.next()
+            left = Arith(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek() == "-":
+            self.next()
+            return Neg(self.parse_unary())
+        return self.parse_union_tight()
 
     def parse_union_tight(self):
         parts = [self.parse_pathexpr()]
@@ -667,6 +720,30 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
             _eval_expr(e.left, item, pos, size, env),
             _eval_expr(e.right, item, pos, size, env),
         )
+    if isinstance(e, Neg):
+        return -_to_number(_eval_expr(e.inner, item, pos, size, env))
+    if isinstance(e, Arith):
+        a = _to_number(_eval_expr(e.left, item, pos, size, env))
+        b = _to_number(_eval_expr(e.right, item, pos, size, env))
+        if e.op == "+":
+            return a + b
+        if e.op == "-":
+            return a - b
+        if e.op == "*":
+            return a * b
+        if e.op == "div":
+            # IEEE 754 semantics (§3.5): x div 0 is ±inf, 0 div 0 / NaN
+            # operands give NaN — Python '/' raises instead
+            if b == 0:
+                if math.isnan(a) or a == 0:
+                    return math.nan
+                return math.copysign(math.inf, a) * math.copysign(1.0, b)
+            return a / b
+        # mod: remainder with the sign of the DIVIDEND (5 mod -2 is 1,
+        # -5 mod 2 is -1) — math.fmod, NOT Python's '%'
+        if b == 0 or math.isnan(a) or math.isinf(a):
+            return math.nan
+        return math.fmod(a, b)
     if isinstance(e, Func):
         args = [_eval_expr(a, item, pos, size, env) for a in e.args]
         n = e.name

@@ -160,7 +160,6 @@ BAD = [
     "ancestor::div",  # unsupported axis
     "//a[@x=]",
     "//$var",
-    "//a[position() + 1]",  # arithmetic out of scope -> trailing tokens
     "",
     "//",
     "//a | 3",  # union operands must be paths
@@ -278,3 +277,54 @@ def test_number_grammar_and_inf_edges():
     assert xpath_select(r, "local-name(//absent)") == ""
     assert xpath_select(r, "name(//absent)") == ""
     assert len(xpath_select(r, '//p[name(//absent) = ""]')) == 1
+
+
+def test_arithmetic_grammar_and_semantics():
+    """XPath 1.0 §3.5 arithmetic: precedence, left-associativity, IEEE
+    division, dividend-sign mod, unary minus, and the §3.7 operator-vs-
+    NCName disambiguation for * / div / mod."""
+    import math
+
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_select
+
+    r = parse_dom("<ul><li>1</li><li>2</li><li>3</li><li>4</li><li>5</li></ul>")
+    vectors = [
+        ("2 + 3 * 4", 14.0),
+        ("(2 + 3) * 4", 20.0),
+        ("10 div 4", 2.5),
+        ("7 - 4 - 2", 1.0),          # left-assoc: (7-4)-2
+        ("100 div 10 div 5", 2.0),   # left-assoc: (100/10)/5
+        ("5 mod 2", 1.0),
+        ("5 mod -2", 1.0),           # dividend sign
+        ("-5 mod 2", -1.0),
+        ("4-2", 2.0),                # '-' after a number lexes as operator
+        ("- 3 + 5", 2.0),
+        ("--3", 3.0),                # unary minus nests
+        ("1 div 0", math.inf),
+        ("-1 div 0", -math.inf),
+        ("count(//li) * 2", 10.0),
+        ("sum(//li) - 15", 0.0),
+        ('number("2") + number("0.5")', 2.5),
+    ]
+    for expr, want in vectors:
+        assert xpath_select(r, expr) == want, expr
+    assert math.isnan(xpath_select(r, "0 div 0"))
+    assert math.isnan(xpath_select(r, "5 mod 0"))
+    assert math.isnan(xpath_select(r, '1 + number("abc")'))
+
+    # the scraping idioms arithmetic unlocks
+    odd = xpath_select(r, "//li[position() mod 2 = 1]")
+    assert [n.content[0] for n in odd] == ["1", "3", "5"]
+    penult = xpath_select(r, "//li[last() - 1]")
+    assert [n.content[0] for n in penult] == ["4"]
+    assert xpath_select(r, 'substring("hello", string-length("hello") - 2)') == "llo"
+
+    # §3.7: 'div'/'mod' as ELEMENT NAMES where an operand is expected
+    d = parse_dom("<div>8</div><p><mod>3</mod></p>")
+    assert xpath_select(d, "number(//div) div 2") == 4.0
+    assert xpath_select(d, "number(//div) mod number(//mod)") == 2.0
+    assert len(xpath_select(d, "//div")) == 1
+    assert len(xpath_select(d, "//mod")) == 1
+    # comparison chains stay left-associative: (1 < 2) = true()
+    assert xpath_select(d, "1 < 2 = true()") is True
