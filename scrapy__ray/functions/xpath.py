@@ -21,7 +21,10 @@ Supported surface:
                 plus explicit ``child::``, ``descendant::``,
                 ``descendant-or-self::``, ``self::``, ``parent::``,
                 ``attribute::``, ``following-sibling::``,
-                ``preceding-sibling::`` (reverse axis: ``[1]`` = nearest)
+                ``preceding-sibling::``, ``ancestor::``,
+                ``ancestor-or-self::``, ``following::``, ``preceding::``
+                (reverse axes number nearest-first: ``ancestor::div[1]``
+                is the closest enclosing div)
   node tests    name, ``*``, ``text()``, ``node()``
   predicates    ``[3]``, ``[last()]``, ``[position()<=2]``, ``[@a]``,
                 ``[@a='v']``, ``[tag]``, nested relative paths, ``and``,
@@ -42,9 +45,8 @@ Supported surface:
   result types  node-sets (elements / text nodes / attributes) and, at the
                 top level, scalars (``count(//a)`` etc.)
 
-Out of scope (documented): the remaining axes (ancestor*, following,
-preceding, namespace), variables (``$x``), ``id()``/``lang()``,
-namespaced names.  ``xpath_extract`` maps element results to their
+Out of scope (documented): the namespace axis, variables (``$x``),
+``id()``/``lang()``, namespaced names.  ``xpath_extract`` maps element results to their
 recursive text (same pragmatic divergence as css_extract — parsel returns
 outer HTML; re-serialization is out of scope, noted in the docstring
 there too).
@@ -184,7 +186,8 @@ def _tokenize(expr: str) -> list[str]:
 @dataclass
 class Step:
     axis: str  # child descendant descendant-or-self self parent attribute
-    #           following-sibling preceding-sibling
+    #           following-sibling preceding-sibling ancestor
+    #           ancestor-or-self following preceding
     test: str  # tag name | "*" | "text()" | "node()"
     preds: list
 
@@ -252,6 +255,10 @@ _AXES = {
     "attribute",
     "following-sibling",
     "preceding-sibling",
+    "ancestor",
+    "ancestor-or-self",
+    "following",
+    "preceding",
 }
 _FUNCS = {
     "position": (0, 0),
@@ -523,6 +530,53 @@ def _parent_of(item):
     return item.owner
 
 
+def _ancestors(item) -> list:
+    out = []
+    p = _parent_of(item)
+    while p is not None:
+        out.append(p)
+        p = _parent_of(p)
+    return out  # nearest first — ancestor is a reverse axis
+
+
+def _following(item, env: _Env) -> list:
+    """§2.2 following: everything after the node in document order,
+    excluding its own descendants (and attribute nodes, which never appear
+    on this axis); for an attribute, relative to its owning element."""
+    node = item.owner if isinstance(item, AttrItem) else item
+    subtree = {
+        _ident(x)
+        for x in (
+            _descendants(node, env, include_self=True)
+            if isinstance(node, Node)
+            else [node]
+        )
+    }
+    k = env.sort_key(node)
+    return [
+        it
+        for it in _descendants(env.root, env, include_self=False)
+        if env.sort_key(it) > k and _ident(it) not in subtree
+    ]
+
+
+def _preceding(item, env: _Env) -> list:
+    """§2.2 preceding: everything before the node in document order,
+    excluding its ancestors; reverse axis (nearest first)."""
+    node = item.owner if isinstance(item, AttrItem) else item
+    ancs = {_ident(x) for x in _ancestors(node)}
+    k = env.sort_key(node)
+    return list(
+        reversed(
+            [
+                it
+                for it in _descendants(env.root, env, include_self=False)
+                if env.sort_key(it) < k and _ident(it) not in ancs
+            ]
+        )
+    )
+
+
 def _siblings(item, env: _Env, *, forward: bool) -> list:
     p = _parent_of(item)
     if not isinstance(item, (Node, TextItem)) or p is None:
@@ -558,8 +612,16 @@ def _axis_candidates(ctx, step: Step, env: _Env) -> list:
         return [env.attr_item(ctx, nm) for nm in names]
     elif a == "following-sibling":
         items = _siblings(ctx, env, forward=True)
-    else:  # preceding-sibling
+    elif a == "preceding-sibling":
         items = _siblings(ctx, env, forward=False)
+    elif a == "ancestor":
+        items = _ancestors(ctx)
+    elif a == "ancestor-or-self":
+        items = [ctx] + _ancestors(ctx)
+    elif a == "following":
+        items = _following(ctx, env)
+    else:  # preceding
+        items = _preceding(ctx, env)
     return [it for it in items if _nodetest_ok(it, step.test, a)]
 
 

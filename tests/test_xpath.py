@@ -157,7 +157,7 @@ def test_gzip_fixtureless_encoding_paths():
 BAD = [
     "//a[",
     "//a]",
-    "ancestor::div",  # unsupported axis
+    "namespace::x",  # unsupported axis
     "//a[@x=]",
     "//$var",
     "",
@@ -328,3 +328,33 @@ def test_arithmetic_grammar_and_semantics():
     assert len(xpath_select(d, "//mod")) == 1
     # comparison chains stay left-associative: (1 < 2) = true()
     assert xpath_select(d, "1 < 2 = true()") is True
+
+
+def test_ancestor_following_preceding_axes():
+    """The four late-round-3 axes, semantics pinned to the spec (and lxml):
+    ancestor/ancestor-or-self are reverse axes ([1] = nearest); following
+    is everything after in doc order minus own descendants; preceding is
+    everything before minus ancestors (reverse numbering)."""
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_extract, xpath_select
+
+    root = parse_dom(DOC)
+    # ancestor: nearest-first numbering
+    assert xpath_extract(DOC, "//em/ancestor::div[1]/@id") == ["main"]
+    assert xpath_extract(DOC, "//em/ancestor::p/text()") == ["second ", " para"]
+    assert xpath_select(root, "count(//em/ancestor::*)") == 4.0  # p div body html
+    # ancestor-or-self: self numbers first
+    assert [n.tag for n in xpath_select(root, "(//em)[1]/ancestor-or-self::*[1]")] == ["em"]
+    # ancestor from an attribute node goes through the owning element
+    assert [n.tag for n in xpath_select(root, "(//a)[1]/@href/ancestor::ul")] == ["ul"]
+    # following: after in doc order, own descendants excluded
+    assert xpath_extract(DOC, "//h1/following::p") == [
+        "first para", "second emph para", "third"
+    ]
+    assert xpath_select(root, "count(//ul/following::a)") == 0.0  # a's are inside ul
+    assert xpath_extract(DOC, "//ul/following::span/text()") == ["s1", "s2"]
+    # preceding: before in doc order, ancestors excluded, [1] = nearest
+    assert xpath_extract(DOC, "//p[.='third']/preceding::a/@href") == ["/a", "/b", "/c"]
+    assert xpath_extract(DOC, "//p[.='third']/preceding::a[1]/@href") == ["/c"]
+    assert xpath_select(root, "count(//em/preceding::div)") == 0.0  # div is an ancestor
+    assert xpath_extract(DOC, "//em/preceding::h1/text()") == ["Head & One"]
