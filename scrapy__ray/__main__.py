@@ -47,17 +47,22 @@ def _parse_set(cfg_cls, pairs: list[str]) -> dict:
             )
         f = fields[name]
         ftype = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "")
-        if "tuple" in ftype:
-            val: object = tuple(s for s in raw.split(",") if s)
-        elif "bool" in ftype:
-            val = raw.lower() in ("1", "true", "yes", "on")
-        elif "float" in ftype:
-            val = float(raw)
-        elif "int" in ftype:
-            # int | None fields accept 'none'
-            val = None if raw.lower() == "none" else int(raw)
-        else:
-            val = raw
+        try:
+            if "tuple" in ftype:
+                val: object = tuple(s for s in raw.split(",") if s)
+            elif "bool" in ftype:
+                val = raw.lower() in ("1", "true", "yes", "on")
+            elif "float" in ftype:
+                val = float(raw)
+            elif "int" in ftype:
+                # int | None fields accept 'none'
+                val = None if raw.lower() == "none" else int(raw)
+            else:
+                val = raw
+        except ValueError:
+            raise SystemExit(
+                f"--set {pair!r}: {name} expects a value of type {ftype!r}"
+            )
         out[name] = val
     return out
 

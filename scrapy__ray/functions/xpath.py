@@ -539,38 +539,50 @@ def _ancestors(item) -> list:
     return out  # nearest first — ancestor is a reverse axis
 
 
+def _doc_items(env: _Env) -> list:
+    """All element/text items of the document in document order, cached on
+    the env — following/preceding would otherwise re-walk the whole DOM
+    once per context node (the per-page-re-walk cost xpath_compile /
+    xpath_extract_many exist to avoid)."""
+    cached = getattr(env, "_all_items", None)
+    if cached is None:
+        cached = env._all_items = _descendants(env.root, env, include_self=False)
+    return cached
+
+
 def _following(item, env: _Env) -> list:
     """§2.2 following: everything after the node in document order,
-    excluding its own descendants (and attribute nodes, which never appear
-    on this axis); for an attribute, relative to its owning element."""
-    node = item.owner if isinstance(item, AttrItem) else item
+    excluding its OWN descendants (attribute nodes never appear on this
+    axis).  An attribute has no descendants, so from ``@a`` the owning
+    element's children are included — they follow the attribute in
+    document order (lxml agrees)."""
     subtree = {
         _ident(x)
         for x in (
-            _descendants(node, env, include_self=True)
-            if isinstance(node, Node)
-            else [node]
+            _descendants(item, env, include_self=True)
+            if isinstance(item, Node)
+            else [item]
         )
     }
-    k = env.sort_key(node)
+    k = env.sort_key(item)
     return [
         it
-        for it in _descendants(env.root, env, include_self=False)
+        for it in _doc_items(env)
         if env.sort_key(it) > k and _ident(it) not in subtree
     ]
 
 
 def _preceding(item, env: _Env) -> list:
     """§2.2 preceding: everything before the node in document order,
-    excluding its ancestors; reverse axis (nearest first)."""
-    node = item.owner if isinstance(item, AttrItem) else item
-    ancs = {_ident(x) for x in _ancestors(node)}
-    k = env.sort_key(node)
+    excluding its ancestors (for an attribute that chain starts at the
+    owning element); reverse axis (nearest first)."""
+    ancs = {_ident(x) for x in _ancestors(item)}
+    k = env.sort_key(item)
     return list(
         reversed(
             [
                 it
-                for it in _descendants(env.root, env, include_self=False)
+                for it in _doc_items(env)
                 if env.sort_key(it) < k and _ident(it) not in ancs
             ]
         )
@@ -711,6 +723,8 @@ def _to_string(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # §4.2: reachable via div since the arithmetic
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e16:
             return str(int(v))
         return repr(v)

@@ -750,16 +750,24 @@ def lineitem_local_supplier_volume(sf_dir: str):
     Money exact: revenue = Σ cents(l_extendedprice)·(100 − disc100), an
     int64 in 10⁻⁴ dollars (`revenue_fix`), so partial-sum order cannot
     change a bit; the SQL mirror states the identical integer expression."""
-    nat = read_parquet(sf_dir, "nation").to_pandas()
-    reg = read_parquet(sf_dir, "region").to_pandas()
+    import pyarrow.parquet as _pq
+
+    # dimension tables are read driver-side: plain pq.read_table, not a
+    # Ray Data job per 25-row table (the customer_nation_rollup convention)
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     region_keys = set(reg.loc[reg["r_name"] == _Q5_REGION, "r_regionkey"])
     nation_name = {
         int(k): str(n)
         for k, n, rk in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
         if rk in region_keys
     }
-    sup = read_parquet(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = read_parquet(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
     dims = broadcast(
         {
             "sup": dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int))),

@@ -25,26 +25,46 @@ import pyarrow.parquet as pq
 
 def jsonl_mirror(sf_dir: str, table: str) -> str:
     """Materialize ``<sf_dir>/<table>.parquet`` as a JSONL directory
-    (one .jsonl file per parquet row-group) and return its path; cached —
-    subsequent calls reuse the files if complete."""
-    key = sf_dir.strip("/").replace("/", "_")
+    (one .jsonl file per parquet row-group) and return its path.  Cached
+    by SOURCE IDENTITY: the completion marker records the parquet's
+    (mtime_ns, size), so a regenerated source invalidates the mirror
+    instead of silently serving stale rows; the cache key hashes the full
+    sf_dir (a path-flattening key collides: '/a/b_c' vs '/a/b/c').  A
+    rebuild clears old part files first so a shrunken source can't leave
+    stale trailing shards behind."""
+    import hashlib
+    import shutil
+
+    src = f"{sf_dir}/{table}.parquet"
+    st = os.stat(src)
+    ident = f"{st.st_mtime_ns}:{st.st_size}"
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:16]
     out_dir = f"/tmp/scrapy__ray_jsonl/{key}/{table}"
     marker = os.path.join(out_dir, "_COMPLETE")
-    if os.path.exists(marker):
-        return out_dir
+    try:
+        with open(marker) as f:
+            if f.read() == ident:
+                return out_dir
+    except OSError:
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    pf = pq.ParquetFile(src)
     for g in range(pf.num_row_groups):
         rows = pf.read_row_group(g).to_pylist()
         part = os.path.join(out_dir, f"part-{g:05d}.jsonl")
-        tmp = part + ".tmp"
+        # pid-unique temp name: two concurrent mirror writers must not
+        # interleave into the same file (the crawl checkpoint convention)
+        tmp = f"{part}.tmp-{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as f:
             for r in rows:
                 f.write(json.dumps(r, sort_keys=True, ensure_ascii=False, default=str))
                 f.write("\n")
-        os.replace(tmp, part)  # atomic per file, like the checkpoint writes
-    with open(marker, "w") as f:
-        f.write("ok")
+        os.replace(tmp, part)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    with open(mtmp, "w") as f:
+        f.write(ident)
+    os.replace(mtmp, marker)
     return out_dir
 
 

@@ -358,3 +358,25 @@ def test_ancestor_following_preceding_axes():
     assert xpath_extract(DOC, "//p[.='third']/preceding::a[1]/@href") == ["/c"]
     assert xpath_select(root, "count(//em/preceding::div)") == 0.0  # div is an ancestor
     assert xpath_extract(DOC, "//em/preceding::h1/text()") == ["Head & One"]
+
+
+def test_review_pass_regressions_inf_string_and_attr_following():
+    """Fifth review pass: (a) string() of ±Infinity returns the §4.2
+    spellings instead of raising OverflowError (reachable now that div
+    exists); (b) following:: from an ATTRIBUTE includes the owning
+    element's children — an attribute has no descendants to exclude, and
+    the children follow it in document order (lxml agrees)."""
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_extract, xpath_select
+
+    r = parse_dom("<p>x</p>")
+    assert xpath_select(r, "string(1 div 0)") == "Infinity"
+    assert xpath_select(r, "string(-1 div 0)") == "-Infinity"
+    assert xpath_select(r, 'concat("v=", 1 div 0)') == "v=Infinity"
+    assert xpath_extract(b"<p>x</p>", "1 div 0") == ["Infinity"]
+
+    d = parse_dom('<div id="d"><span>in</span></div><p>after</p>')
+    got = [n.tag for n in xpath_select(d, "//div/@id/following::*")]
+    assert got == ["span", "p"], got
+    # preceding from an attribute still excludes the owner's ancestors
+    assert [n.tag for n in xpath_select(d, "//p/preceding::span")] == ["span"]
