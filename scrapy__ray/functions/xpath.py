@@ -45,8 +45,9 @@ Supported surface:
   result types  node-sets (elements / text nodes / attributes) and, at the
                 top level, scalars (``count(//a)`` etc.)
 
-Out of scope (documented): the namespace axis, variables (``$x``),
-``id()``/``lang()``, namespaced names.  ``xpath_extract`` maps element results to their
+Out of scope (documented): the namespace axis, ``id()``/``lang()``,
+namespaced names.  Variables (``$x``) bind via keyword arguments on the
+public API, the parsel kwargs surface.  ``xpath_extract`` maps element results to their
 recursive text (same pragmatic divergence as css_extract — parsel returns
 outer HTML; re-serialization is out of scope, noted in the docstring
 there too).
@@ -101,8 +102,9 @@ class _Env:
     """Per-evaluation document context: doc-order index + canonical
     text/attr wrappers (so dedup-by-identity works across steps)."""
 
-    def __init__(self, root: Node) -> None:
+    def __init__(self, root: Node, variables: dict | None = None) -> None:
         self.root = root
+        self.variables = variables or {}
         self.order: dict = {}
         i = 0
 
@@ -160,6 +162,7 @@ _TOKEN_RE = re.compile(
     r"//|/|\.\.|::|!=|<=|>=|"
     r"\d+(?:\.\d+)?|\.\d+|"
     r"\.|@|\||\[|\]|\(|\)|,|=|<|>|\*|\+|-|"
+    r"\$[A-Za-z_][\w-]*|"
     r'"[^"]*"|\'[^\']*\'|'
     r"[A-Za-z_][\w-]*"
     r")"
@@ -239,6 +242,11 @@ class Arith:
 @dataclass
 class Neg:
     inner: object
+
+
+@dataclass
+class Var:
+    name: str  # $name — bound at evaluation time (the parsel kwargs surface)
 
 
 @dataclass
@@ -337,6 +345,9 @@ class _Parser:
         if tok is not None and tok[0] in "\"'":
             self.next()
             return Lit(tok[1:-1])
+        if tok is not None and tok.startswith("$"):
+            self.next()
+            return Var(tok[1:])
         if (
             tok is not None
             and re.fullmatch(r"[A-Za-z_][\w-]*", tok)
@@ -798,6 +809,13 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
         )
     if isinstance(e, Neg):
         return -_to_number(_eval_expr(e.inner, item, pos, size, env))
+    if isinstance(e, Var):
+        if e.name not in env.variables:
+            raise XPathError(f"undefined XPath variable ${e.name}")
+        v = env.variables[e.name]
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return v
     if isinstance(e, Arith):
         a = _to_number(_eval_expr(e.left, item, pos, size, env))
         b = _to_number(_eval_expr(e.right, item, pos, size, env))
@@ -937,14 +955,16 @@ def xpath_compile(expr: str):
     return _Parser(expr).parse()
 
 
-def xpath_select(root: Node, expr):
+def xpath_select(root: Node, expr, **variables):
     """Evaluate ``expr`` (a string, or an AST from :func:`xpath_compile`)
     against the document ``root`` (from cssselect.parse_dom).  Node-set
     results come back as a doc-ordered, deduplicated list of Node /
     TextItem / AttrItem; a top-level scalar expression (``count(//a)``)
-    returns its Python value."""
+    returns its Python value.  Keyword arguments bind XPath variables —
+    the parsel surface ``sel.xpath("//a[@href=$u]", u=url)``: strings,
+    booleans, and numbers (coerced to XPath float)."""
     ast = _Parser(expr).parse() if isinstance(expr, str) else expr
-    env = _Env(root)
+    env = _Env(root, variables)
     return _eval_expr(ast, root, 1, 1, env)
 
 
@@ -972,7 +992,10 @@ def xpath_extract_many(
 
 
 def xpath_extract(
-    html: bytes | str | Node, expr: str, declared_encoding: str | None = None
+    html: bytes | str | Node,
+    expr: str,
+    declared_encoding: str | None = None,
+    **variables,
 ) -> list[str]:
     """parsel-style ``response.xpath(expr).getall()`` over the subset:
     text nodes and attributes yield their value; elements yield their
@@ -980,7 +1003,7 @@ def xpath_extract(
     scope, same pragmatic divergence as css_extract); a scalar expression
     yields its XPath string() form as a single entry."""
     root = html if isinstance(html, Node) else parse_dom(html, declared_encoding)
-    res = xpath_select(root, expr)
+    res = xpath_select(root, expr, **variables)
     if not isinstance(res, list):
         return [_to_string(res)]
     return [_string_value(it) for it in res]

@@ -380,3 +380,25 @@ def test_review_pass_regressions_inf_string_and_attr_following():
     assert got == ["span", "p"], got
     # preceding from an attribute still excludes the owner's ancestors
     assert [n.tag for n in xpath_select(d, "//p/preceding::span")] == ["span"]
+
+
+def test_xpath_variables_kwargs_surface():
+    """parsel's variable binding: sel.xpath('//a[@href=$u]', u=url).
+    Strings, numbers (coerced to XPath float), and booleans bind; an
+    unbound variable fails loudly."""
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import (
+        XPathError,
+        xpath_extract,
+        xpath_select,
+    )
+
+    assert xpath_extract(DOC, "//a[@href=$u]/text()", u="/b") == ["B"]
+    assert xpath_extract(DOC, "//li[position()=$i]/a/@href", i=2) == ["/b"]
+    root = parse_dom(DOC)
+    assert xpath_select(root, "count(//li) = $n", n=3) is True
+    assert xpath_select(root, "$greeting", greeting="hi") == "hi"
+    assert xpath_select(root, "$x + 1", x=2) == 3.0
+    assert xpath_select(root, "contains(//title, $t)", t="Title") is True
+    with pytest.raises(XPathError):
+        xpath_select(root, "//a[@href=$nope]")
