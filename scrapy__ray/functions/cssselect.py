@@ -581,3 +581,37 @@ def css_extract(
                     out.append(n.attrs[kind[1]])
                 seen.add((id(n), kind))
     return out
+
+
+def re_extract(strings: list[str], pattern) -> list[str]:
+    """parsel's ``Selector.re`` tail applied to an extracted string list
+    (``css_extract(...)`` / ``xpath_extract(...)`` output): per string,
+    ``findall`` flattened — with groups the group values, without the full
+    matches — EXCEPT a group NAMED 'extract', which short-circuits to
+    search().group('extract') per string (parsel's extract_regex
+    contract).  Entity replacement is a no-op here: the stdlib DOM already
+    decodes entities before any text reaches a selector result."""
+    import re as _re
+
+    rx = _re.compile(pattern) if isinstance(pattern, str) else pattern
+    out: list[str] = []
+    if "extract" in rx.groupindex:
+        for s in strings:
+            m = rx.search(s)
+            if m:
+                out.append(m.group("extract"))
+        return out
+    for s in strings:
+        for m in rx.findall(s):
+            if isinstance(m, tuple):
+                out.extend(m)
+            else:
+                out.append(m)
+    return out
+
+
+def re_first(strings: list[str], pattern, default=None):
+    """parsel's ``Selector.re_first``: first ``re_extract`` result or
+    ``default``."""
+    r = re_extract(strings, pattern)
+    return r[0] if r else default

@@ -209,3 +209,26 @@ def test_sibling_of_text_nodes_skipped():
     # text between siblings must not break adjacency
     html = b"<div><h2>t</h2> some text <p>x</p></div>"
     assert css_extract(html, "h2 + p::text") == ["x"]
+
+
+def test_re_extract_parsel_semantics():
+    """Selector.re surface: no groups -> full matches; groups -> group
+    values flattened; a group named 'extract' -> one search() result per
+    string; re_first -> first or default."""
+    from scrapy__ray.functions.cssselect import re_extract, re_first
+
+    strings = ["price: $10.50 or $3", "no price", "sale $7.25!"]
+    assert re_extract(strings, r"\$\d+(?:\.\d+)?") == ["$10.50", "$3", "$7.25"]
+    assert re_extract(strings, r"\$(\d+)(?:\.(\d+))?") == [
+        "10", "50", "3", "", "7", "25"
+    ]
+    assert re_extract(strings, r"\$(?P<extract>\d+)") == ["10", "7"]
+    assert re_first(strings, r"\$(\d+\.\d+)") == "10.50"
+    assert re_first(strings, r"euro") is None
+    assert re_first(strings, r"euro", default="-") == "-"
+    # composes with the selector extractors
+    from scrapy__ray.functions.cssselect import css_extract
+
+    html = b'<ul><li>item 3 of 9</li><li>item 4 of 9</li></ul>'
+    got = re_extract(css_extract(html, "li::text"), r"item (\d+)")
+    assert got == ["3", "4"]
