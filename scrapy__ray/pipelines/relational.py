@@ -731,6 +731,96 @@ FROM events ORDER BY ts, event_id LIMIT {_SORTED_HEAD_N}
 """
 
 
+# -------------------------------------------------- skyline (Pareto) query
+def lineitem_skyline(sf_dir: str):
+    """Skyline / Pareto-dominance query (Börzsönyi et al. 2001; the
+    preference-query family PAPERS.md's top-k-skyline entry builds on):
+    line items not dominated on (price minimized, quantity maximized) —
+    row A dominates B iff price_A ≤ price_B ∧ qty_A ≥ qty_B with at least
+    one strict.
+
+    The skyline operator is NATURALLY mergeable — a globally non-dominated
+    row is non-dominated in its own block, so skyline(∪blocks) =
+    skyline(∪ local skylines): each block folds to its local skyline (a
+    2-d skyline of n rows is the classic sort-by-(price asc, qty desc) +
+    strictly-increasing-qty scan over DISTINCT value pairs; expected
+    O(log n) survivors on independent dims), and the driver applies the
+    same scan to the tiny union.  No exchange at all — the combiner
+    pattern at its purest.  Duplicate (price, qty) rows all survive
+    together (neither dominates the other: no strict inequality); money in
+    exact integer cents, so dominance tests are integer compares.  SQL
+    mirror: the textbook NOT EXISTS dominance query."""
+    ds = read_parquet(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+
+    def to_typed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].values,
+                "l_linenumber": df["l_linenumber"].values,
+                "price_cents": np.rint(df["l_extendedprice"].values * 100).astype(
+                    np.int64
+                ),
+                "qty": np.rint(df["l_quantity"].values).astype(np.int64),
+            }
+        )
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        pairs = (
+            df[["price_cents", "qty"]]
+            .drop_duplicates()
+            .sort_values(["price_cents", "qty"], ascending=[True, False])
+        )
+        q = pairs["qty"].values
+        # keep a distinct pair iff its qty strictly exceeds every earlier
+        # pair's (earlier = price <, or price == with qty >): shifted
+        # running max, vectorized
+        cummax_before = np.concatenate(
+            ([np.iinfo(np.int64).min], np.maximum.accumulate(q)[:-1])
+        )
+        kept = pairs[q > cummax_before]
+        return df.merge(kept, on=["price_cents", "qty"], how="inner")
+
+    out = driver_agg(
+        ds.map_batches(to_typed, batch_format="pandas").map_batches(
+            local_skyline, batch_format="pandas"
+        ),
+        lambda df: df,
+        local_skyline,
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(out["l_orderkey"].astype("int64"), pa.int64()),
+            "l_linenumber": pa.array(
+                out["l_linenumber"].astype("int64"), pa.int64()
+            ),
+            "price_cents": pa.array(out["price_cents"].astype("int64"), pa.int64()),
+            "qty": pa.array(out["qty"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+LINEITEM_SKYLINE_SQL = """
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT * FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.price_cents <= a.price_cents AND b.qty >= a.qty
+    AND (b.price_cents < a.price_cents OR b.qty > a.qty)
+)
+"""
+
+
 # --------------------------------------------- TPC-H Q5: star-schema join
 _Q5_REGION = "ASIA"
 _Q5_DATE_LO = "1995-01-01"
@@ -873,6 +963,7 @@ QUERIES = {
         lineitem_local_supplier_volume,
         LINEITEM_Q5_SQL,
     ),
+    "lineitem_skyline": (lineitem_skyline, LINEITEM_SKYLINE_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
     "customer_nation_rollup": (customer_nation_rollup, CUSTOMER_NATION_SQL),
