@@ -1972,11 +1972,14 @@ def docs_cdc_dups(sf_dir: str):
 
     Scale shape: the corpus is scanned once; only (doc_id, 16-byte chunk
     hash) rows ever leave the scan — the text itself is never shuffled.
-    Exchange 1 counts distinct docs per chunk (partial-counted per block
-    first); exchange 2 is a shuffle_join carrying each chunk's doc count
-    back to its (doc_id, chunk) rows; exchange 3 folds per-doc totals.
-    Oracle: independent pure-Python chunker + Counter
-    (oracle_ext.oracle_docs_cdc_dups), materialized."""
+    Exchange 1 hash-partitions the rows by chunk, where each chunk's
+    distinct-doc count is simply its LOCAL group size (rows are
+    (doc, chunk)-distinct by construction) and per-doc partials emit in
+    place — co-locating on the correlation key deletes the former
+    count-then-join-back pair (the decorrelation-by-co-location pattern);
+    exchange 2 folds per-doc totals by doc_id.  Oracle: independent
+    pure-Python chunker + Counter (oracle_ext.oracle_docs_cdc_dups),
+    materialized."""
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -1988,32 +1991,27 @@ def docs_cdc_dups(sf_dir: str):
                 chunks.append(ch)
         return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "chunk": chunks})
 
-    rows = ds.map_batches(chunk_rows, batch_format="pandas").materialize()
+    rows = ds.map_batches(chunk_rows, batch_format="pandas")
 
-    counts = shuffle_agg(
-        rows,
-        ["chunk"],
-        lambda df: df.groupby("chunk", as_index=False).size().rename(columns={"size": "n_docs"}),
-        lambda df: df.groupby("chunk", as_index=False)["n_docs"].sum(),
-    )
-
-    joined = shuffle_join(
-        rows,
-        counts,
-        on="chunk",
-        left_cols=["chunk", "doc_id"],
-        right_cols=["chunk", "n_docs"],
-    )
-
-    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def per_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": [], "one": [], "dup": []}
+            ).astype({"doc_id": "int64", "one": "int64", "dup": "int64"})
+        n_docs = df.groupby("chunk")["doc_id"].transform("size")
         g = pd.DataFrame(
             {
                 "doc_id": df["doc_id"].values,
                 "one": np.ones(len(df), dtype=np.int64),
-                "dup": (df["n_docs"].values >= 2).astype(np.int64),
+                "dup": (n_docs.values >= 2).astype(np.int64),
             }
         )
         return g.groupby("doc_id", as_index=False).sum()
+
+    joined = hash_partition_map(rows, ["chunk"], per_chunk)
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).sum()
 
     def doc_final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("doc_id", as_index=False).sum()
