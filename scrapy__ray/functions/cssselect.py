@@ -591,14 +591,14 @@ def re_extract(strings: list[str], pattern) -> list[str]:
     search().group('extract') per string (parsel's extract_regex
     contract).  Entity replacement is a no-op here: the stdlib DOM already
     decodes entities before any text reaches a selector result."""
-    import re as _re
-
-    rx = _re.compile(pattern) if isinstance(pattern, str) else pattern
+    rx = re.compile(pattern) if isinstance(pattern, str) else pattern
     out: list[str] = []
     if "extract" in rx.groupindex:
         for s in strings:
             m = rx.search(s)
-            if m:
+            # a match whose optional 'extract' group did not participate
+            # yields None — parsel skips it rather than emitting None
+            if m and m.group("extract") is not None:
                 out.append(m.group("extract"))
         return out
     for s in strings:

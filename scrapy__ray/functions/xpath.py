@@ -813,9 +813,14 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
         if e.name not in env.variables:
             raise XPathError(f"undefined XPath variable ${e.name}")
         v = env.variables[e.name]
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if isinstance(v, (bool, str, list)):
+            return v
+        try:
+            # any numeric scalar — including numpy ints/floats, the natural
+            # output of this repo's pandas pipelines — coerces to XPath float
             return float(v)
-        return v
+        except (TypeError, ValueError):
+            return v
     if isinstance(e, Arith):
         a = _to_number(_eval_expr(e.left, item, pos, size, env))
         b = _to_number(_eval_expr(e.right, item, pos, size, env))
@@ -962,7 +967,11 @@ def xpath_select(root: Node, expr, **variables):
     TextItem / AttrItem; a top-level scalar expression (``count(//a)``)
     returns its Python value.  Keyword arguments bind XPath variables —
     the parsel surface ``sel.xpath("//a[@href=$u]", u=url)``: strings,
-    booleans, and numbers (coerced to XPath float)."""
+    booleans, and numbers (any numeric scalar, numpy included, coerces to
+    XPath float).  Reserved names: a variable cannot be called ``root`` /
+    ``expr`` (or ``html`` / ``expr`` / ``declared_encoding`` via
+    xpath_extract) — the positional parameters shadow them, the same
+    kwargs trap parsel's ``query``/``namespaces`` has."""
     ast = _Parser(expr).parse() if isinstance(expr, str) else expr
     env = _Env(root, variables)
     return _eval_expr(ast, root, 1, 1, env)

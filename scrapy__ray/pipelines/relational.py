@@ -787,11 +787,7 @@ def lineitem_skyline(sf_dir: str):
         return df.merge(kept, on=["price_cents", "qty"], how="inner")
 
     out = driver_agg(
-        ds.map_batches(to_typed, batch_format="pandas").map_batches(
-            local_skyline, batch_format="pandas"
-        ),
-        lambda df: df,
-        local_skyline,
+        ds.map_batches(to_typed, batch_format="pandas"), local_skyline, local_skyline
     )
     return pa.table(
         {

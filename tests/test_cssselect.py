@@ -232,3 +232,14 @@ def test_re_extract_parsel_semantics():
     html = b'<ul><li>item 3 of 9</li><li>item 4 of 9</li></ul>'
     got = re_extract(css_extract(html, "li::text"), r"item (\d+)")
     assert got == ["3", "4"]
+
+
+def test_re_extract_none_group_skipped():
+    """Sixth review pass: a match whose optional named 'extract' group did
+    not participate yields None — parsel skips it (never emits None), so
+    re_first falls through to the caller's default."""
+    from scrapy__ray.functions.cssselect import re_extract, re_first
+
+    assert re_extract(["item x"], r"(?P<extract>\d+)? ?x") == []
+    assert re_first(["item x"], r"(?P<extract>\d+)? ?x", default="D") == "D"
+    assert re_extract(["item 7 x"], r"(?P<extract>\d+)? ?x") == ["7"]

@@ -402,3 +402,18 @@ def test_xpath_variables_kwargs_surface():
     assert xpath_select(root, "contains(//title, $t)", t="Title") is True
     with pytest.raises(XPathError):
         xpath_select(root, "//a[@href=$nope]")
+
+
+def test_variables_accept_numpy_scalars():
+    """Sixth review pass: numpy scalars — the natural output of this
+    repo's pandas pipelines — must coerce to XPath float like Python
+    numbers, keeping positional-predicate and comparison semantics."""
+    import numpy as np
+
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_extract, xpath_select
+
+    assert xpath_extract(DOC, "//li[$i]/a/@href", i=np.int64(2)) == ["/b"]
+    root = parse_dom(DOC)
+    assert xpath_select(root, "count(//li) = $n", n=np.int64(3)) is True
+    assert xpath_select(root, "$x + 1", x=np.float64(1.5)) == 2.5
