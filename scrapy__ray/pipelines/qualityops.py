@@ -32,6 +32,7 @@ Gopher signal definitions follow the published paper.
 from __future__ import annotations
 
 import collections
+import hashlib
 import re
 
 import numpy as np
@@ -1746,6 +1747,70 @@ def docs_bpe_encode(sf_dir: str):
     )
 
 
+# ------------------------------------------------ deterministic split assign
+# train/val/test thresholds on the first 4 hex digits of md5(doc_id): 16-bit
+# space, 0xcccd/0x10000 = 80.0008%, 0xe667/0x10000 = 90.0009% — the standard
+# hash-bucket split (stable across runs, engines, and cluster layouts, and
+# membership is decidable per row with zero coordination, unlike RANDOM() or
+# a global row_number() cut).
+_SPLIT_TRAIN_LT = "cccd"
+_SPLIT_VAL_LT = "e667"
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic train/val/test split + per (source, split) composition
+    rollup — the bookkeeping a reproducible pretraining-data build needs
+    before writing split-partitioned output.  Split membership is a pure
+    function of md5(doc_id) (hex-string thresholds; lowercase hex compares
+    lexicographically = numerically at fixed width), so every row routes
+    itself inside one map pass: ZERO exchanges, combiner + driver reduce
+    over (source × split ≤ 3·|sources|) partial rows per block."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        h4 = [
+            hashlib.md5(str(i).encode()).hexdigest()[:4]
+            for i in t["doc_id"].to_pylist()
+        ]
+        split = [
+            "train" if h < _SPLIT_TRAIN_LT else ("val" if h < _SPLIT_VAL_LT else "test")
+            for h in h4
+        ]
+        return pa.table(
+            {
+                "source": t["source"],
+                "split": pa.array(split, pa.string()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "split"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "split"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        )
+
+    return driver_agg(ds.map_batches(assign, batch_format="pyarrow"), partial, final)
+
+
+DOCS_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '{_SPLIT_TRAIN_LT}'
+                THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '{_SPLIT_VAL_LT}'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM assigned GROUP BY source, split
+"""
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1761,4 +1826,5 @@ QUERIES = {
     "docs_bpe_train": (docs_bpe_train, None),
     "docs_bpe_encode": (docs_bpe_encode, None),
     "docs_inverted_index": (docs_inverted_index, DOCS_INVERTED_SQL),
+    "docs_split_assign": (docs_split_assign, DOCS_SPLIT_SQL),
 }

@@ -915,6 +915,57 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------- Markov transitions
+def events_markov_transitions(sf_dir: str):
+    """User-journey Markov transition counts: for each user's event stream
+    ordered by (ts, event_id), count every consecutive (src_type ->
+    dst_type) step across the corpus — the sequential-pattern primitive
+    behind journey analysis, next-event prediction baselines, and funnel
+    discovery.  The self-join-free plan: ONE user-keyed hash exchange
+    co-locates each user's history, the partition sorts once and takes a
+    vectorized per-user shift (the LAG window), and the (src, dst) partial
+    counts — at most |event_types|² rows per partition — fold at the
+    driver.  All-integer counts: order-independent, exact."""
+    ds = read_parquet(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"src_type": pd.Series([], dtype=str),
+                 "dst_type": pd.Series([], dtype=str),
+                 "n_transitions": pd.Series([], dtype="int64")}
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        src = df.groupby("user_id", sort=False)["event_type"].shift()
+        pairs = pd.DataFrame({"src_type": src, "dst_type": df["event_type"]})
+        pairs = pairs[pairs["src_type"].notna()]
+        return pairs.groupby(["src_type", "dst_type"], as_index=False).agg(
+            n_transitions=("dst_type", "size")
+        )
+
+    per_part = hash_partition_map(ds, ["user_id"], transitions)
+    return driver_agg(
+        per_part,
+        lambda df: df,
+        lambda df: df.groupby(["src_type", "dst_type"], as_index=False).agg(
+            n_transitions=("n_transitions", "sum")
+        ),
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type AS src_type, event_type AS dst_type,
+       COUNT(*)::BIGINT AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
@@ -926,4 +977,5 @@ QUERIES = {
     "events_value_share_topk": (events_value_share_topk, EVENTS_SHARE_SQL),
     "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
 }

@@ -412,3 +412,27 @@ def test_bpe_encode_applies_merges_in_learned_order():
     for left, right in ops:
         syms = _bpe_apply(syms, left, right)
     assert syms == ("x", "y", "z")
+
+
+def test_split_assign_thresholds_and_determinism():
+    """The split function is a pure per-row rule: lowercase fixed-width hex
+    compares lexicographically = numerically, the train fraction lands
+    within rounding of 0xcccd/0x10000, and membership is reproducible."""
+    import hashlib
+
+    from scrapy__ray.pipelines.qualityops import _SPLIT_TRAIN_LT, _SPLIT_VAL_LT
+
+    assert abs(int(_SPLIT_TRAIN_LT, 16) / 0x10000 - 0.8) < 1e-4
+    assert abs(int(_SPLIT_VAL_LT, 16) / 0x10000 - 0.9) < 1e-4
+    n = 200_000
+    counts = {"train": 0, "val": 0, "test": 0}
+    for i in range(n):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        s = "train" if h < _SPLIT_TRAIN_LT else ("val" if h < _SPLIT_VAL_LT else "test")
+        counts[s] += 1
+    assert abs(counts["train"] / n - 0.8) < 0.01
+    assert abs(counts["val"] / n - 0.1) < 0.005
+    assert abs(counts["test"] / n - 0.1) < 0.005
+    # hex-string comparison == numeric comparison at fixed width
+    assert ("cccc" < _SPLIT_TRAIN_LT) and (int("cccc", 16) < int(_SPLIT_TRAIN_LT, 16))
+    assert ("cccd" >= _SPLIT_TRAIN_LT) and (int("cccd", 16) >= int(_SPLIT_TRAIN_LT, 16))

@@ -185,3 +185,60 @@ def test_events_approx_users_by_type_accuracy(ray_session):
     assert set(got.event_type) == set(exact)
     for et, est in zip(got.event_type, got.approx_distinct_users):
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+def test_markov_transitions_tie_and_user_boundaries(ray_session, tmp_path):
+    """Pinned sequencing semantics: same-timestamp events order by
+    event_id (the LAG tiebreak both sides declare), and no transition
+    crosses a user boundary.  Engine and SQL mirror agree on a corpus
+    built to sit exactly on those edges."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.streamops import (
+        EVENTS_MARKOV_SQL,
+        events_markov_transitions,
+    )
+
+    t0 = 1_700_000_000_000_000
+    #           user  type       ts        event_id orders the t0 tie
+    rows = [
+        (10, "view", t0),
+        (10, "click", t0),       # same µs: event_id decides view->click
+        (10, "purchase", t0 + 5),
+        (20, "click", t0),       # user boundary: no purchase->click edge
+        (20, "view", t0 + 1),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = (
+        events_markov_transitions(str(tmp_path))
+        .sort_values(["src_type", "dst_type"])
+        .reset_index(drop=True)
+    )
+    want = {("view", "click"): 1, ("click", "purchase"): 1, ("click", "view"): 1}
+    assert {
+        (r.src_type, r.dst_type): r.n_transitions for r in got.itertuples()
+    } == want
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    sql = (
+        con.execute(EVENTS_MARKOV_SQL)
+        .df()
+        .sort_values(["src_type", "dst_type"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == sql.values.tolist()
