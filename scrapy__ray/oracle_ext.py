@@ -83,6 +83,42 @@ def oracle_docs_simhash(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": ids, "simhash": pd.array(out, dtype="int64")})
 
 
+def oracle_docs_simhash_dups(sf_dir: str) -> pd.DataFrame:
+    """Brute-force O(N²) hamming pair search over the independently derived
+    simhash fingerprints — exact because the engine's banding is lossless
+    (pigeonhole: k=3 differing bits over 4 blocks leaves one block equal)."""
+    sh = oracle_docs_simhash(sf_dir).sort_values("doc_id")
+    ids = sh["doc_id"].to_numpy(np.int64)
+    fps = sh["simhash"].to_numpy(np.int64).astype(np.uint64)
+    out_a, out_b, out_h = [], [], []
+    # chunk rows so the pairwise XOR block stays small
+    step = 512
+    for s in range(0, len(ids), step):
+        x = fps[s : s + step]
+        xor = x[:, None] ^ fps[None, s:]  # only j >= s (upper block)
+        ham = np.zeros(xor.shape, dtype=np.int64)
+        for k in range(8):
+            ham += np.array(
+                [bin(i).count("1") for i in range(256)], dtype=np.uint8
+            )[((xor >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)]
+        ii, jj = np.nonzero(ham <= 3)
+        gi, gj = ii + s, jj + s
+        keep = gi < gj
+        out_a.append(ids[gi[keep]])
+        out_b.append(ids[gj[keep]])
+        out_h.append(ham[ii[keep], jj[keep]])
+    a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+    h = np.concatenate(out_h) if out_h else np.array([], np.int64)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(a, dtype="int64"),
+            "doc_b": pd.array(b, dtype="int64"),
+            "hamming": pd.array(h, dtype="int64"),
+        }
+    )
+
+
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "value", "key"},
     "de": {"der", "die", "und", "das", "ist", "ein", "nicht"},
@@ -352,6 +388,47 @@ def oracle_emb_cosine_dups_bucketed(sf_dir: str) -> pd.DataFrame:
             va, vb = int(ids[members[i]]), int(ids[members[j]])
             if va < vb:
                 found[(va, vb)] = float(cos[i, j])
+    items = sorted(found.items())
+    return pd.DataFrame(
+        {
+            "vec_a": pd.array([k[0] for k, _ in items], dtype="int64"),
+            "vec_b": pd.array([k[1] for k, _ in items], dtype="int64"),
+            "cos": pd.array([v for _, v in items], dtype="float64"),
+        }
+    )
+
+
+def oracle_emb_srp_lsh_dups(sf_dir: str) -> pd.DataFrame:
+    """Single-process SRP-LSH mirror (spec pinned in simops.emb_srp_lsh_dups):
+    64 sign bits from exact int64 dots of 1024-quantized vectors against
+    PCG64(202) integer hyperplanes, 4×16-bit bands, bucket members verify
+    with round(cos,4) >= 0.45."""
+    scale, threshold = 1024, 0.45  # mirror simops constants
+    ids, emb = _read_embeddings(sf_dir)
+    rng = np.random.Generator(np.random.PCG64(202))
+    planes = rng.integers(-scale, scale + 1, size=(64, emb.shape[1]), dtype=np.int64)
+    q = np.rint(emb * scale).astype(np.int64)
+    bits = (q @ planes.T) > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    en = emb / np.where(norm == 0, 1.0, norm)
+    found: dict[tuple[int, int], float] = {}
+    for bi in range(4):
+        bk = ((sig >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+        for v in np.unique(bk):
+            members = np.nonzero(bk == v)[0]
+            if len(members) < 2:
+                continue
+            sub = en[members]
+            cos = _round_away((sub @ sub.T).ravel(), 4).reshape(
+                len(members), len(members)
+            )
+            ai, bj = np.nonzero(cos >= threshold)
+            for i, j in zip(ai, bj):
+                va, vb = int(ids[members[i]]), int(ids[members[j]])
+                if va < vb:
+                    found[(va, vb)] = float(cos[i, j])
     items = sorted(found.items())
     return pd.DataFrame(
         {
@@ -1260,6 +1337,7 @@ def oracle_docs_bpe_encode(sf_dir: str) -> pd.DataFrame:
 
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
+    "docs_simhash_dups": oracle_docs_simhash_dups,
     "docs_langid": oracle_docs_langid,
     "docs_rolling_fingerprint": oracle_docs_rolling_fingerprint,
     "docs_minhash_lsh": oracle_docs_minhash_lsh,
@@ -1267,6 +1345,7 @@ _SF_ORACLES = {
     "emb_kmeans": oracle_emb_kmeans,
     "emb_ivf_topk": oracle_emb_ivf_topk,
     "emb_cosine_dups_bucketed": oracle_emb_cosine_dups_bucketed,
+    "emb_srp_lsh_dups": oracle_emb_srp_lsh_dups,
     "emb_semdedup": oracle_emb_semdedup,
     "emb_pq_topk": oracle_emb_pq_topk,
     "docs_winnow_dups": oracle_docs_winnow_dups,

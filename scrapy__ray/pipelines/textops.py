@@ -1043,36 +1043,157 @@ def _docs_minhash_lsh(sf_dir: str):
 
 
 # ----------------------------------------------------------------- SimHash
+def _simhash_batch(texts: list[str]) -> list[int]:
+    """64-bit SimHash per text over the token multiset (deterministic
+    blake2b token hashes), returned as SIGNED int64 two's complement —
+    the storable Arrow representation shared by docs_simhash and
+    docs_simhash_dups."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for text in texts:
+        toks = _tokens(text)
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in toks
+            ],
+            dtype=np.uint64,
+        )
+        # bit-count per position, vectorized over (token, bit)
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        acc = 2 * bits.sum(axis=0) - len(toks)
+        v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's complement
+    return out
+
+
 def docs_simhash(sf_dir: str):
     """64-bit SimHash over token multiset (deterministic blake2b token
-    hashes); no SQL analogue — rows-only check."""
+    hashes); independent pure-Python oracle in oracle_ext."""
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sim(t: pa.Table) -> pa.Table:
-        shifts = np.arange(64, dtype=np.uint64)
-        out = []
-        for text in t["text"].to_pylist():
-            toks = _tokens(text)
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                    )
-                    for w in toks
-                ],
-                dtype=np.uint64,
-            )
-            # bit-count per position, vectorized over (token, bit)
-            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            acc = 2 * bits.sum(axis=0) - len(toks)
-            v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's complement
+        out = _simhash_batch(t["text"].to_pylist())
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
 
     return ds.map_batches(sim, batch_format="pyarrow")
+
+
+# SimHash pair search (Manku, Jain & Sarma, WWW 2007 — the Google crawl
+# near-dup detector): pairs at hamming distance <= _SIMHAM_K over 64-bit
+# fingerprints.  Banding into _SIMHAM_BANDS equal blocks is EXACT by
+# pigeonhole (k < bands: a pair differing in <= 3 bits agrees on >= 1 of
+# the 4 16-bit blocks), so unlike MinHash LSH there is no recall loss and
+# a brute-force oracle matches byte-exactly.
+_SIMHAM_K = 3
+_SIMHAM_BANDS = 4
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via the byte LUT (numpy 1.26
+    has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=False)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for k in range(8):
+        out += _POP8[((x >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)]
+    return out
+
+
+def docs_simhash_dups(sf_dir: str):
+    """Near-dup pairs at SimHash hamming distance <= 3 (Manku et al. 2007).
+
+    One fingerprint pass (the docs_simhash stage), then each doc explodes
+    to 4 (band, 16-bit block value) rows; ONE hash exchange on the band
+    key co-locates every candidate bucket, where pairs verify by XOR
+    popcount against the fingerprints they carry; a second narrow
+    pair-keyed exchange dedups hits that agree on multiple bands.  Text
+    never shuffles — the exchange moves 4 × 20-byte rows per doc.
+
+    Scale: bucket sizes follow fingerprint-block collisions — near-uniform
+    for distinct content, but identical-fingerprint groups (exact dups)
+    pair quadratically, the same bounded blowup the Jaccard family caps
+    with max_df; the dup-cluster consumer (pipelines/dedup.py) is the
+    stated keep-set path.  Banding is exact (pigeonhole), so recall is 1.0
+    by construction — the brute-force O(N²) oracle in oracle_ext matches
+    byte-exactly."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        fps = np.array(_simhash_batch(t["text"].to_pylist()), dtype=np.int64)
+        ids = t["doc_id"].to_numpy()
+        ufp = fps.astype(np.uint64)
+        bands = []
+        for bi in range(_SIMHAM_BANDS):
+            bk = ((ufp >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+            bands.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), bi, np.int32)),
+                        "bk": pa.array(bk),
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "fp": pa.array(fps, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(bands)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["band", "bk", "doc_id"], kind="mergesort")
+        key = df["band"].to_numpy(np.int64) * 65536 + df["bk"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        fps = df["fp"].to_numpy(np.int64).astype(np.uint64)
+        bounds = np.concatenate(
+            [[0], np.nonzero(key[1:] != key[:-1])[0] + 1, [len(key)]]
+        )
+        lens = np.diff(bounds)
+        out_a, out_b, out_h = [], [], []
+        for gi in np.nonzero(lens >= 2)[0]:
+            s, e = bounds[gi], bounds[gi + 1]
+            a_idx, b_idx = np.triu_indices(e - s, k=1)
+            ham = _popcount64(fps[s:e][a_idx] ^ fps[s:e][b_idx])
+            keep = ham <= _SIMHAM_K
+            out_a.append(ids[s:e][a_idx][keep])
+            out_b.append(ids[s:e][b_idx][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    cands = hash_partition_map(
+        ds.map_batches(band_rows, batch_format="pyarrow"), ["band", "bk"], bucket_pairs
+    )
+    deduped = hash_partition_map(
+        cands,
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+    )
+    return collect_arrow(
+        deduped,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+        ),
+    )
 
 
 # -------------------------------------------------------------- language ID
@@ -2060,6 +2181,7 @@ QUERIES = {
     "docs_cdc_dups": (docs_cdc_dups, None),
     "docs_minhash_lsh": (docs_minhash_lsh, None),
     "docs_simhash": (docs_simhash, None),
+    "docs_simhash_dups": (docs_simhash_dups, None),
     "docs_langid": (docs_langid, None),
     "docs_normalize": (docs_normalize, DOCS_NORMALIZE_SQL),
     "docs_scrub_pii": (docs_scrub_pii, DOCS_SCRUB_PII_SQL),

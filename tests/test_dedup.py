@@ -190,3 +190,44 @@ def test_cdc_self_synchronization():
     shifted = set(_cdc_chunks(bytes([1, 2, 3, 4, 5]) + data))
     overlap = len(orig & shifted) / len(orig)
     assert overlap >= 0.8, overlap
+
+
+def test_popcount64_matches_python():
+    import numpy as np
+
+    from scrapy__ray.pipelines.textops import _popcount64
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    xs = rng.integers(0, 1 << 63, size=1000, dtype=np.uint64) * 2 + rng.integers(
+        0, 2, size=1000, dtype=np.uint64
+    )
+    got = _popcount64(xs)
+    want = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == want
+    assert _popcount64(np.array([0, 0xFFFFFFFFFFFFFFFF], np.uint64)).tolist() == [0, 64]
+
+
+def test_simhash_banding_is_exact_by_pigeonhole():
+    """The recall-1.0 claim docs_simhash_dups rests on: ANY pair of 64-bit
+    fingerprints at hamming distance <= 3 agrees exactly on at least one
+    of the 4 16-bit blocks; at distance 4 a counterexample exists."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(500):
+        a = int(rng.integers(0, 1 << 62)) * 4 + int(rng.integers(0, 4))
+        flips = rng.choice(64, size=int(rng.integers(0, 4)), replace=False)
+        b = a
+        for f in flips:
+            b ^= 1 << int(f)
+        shared = any(
+            ((a >> (16 * i)) & 0xFFFF) == ((b >> (16 * i)) & 0xFFFF)
+            for i in range(4)
+        )
+        assert shared, (hex(a), hex(b), flips)
+    # distance 4, one flip per block: no block survives
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    assert not any(
+        ((a >> (16 * i)) & 0xFFFF) == ((b >> (16 * i)) & 0xFFFF) for i in range(4)
+    )
