@@ -952,6 +952,339 @@ ORDER BY revenue_fix DESC, n_name
 """
 
 
+# ------------------------------------------------------- Q21 waiting suppliers
+# TPC-H Q21 adapted to the available columns: "late" = shipped more than
+# _Q21_LATE_DAYS after the order date (the schema has no commit/receipt
+# dates).  The interesting plan shape is the multi-EXISTS correlated
+# subquery pair: EXISTS(another supplier in the order) AND NOT EXISTS
+# (another LATE supplier in the order) — both decorrelate into per-order
+# aggregates once lineitem is co-located by orderkey.
+_Q21_LATE_DAYS = 60
+_Q21_STATUS = "F"
+
+
+def lineitem_waiting_suppliers(sf_dir: str):
+    """Suppliers who were the SOLE late supplier of a multi-supplier
+    finished order (the TPC-H Q21 shape), with how many such orders.
+
+    Plan: ONE fact×fact shuffle join (lineitem ⋈ status-filtered orders on
+    orderkey — the Q5 exchange) whose output partitions hold whole orders,
+    so both EXISTS subqueries collapse into vectorized per-partition
+    aggregates: per (order, supplier) late-flags, then per-order supplier
+    and late-supplier counts, then the filter late & n_supp>=2 & n_late==1
+    — no second pass over the fact table, no self-join.  Supplier counts
+    are low-cardinality (suppliers ≪ lineitems) → driver fold; names
+    attach from the driver-read supplier dimension."""
+    import pyarrow.parquet as _pq
+
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    name_of = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"].astype(str)))
+
+    orders = read_parquet(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    )
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["o_orderstatus"] == _Q21_STATUS]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].values,
+                "odate_us": g["o_orderdate"].values.astype("datetime64[us]").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    line = read_parquet(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def line_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].values,
+                "l_suppkey": df["l_suppkey"].values,
+                "ship_us": df["l_shipdate"].values.astype("datetime64[us]").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    joined = shuffle_join(
+        line.map_batches(line_side, batch_format="pandas"),
+        orders.map_batches(order_side, batch_format="pandas"),
+        on="o_orderkey",
+        left_cols=["o_orderkey", "l_suppkey", "ship_us"],
+        right_cols=["o_orderkey", "odate_us"],
+    )
+
+    late_us = _Q21_LATE_DAYS * 86_400_000_000
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "numwait": pd.Series([], dtype="int64"),
+                }
+            )
+        late = (
+            df["ship_us"].values.astype(np.int64)
+            > df["odate_us"].values.astype(np.int64) + late_us
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].values,
+                    "l_suppkey": df["l_suppkey"].values,
+                    "late": late,
+                }
+            )
+            .groupby(["o_orderkey", "l_suppkey"], as_index=False)["late"]
+            .max()
+        )
+        o = g.groupby("o_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum")
+        )
+        g = g.merge(o, on="o_orderkey")
+        w = g[(g["late"] == 1) & (g["n_supp"] >= 2) & (g["n_late"] == 1)]
+        out = w.groupby("l_suppkey", as_index=False).size()
+        return out.rename(columns={"size": "numwait"})
+
+    out = driver_agg(
+        joined,
+        per_order,
+        lambda df: df.groupby("l_suppkey", as_index=False)["numwait"].sum(),
+    )
+    return pa.table(
+        {
+            "s_name": pa.array(
+                [name_of[int(k)] for k in out["l_suppkey"]], pa.string()
+            ),
+            "numwait": pa.array(out["numwait"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+LINEITEM_Q21_SQL = f"""
+WITH ls AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = '{_Q21_STATUS}'
+  GROUP BY 1, 2
+),
+ord AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM ls GROUP BY 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM ls JOIN ord USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+WHERE ls.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+GROUP BY s.s_name
+"""
+
+
+# ------------------------------------------- Q13 customer order distribution
+def customer_order_distribution(sf_dir: str):
+    """Distribution of per-customer order counts INCLUDING the zero bucket
+    (the TPC-H Q13 left-outer-join shape).
+
+    The outer join never materializes: orders hash-aggregate to per-custkey
+    counts (high-cardinality → shuffle_agg), the counts-of-counts spectrum
+    folds to the driver as mergeable partials (distinct c_count values grow
+    ~log of the max count — the token-spectrum posture), and the zero bucket
+    is arithmetic: total customers (a count combiner over the customer
+    table) minus customers holding at least one order (the spectrum's own
+    mass).  Exact integers throughout."""
+    orders = read_parquet(sf_dir, "orders", columns=["o_custkey"])
+
+    per_cust = shuffle_agg(
+        orders,
+        ["o_custkey"],
+        lambda df: df.groupby("o_custkey", as_index=False).size(),
+        lambda df: df.groupby("o_custkey", as_index=False)["size"].sum(),
+    )
+
+    def spectrum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c_count": df["size"].values.astype(np.int64)})
+        out = g.groupby("c_count", as_index=False).size()
+        return out.rename(columns={"size": "custdist"})
+
+    spectrum = driver_agg(
+        per_cust,
+        spectrum_partial,
+        lambda df: df.groupby("c_count", as_index=False)["custdist"].sum(),
+    )
+
+    n_customers = driver_agg(
+        read_parquet(sf_dir, "customer", columns=["c_custkey"]),
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))]}),
+        lambda df: df,
+    )["n"].sum()
+    zero = int(n_customers) - int(spectrum["custdist"].sum())
+    out = pd.concat(
+        [spectrum, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+        ignore_index=True,
+    )
+    out = out[out["custdist"] > 0]
+    return pa.table(
+        {
+            "c_count": pa.array(out["c_count"].astype("int64"), pa.int64()),
+            "custdist": pa.array(out["custdist"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------- event-type pivot
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+_DAY_US = 86_400_000_000
+
+
+def events_type_pivot(sf_dir: str):
+    """Per-day event-type PIVOT: one row per day, one count column per
+    event type plus the purchase value sum — the conditional-aggregation
+    rewrite of PIVOT (wide layout from a long table).  Pivoting is just a
+    grouped aggregate whose columns are predicates, so the shuffle_agg
+    partials are already wide: each block ships one row per day, not one
+    per (day, type).  Day cardinality grows with the time span →
+    hash-shuffle path (the events_hourly posture)."""
+    ds = read_parquet(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].values.astype("datetime64[us]").astype("int64") // _DAY_US
+        types = df["event_type"].values
+        d = pd.DataFrame({"day": day})
+        for t in _PIVOT_TYPES:
+            d[f"n_{t}"] = (types == t).astype(np.int64)
+        d["pv"] = np.where(types == "purchase", df["value"].values, 0.0)
+        return d.groupby("day", as_index=False).sum()
+
+    out = collect_arrow(
+        shuffle_agg(
+            ds,
+            ["day"],
+            partial,
+            lambda df: df.groupby("day", as_index=False).sum(),
+        ),
+        pa.schema(
+            [("day", pa.int64())]
+            + [(f"n_{t}", pa.int64()) for t in _PIVOT_TYPES]
+            + [("pv", pa.float64())]
+        ),
+    ).to_pandas()
+    cols = {"day": pa.array(out["day"].astype("int64"), pa.int64())}
+    for t in _PIVOT_TYPES:
+        cols[f"n_{t}"] = pa.array(out[f"n_{t}"].astype("int64"), pa.int64())
+    cols["purchase_value"] = round_col(out["pv"], 2)
+    return pa.table(cols)
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT epoch_us(ts) // {_DAY_US} AS day,
+  {", ".join(f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)},
+  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+    AS purchase_value
+FROM events
+GROUP BY day
+"""
+
+
+# --------------------------------------------- grouped exact quantiles
+_GQ_QUANTILES = [0.25, 0.5, 0.75, 0.9]
+
+
+def lineitem_quantity_quantiles(sf_dir: str):
+    """EXACT per-group quantiles of l_quantity per l_returnflag, via
+    value-count compaction: quantity is a small-domain integer (1..50), so
+    each block folds to (flag, qty, count) partials whose total size is
+    O(#flags × #distinct values × #blocks) — independent of row count —
+    and the driver takes each group's cumulative-count rank ceil(q·n).
+    The distributed exact-quantile recipe whenever the value domain
+    compacts (integers, cents, bucketed floats); contrast with
+    lineitem_price_quantiles, whose fixed-width histogram handles the
+    non-compacting domain approximately.  Deterministic, exactly
+    SQL-mirrorable (same rank rule in a window cumulative)."""
+    import math
+
+    ds = read_parquet(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].values,
+                "qty": df["l_quantity"].values.astype(np.int64),
+            }
+        )
+        return (
+            g.groupby(["l_returnflag", "qty"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_returnflag", "qty"], as_index=False)["c"]
+            .sum()
+            .sort_values(["l_returnflag", "qty"])
+        )
+        rows = {"l_returnflag": [], "quantile": [], "qty": []}
+        for flag, seg in g.groupby("l_returnflag"):
+            cum = seg["c"].cumsum().to_numpy()
+            qtys = seg["qty"].to_numpy()
+            n = int(cum[-1])
+            for q in _GQ_QUANTILES:
+                rank = math.ceil(q * n)
+                rows["l_returnflag"].append(flag)
+                rows["quantile"].append(q)
+                rows["qty"].append(int(qtys[int(np.searchsorted(cum, rank))]))
+        return pd.DataFrame(rows)
+
+    out = driver_agg(ds, partial, final)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "quantile": pa.array(out["quantile"], pa.float64()),
+            "qty": pa.array(out["qty"], pa.int64()),
+        }
+    )
+
+
+LINEITEM_GQ_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+n AS (SELECT l_returnflag, SUM(c) AS n FROM b GROUP BY 1),
+cum AS (
+  SELECT l_returnflag, qty,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cc
+  FROM b
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _GQ_QUANTILES)}]) AS quantile)
+SELECT n.l_returnflag, qs.quantile, CAST(MIN(cum.qty) AS BIGINT) AS qty
+FROM qs CROSS JOIN n
+JOIN cum ON cum.l_returnflag = n.l_returnflag
+        AND cum.cc >= ceiling(qs.quantile * n.n)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
@@ -970,4 +1303,11 @@ QUERIES = {
     "orders_priority_rollup": (orders_priority_rollup, ORDERS_ROLLUP_SQL),
     "parts_small_qty_revenue": (parts_small_qty_revenue, PARTS_SMALL_QTY_SQL),
     "events_sorted_head": (events_sorted_head, EVENTS_SORTED_HEAD_SQL),
+    "lineitem_waiting_suppliers": (lineitem_waiting_suppliers, LINEITEM_Q21_SQL),
+    "customer_order_distribution": (
+        customer_order_distribution,
+        CUSTOMER_ORDER_DIST_SQL,
+    ),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "lineitem_quantity_quantiles": (lineitem_quantity_quantiles, LINEITEM_GQ_SQL),
 }
