@@ -2,7 +2,8 @@
 
 Mirrors the reference ``scrapy/linkextractors/lxmlhtml.py::LxmlLinkExtractor``
 defaults: <a>/<area> href attributes, HTML5-whitespace-stripped, resolved
-against the page's effective base (<base href> honored), non-http(s) schemes
+against the page's effective base (<base href> honored), schemes outside the
+upstream valid set (http/https/file/ftp, ``LxmlLinkExtractor._is_valid_url``)
 dropped, the standard IGNORED_EXTENSIONS suffix list dropped, and per-page
 dedup by canonical form keeping first occurrence order (unique=True).
 
@@ -37,7 +38,9 @@ IGNORED_EXTENSIONS = frozenset(
     "css pdf exe bin rss dmg iso apk".split()
 )
 
-_ALLOWED_SCHEMES = ("http", "https")
+# upstream LxmlLinkExtractor._is_valid_url set — file/ftp links are followed
+# when a matching handler exists (sources/fsdir.py serves file://)
+_ALLOWED_SCHEMES = ("http", "https", "file", "ftp")
 _HTML5_WS = "\t\n\x0c\r "
 
 

@@ -2162,8 +2162,184 @@ def docs_cdc_dups(sf_dir: str):
     )
 
 
+# ------------------------------------------------ C4-style span dedup
+_SPAN_W = 10  # tokens per non-overlapping span
+
+
+def docs_span_dedup(sf_dir: str):
+    """C4-style duplicate-span removal (Raffel et al. 2020, the "discard all
+    but one of any three-sentence span occurring more than once" dedup step,
+    adapted to fixed 10-token spans — the synthetic corpus has no sentence
+    punctuation): every occurrence of a span that appears more than once
+    ACROSS THE CORPUS is removed except the globally first one (ordered by
+    (doc_id, span ordinal)), and each document is rebuilt from its kept
+    spans, single-space joined.
+
+    Scale shape: explode to (span, doc_id, ord) rows inside map_batches;
+    exchange 1 hash-partitions by span so keeper election is one local
+    vectorized sort + ``duplicated(keep='first')`` per partition
+    (hash_partition_map — no per-group dispatch) and only the REMOVAL list
+    (doc_id, ord of non-keeper duplicate occurrences — tiny) survives;
+    exchange 2 is the tag/union repartition-join of removals with the
+    document texts by doc_id, outer on the doc side so removal-free docs
+    pass through, rebuilding each partition's docs locally.  The driver
+    never sees the corpus; both exchanges move O(tokens) and O(dups)."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans: list[str] = []
+        ids: list[int] = []
+        ords: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text)
+            for k in range(0, len(toks), _SPAN_W):
+                spans.append(" ".join(toks[k : k + _SPAN_W]))
+                ids.append(did)
+                ords.append(k // _SPAN_W + 1)
+        return pa.table(
+            {
+                "span": pa.array(spans, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+            }
+        )
+
+    def removals(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": [], "ord": []}).astype(
+                {"doc_id": "int64", "ord": "int64"}
+            )
+        # all occurrences of a span are in THIS partition: global keeper =
+        # first row in (doc_id, ord) order; duplicated() marks the rest
+        df = df.sort_values(["span", "doc_id", "ord"], kind="mergesort")
+        return df.loc[df.duplicated("span", keep="first"), ["doc_id", "ord"]]
+
+    rem = hash_partition_map(
+        ds.map_batches(explode, batch_format="pyarrow"), ["span"], removals
+    )
+
+    # tag/union rebuild exchange: docs (side 0) + removals (side 1) by doc_id
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "ord": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+            }
+        )
+
+    def tag_rem(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "text": pa.nulls(len(df), pa.string()),
+                "ord": pa.array(df["ord"].to_numpy(np.int64)),
+                "__side": pa.array(np.ones(len(df), dtype=np.int32)),
+            }
+        )
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        rem.map_batches(tag_rem, batch_format="pandas", batch_size=None)
+    )
+
+    def rebuild(block) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or "__side" not in block.schema.names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_removed": pa.array([], pa.int64()),
+                }
+            )
+        side = block["__side"]
+        docs = block.filter(pc.equal(side, 0))
+        remt = block.filter(pc.equal(side, 1))
+        removed: dict[int, set[int]] = {}
+        for did, o in zip(remt["doc_id"].to_pylist(), remt["ord"].to_pylist()):
+            removed.setdefault(did, set()).add(o)
+        ids, cleans, nspans, nrem = [], [], [], []
+        for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            toks = _tokens(text)
+            n_sp = (len(toks) + _SPAN_W - 1) // _SPAN_W
+            gone = removed.get(did, ())
+            kept: list[str] = []
+            for k in range(n_sp):
+                if (k + 1) not in gone:
+                    kept.extend(toks[k * _SPAN_W : (k + 1) * _SPAN_W])
+            ids.append(did)
+            cleans.append(" ".join(kept))
+            nspans.append(n_sp)
+            nrem.append(len(gone))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(cleans, pa.string()),
+                "n_spans": pa.array(nspans, pa.int64()),
+                "n_removed": pa.array(nrem, pa.int64()),
+            }
+        )
+
+    from scrapy__ray.pipelines.util import auto_partitions, ensure_ctx
+
+    ensure_ctx()
+    out = both.repartition(auto_partitions(), keys=["doc_id"], sort=False).map_batches(
+        rebuild, batch_format=None, batch_size=None
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("clean_text", pa.string()),
+                ("n_spans", pa.int64()),
+                ("n_removed", pa.int64()),
+            ]
+        ),
+    )
+
+
+DOCS_SPAN_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, ((i-1)//10)+1 AS ord, array_to_string(ts[i:i+9], ' ') AS span
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts), 10)) AS i) g
+),
+marked AS (
+  SELECT doc_id, ord, span,
+         COUNT(*) OVER (PARTITION BY span) AS n,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, ord) AS rn
+  FROM spans
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY ord) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM marked WHERE n = 1 OR rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_spans, 0) - COALESCE(k.n_kept, 0) AS n_removed
+FROM toks t
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": (docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
+    "docs_span_dedup": (docs_span_dedup, DOCS_SPAN_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKEN_STATS_SQL),
     "docs_stats_by_lang": (docs_stats_by_lang, DOCS_STATS_BY_LANG_SQL),
     "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),

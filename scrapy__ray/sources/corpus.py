@@ -89,7 +89,14 @@ def lookup_html(corpus_dir: str, host_hash: int, url: str) -> bytes | None:
     download path, before the response reaches the spider)."""
     import gzip
 
-    n_parts = corpus_meta(corpus_dir)["n_parts"]
+    meta = corpus_meta(corpus_dir)
+    if meta.get("type") == "fsdir":
+        # S3 file:// handler analogue: the body is read from the mirror
+        # tree at fetch time (sources/fsdir.py) — no pages parquet exists
+        from scrapy__ray.sources import fsdir
+
+        return fsdir.read_body(meta["root"], url)
+    n_parts = meta["n_parts"]
     row = _load_part(corpus_dir, host_hash % n_parts).get(url)
     if row is None:
         return None

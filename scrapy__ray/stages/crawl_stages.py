@@ -90,6 +90,11 @@ def fetch_batch(
                 status = faults.STATUS_NOTFOUND
             elif len(html) > download_maxsize:
                 status = faults.STATUS_TOOBIG
+            elif url.startswith("file://"):
+                # S3 file:// handler: a local read either succeeds or
+                # misses — the 503/301 fault model is a property of the
+                # simulated network corpus, not of disk (sources/fsdir.py)
+                status = faults.STATUS_OK
             else:
                 status = faults.status_of(url, rc)
             loc = (
@@ -108,7 +113,9 @@ def fetch_batch(
         statuses.append(status)
         htmls.append(html)
         locations.append(loc)
-        lat.append(faults.latency_ms(url))
+        # file:// reads report zero simulated network latency (AutoThrottle
+        # then floors at its configured minimum, like Scrapy on localhost)
+        lat.append(0.0 if url.startswith("file://") else faults.latency_ms(url))
 
     return (
         batch.append_column("status", pa.array(statuses, pa.int32()))
