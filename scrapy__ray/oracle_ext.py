@@ -723,6 +723,38 @@ def oracle_crawl_inlinks(corpus: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_triangles(corpus: str) -> pd.DataFrame:
+    """Naive single-process triangle count mirror (spec pinned in
+    crawlq.crawl_triangles): undirected simple graph from the link edges
+    (both directions collapse to one {a,b}), per-vertex triangle
+    participation via pairwise neighbor-set intersection, top-20 by
+    (n_triangles desc, url).  Independent of the Ray pipeline's oriented
+    wedge-join — different algorithm, same answer."""
+    _urls, edges = _oracle_link_graph(corpus)
+    adj: dict[str, set] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    tri: dict[str, int] = {}
+    for v, ns in adj.items():
+        ns_s = sorted(ns)
+        c = 0
+        for i, u in enumerate(ns_s):
+            au = adj[u]
+            for w in ns_s[i + 1 :]:
+                if w in au:
+                    c += 1
+        if c:
+            tri[v] = c
+    top = sorted(tri, key=lambda u: (-tri[u], u))[:20]
+    return pd.DataFrame(
+        {
+            "url": top,
+            "n_triangles": pd.array([tri[u] for u in top], dtype="int64"),
+        }
+    )
+
+
 def oracle_crawl_hits(corpus: str) -> pd.DataFrame:
     """Integer-exact HITS mirror (spec pinned in crawlq.crawl_hits): 5
     alternating iterations, each half renormalized to 10^12 mass by floor
@@ -1401,6 +1433,7 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_inlinks", oracle_crawl_inlinks(corpus)),
         ("crawl_pagerank", oracle_crawl_pagerank(corpus)),
         ("crawl_hits", oracle_crawl_hits(corpus)),
+        ("crawl_triangles", oracle_crawl_triangles(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),
         ("crawl_paragraph_dedup", oracle_crawl_paragraph_dedup(corpus)),
         ("crawl_anchor_text", oracle_crawl_anchor_text(corpus)),

@@ -899,6 +899,143 @@ def crawl_hits(sf_dir: str):
     )
 
 
+# ---------------------------------------------------- triangle counting
+_TRI_TOPK = 20
+
+
+def crawl_triangles(sf_dir: str):
+    """Per-vertex triangle participation over the UNDIRECTED corpus link
+    graph, top-_TRI_TOPK by (count desc, url) — the clustering-coefficient
+    primitive of web-graph analytics.
+
+    Algorithm: degree-ordered wedge join (the compact-forward / MapReduce
+    node-iterator++ construction — Suri & Vassilvitskii, WWW 2011): orient
+    every undirected edge from lower to higher (degree, url) rank, emit
+    wedges only at each vertex's ORIENTED out-neighbors (bounding per-vertex
+    wedge fanout by O(sqrt(m)) amortized — a hub's quadratic wedge blowup is
+    exactly what the orientation removes), then close wedges against the
+    oriented edge set.  Each triangle closes exactly one wedge.
+
+    Exchanges: (1) canonical-pair hash dedup of the directed edges;
+    (2) wedge generation grouped by wedge center; (3) tag/union hash join
+    of wedges with edges on the closing pair; (4) per-vertex count fold.
+    The rank map (url -> undirected degree) broadcasts — one int per
+    vertex, the k-means/pagerank small-side posture; beyond driver memory
+    the documented alternative is a rank shuffle_join attaching ranks to
+    both edge endpoints (same exchanges, no broadcast).  Oracle:
+    independent naive neighbor-set-intersection implementation
+    (oracle_ext.oracle_crawl_triangles), materialized."""
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        collect_arrow,
+        driver_agg,
+        hash_partition_map,
+        lookup_broadcast,
+        shuffle_agg,
+        shuffle_join,
+    )
+
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+
+    # exchange 1: undirected canonical pairs, deduped where both live
+    def canon(t: pa.Table) -> pa.Table:
+        src = t["src"].to_pylist()
+        dst = t["dst"].to_pylist()
+        a = [s if s < d else d for s, d in zip(src, dst)]
+        b = [d if s < d else s for s, d in zip(src, dst)]
+        return pa.table(
+            {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
+        )
+
+    und = hash_partition_map(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+    ).materialize()  # consumed by degree pass, wedge pass and closing join
+
+    # undirected degrees -> broadcast rank map (deg, url) totally ordered
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat([df["a"].rename("u"), df["b"].rename("u")]).to_frame()
+        return g.groupby("u", as_index=False).size().rename(columns={"size": "d"})
+
+    deg = driver_agg(
+        und, deg_partial, lambda df: df.groupby("u", as_index=False)["d"].sum()
+    )
+    rank_ref = broadcast(dict(zip(deg["u"], deg["d"].astype("int64"))))
+
+    # exchange 2: orient lo->hi by rank, wedges at each lo's out-neighbors
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        rk = lookup_broadcast(rank_ref)
+        lo, hi = [], []
+        for a, b in zip(df["a"], df["b"]):
+            if (rk[a], a) < (rk[b], b):
+                lo.append(a)
+                hi.append(b)
+            else:
+                lo.append(b)
+                hi.append(a)
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    oriented = und.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        rk = lookup_broadcast(rank_ref)
+        ctr, u, w = [], [], []
+        for v, grp in df.groupby("lo")["hi"]:
+            ns = sorted(grp, key=lambda x: (rk[x], x))
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    ctr.append(v)
+                    u.append(ns[i])
+                    w.append(ns[j])
+        return pd.DataFrame({"v": ctr, "k": [f"{x}\x00{y}" for x, y in zip(u, w)]})
+
+    wedge_ds = hash_partition_map(oriented, ["lo"], wedges)
+
+    # exchange 3: close wedges against the oriented edge set on the pair key
+    edge_keys = oriented.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": [f"{x}\x00{y}" for x, y in zip(df["lo"], df["hi"])],
+             "present": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    closed = shuffle_join(
+        wedge_ds, edge_keys, on="k", left_cols=["k", "v"], right_cols=["k", "present"]
+    )
+
+    # exchange 4: each closed wedge = one triangle; +1 to all three vertices
+    def explode_vertices(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"url": [], "c": []}).astype({"c": "int64"})
+        us, ws = zip(*(k.split("\x00") for k in df["k"]))
+        out = pd.DataFrame(
+            {"url": list(df["v"]) + list(us) + list(ws),
+             "c": np.ones(3 * len(df), dtype=np.int64)}
+        )
+        return out.groupby("url", as_index=False)["c"].sum()
+
+    counts = shuffle_agg(
+        closed.map_batches(explode_vertices, batch_format="pandas", batch_size=None),
+        ["url"],
+        lambda df: df.groupby("url", as_index=False)["c"].sum(),
+        lambda df: df.groupby("url", as_index=False)["c"].sum(),
+    )
+    tbl = collect_arrow(
+        counts.map_batches(
+            lambda df: df.rename(columns={"c": "n_triangles"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        pa.schema([("url", pa.string()), ("n_triangles", pa.int64())]),
+    )
+    df = tbl.to_pandas().sort_values(
+        ["n_triangles", "url"], ascending=[False, True]
+    ).head(_TRI_TOPK)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 # ------------------------------------------------- anchor-text aggregation
 def crawl_anchor_text(sf_dir: str):
     """Per-target-page anchor-text summary over the corpus link graph (the
@@ -1011,6 +1148,7 @@ QUERIES = {
     "crawl_inlinks": (crawl_inlinks, None),
     "crawl_pagerank": (crawl_pagerank, None),
     "crawl_hits": (crawl_hits, None),
+    "crawl_triangles": (crawl_triangles, None),
     "crawl_main_content": (crawl_main_content, None),
     "crawl_paragraph_dedup": (crawl_paragraph_dedup, None),
     "crawl_anchor_text": (crawl_anchor_text, None),
