@@ -2304,6 +2304,75 @@ def docs_span_dedup(sf_dir: str):
     )
 
 
+# ------------------------------------------------------ phrase search
+#: pinned query phrase (positional exact match; present at every sf scale)
+_PHRASE = ("a", "key", "column")
+
+
+def docs_phrase_search(sf_dir: str):
+    """Exact positional phrase search (the IR phrase-query primitive the
+    positional variant of docs_inverted_index exists for): documents
+    containing the pinned 3-token phrase as CONSECUTIVE tokens, with
+    overlapping-occurrence count and the 1-based position of the first hit.
+
+    Shape: embarrassingly parallel — one map_batches scan, no exchange;
+    only matching (doc_id, n_hits, first_pos) rows leave the scan.  At
+    index-backed scale the same result comes from intersecting positional
+    postings of the phrase terms (document-at-a-time with position offsets);
+    the scan form is the oracle-exact baseline and the right plan for
+    one-off phrases, matching Lucene's rule of thumb that a rare-term scan
+    beats index maintenance for ad-hoc single queries."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    k = len(_PHRASE)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, hits, firsts = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text)
+            n = 0
+            first = 0
+            for i in range(len(toks) - k + 1):
+                if tuple(toks[i : i + k]) == _PHRASE:
+                    n += 1
+                    if not first:
+                        first = i + 1
+            if n:
+                ids.append(did)
+                hits.append(n)
+                firsts.append(first)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "first_pos": pa.array(firsts, pa.int64()),
+            }
+        )
+
+    return collect_arrow(
+        ds.map_batches(scan, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_hits", pa.int64()), ("first_pos", pa.int64())]
+        ),
+    )
+
+
+DOCS_PHRASE_SEARCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g
+  WHERE ts[i] = 'a' AND ts[i+1] = 'key' AND ts[i+2] = 'column'
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_hits, MIN(i)::BIGINT AS first_pos
+FROM pos GROUP BY doc_id
+"""
+
+
 DOCS_SPAN_DEDUP_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -2340,6 +2409,7 @@ LEFT JOIN kept k USING (doc_id)
 QUERIES = {
     "docs_exact_dedup": (docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_span_dedup": (docs_span_dedup, DOCS_SPAN_DEDUP_SQL),
+    "docs_phrase_search": (docs_phrase_search, DOCS_PHRASE_SEARCH_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKEN_STATS_SQL),
     "docs_stats_by_lang": (docs_stats_by_lang, DOCS_STATS_BY_LANG_SQL),
     "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),
