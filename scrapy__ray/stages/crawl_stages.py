@@ -85,12 +85,18 @@ def fetch_batch(
         if cached is not None:
             status, html, loc = cached
         else:
-            html = lookup_html(corpus_dir, hh, url)
+            if url.startswith("data:"):
+                # S3 data: handler — the body IS the url (sources/datauri)
+                from scrapy__ray.sources.datauri import parse_data_uri
+
+                html = parse_data_uri(url)
+            else:
+                html = lookup_html(corpus_dir, hh, url)
             if html is None:
                 status = faults.STATUS_NOTFOUND
             elif len(html) > download_maxsize:
                 status = faults.STATUS_TOOBIG
-            elif url.startswith("file://"):
+            elif url.startswith(("file://", "data:")):
                 # S3 file:// handler: a local read either succeeds or
                 # misses — the 503/301 fault model is a property of the
                 # simulated network corpus, not of disk (sources/fsdir.py)
@@ -113,9 +119,14 @@ def fetch_batch(
         statuses.append(status)
         htmls.append(html)
         locations.append(loc)
-        # file:// reads report zero simulated network latency (AutoThrottle
-        # then floors at its configured minimum, like Scrapy on localhost)
-        lat.append(0.0 if url.startswith("file://") else faults.latency_ms(url))
+        # file:// / data: fetches report zero simulated network latency
+        # (AutoThrottle then floors at its configured minimum, like Scrapy
+        # on localhost)
+        lat.append(
+            0.0
+            if url.startswith(("file://", "data:"))
+            else faults.latency_ms(url)
+        )
 
     return (
         batch.append_column("status", pa.array(statuses, pa.int32()))

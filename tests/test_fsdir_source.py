@@ -85,6 +85,65 @@ def test_body_path_traversal_guard(mirror):
     assert b"alpha" in fsdir.read_body(mirror, "file://sitea.example/a.html")
 
 
+def test_parse_data_uri_vectors():
+    import base64
+
+    from scrapy__ray.sources.datauri import parse_data_uri
+
+    html = b"<html><body>hi there</body></html>"
+    b64 = base64.b64encode(html).decode()
+    assert parse_data_uri(f"data:text/html;base64,{b64}") == html
+    # percent-encoded plain payload (the canonicalized form)
+    assert (
+        parse_data_uri("data:text/html,%3Cb%3Ehi%20x%3C/b%3E") == b"<b>hi x</b>"
+    )
+    assert parse_data_uri("data:text/plain,plain") == b"plain"
+    assert parse_data_uri("data:nocomma") is None  # missing separator
+    assert parse_data_uri("data:text/html;base64,!!!notb64") is None
+    assert parse_data_uri("http://x/y") is None
+
+
+def test_data_uri_seed_crawl(ray_session, mirror, tmp_path_factory):
+    """A data: seed decodes to HTML whose absolute file:// link pulls the
+    engine into the mirror — the upstream handler-chaining behavior."""
+    import base64
+
+    import pyarrow as pa
+
+    from scrapy__ray.engine import crawl
+
+    corpus = str(tmp_path_factory.mktemp("datacorpus"))
+    fsdir.build_fsdir_corpus(mirror, corpus)
+    html = (
+        b"<html><body><p>inline seed</p>"
+        b'<a href="file://siteb.example/c.html">into mirror</a></body></html>'
+    )
+    seed = "data:text/html;base64," + base64.b64encode(html).decode()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([seed], pa.string()),
+                "seed_order": pa.array([0], pa.int32()),
+            }
+        ),
+        os.path.join(corpus, "seeds.parquet"),
+        compression="zstd",
+    )
+    out = str(tmp_path_factory.mktemp("dataout"))
+    summary = crawl(corpus, out, cfg=CrawlConfig(num_shards=2))
+    res = pq.read_table(os.path.join(out, "results"))
+    by_url = dict(
+        zip(res["url"].to_pylist(), zip(res["status"].to_pylist(),
+                                        res["extracted_text"].to_pylist()))
+    )
+    assert by_url[seed][0] == 200
+    assert by_url[seed][1] == extract_page_full(html)[0]
+    # the file:// link was followed out of the data: page
+    assert by_url["file://siteb.example/c.html"][0] == 200
+    assert summary.totals["fetched"] == 2
+    assert summary.totals["errors"] == 0
+
+
 def test_fsdir_crawl_end_to_end(ray_session, mirror, tmp_path_factory):
     from scrapy__ray.engine import crawl
 
