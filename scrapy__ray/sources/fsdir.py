@@ -83,6 +83,14 @@ def build_fsdir_corpus(html_root: str, out_dir: str) -> str:
         hdir = os.path.join(html_root, entry)
         if not os.path.isdir(hdir):
             continue
+        if entry != entry.lower():
+            # canonicalization lowercases the url netloc, so a
+            # mixed-case host directory could never round-trip url->path
+            # on a case-sensitive filesystem; wget mirrors lowercase
+            # hostnames (DNS is case-insensitive), so require the same
+            raise ValueError(
+                f"mirror host directory must be lowercase: {entry!r}"
+            )
         rels: list[str] = []
         for dirpath, _dirnames, filenames in os.walk(hdir):
             for fn in filenames:

@@ -73,6 +73,12 @@ def test_build_metadata(mirror, tmp_path_factory):
     ]
 
 
+def test_mixed_case_host_dir_rejected(tmp_path):
+    _w(str(tmp_path), "SiteA.example/index.html", "<html><body>x</body></html>")
+    with pytest.raises(ValueError, match="lowercase"):
+        fsdir.build_fsdir_corpus(str(tmp_path), str(tmp_path / "out"))
+
+
 def test_body_path_traversal_guard(mirror):
     assert fsdir.body_path(mirror, "file://sitea.example/a.html") == os.path.join(
         mirror, "sitea.example", "a.html"
