@@ -119,6 +119,17 @@ def _cmd_gen(args) -> int:
     return 0
 
 
+def _cmd_mirror(args) -> int:
+    from scrapy__ray.sources.fsdir import build_fsdir_corpus
+
+    out = build_fsdir_corpus(args.root, args.out)
+    import pyarrow.parquet as pq
+
+    hosts = pq.read_metadata(os.path.join(out, "hosts.parquet")).num_rows
+    print(json.dumps({"corpus": out, "hosts": hosts, "root": args.root}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m scrapy__ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -143,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dir", default=None, help="target dir (default: cache path)")
     g.add_argument("--force", action="store_true")
     g.set_defaults(fn=_cmd_gen)
+
+    m = sub.add_parser(
+        "mirror",
+        help="build a file:// corpus from a wget-style on-disk mirror "
+        "(one lowercase directory per host); crawl it with `crawl --corpus`",
+    )
+    m.add_argument("--root", required=True, help="mirror root directory")
+    m.add_argument("--out", required=True, help="corpus (metadata) output dir")
+    m.set_defaults(fn=_cmd_mirror)
 
     args = p.parse_args(argv)
     return args.fn(args)

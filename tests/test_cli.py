@@ -67,3 +67,28 @@ def test_cli_crawl_smoke(tmp_path):
     assert summary["rounds"] == 2
     assert summary["fetched"] > 0
     assert summary["totals"]["fetched"] == summary["fetched"]
+
+
+def test_cli_mirror_then_crawl(tmp_path):
+    root = tmp_path / "mirror"
+    (root / "h.example").mkdir(parents=True)
+    (root / "h.example" / "index.html").write_text(
+        '<html><body><p>home</p><a href="a.html">a</a></body></html>'
+    )
+    (root / "h.example" / "a.html").write_text("<html><body><p>aa</p></body></html>")
+    r = subprocess.run(
+        [sys.executable, "-m", "scrapy__ray", "mirror",
+         "--root", str(root), "--out", str(tmp_path / "corpus")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["hosts"] == 1
+    r2 = subprocess.run(
+        [sys.executable, "-m", "scrapy__ray", "crawl",
+         "--corpus", str(tmp_path / "corpus"), "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["fetched"] == 2
