@@ -176,6 +176,9 @@ DOCS_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 # ------------------------------------------- exact token-set Jaccard dups
 JACCARD_THRESHOLD = 0.5
+#: max-containment cutoff for the asymmetric detector: |A∩B| / min(|A|,|B|)
+#: ≥ 0.9 means the smaller doc's token set is ≥90% inside the larger one
+CONTAINMENT_THRESHOLD = 0.9
 
 
 def _segment_pairs(df: pd.DataFrame, seg_cols: list[str]) -> pd.DataFrame:
@@ -283,6 +286,20 @@ def docs_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     return _JACCARD_MEMO[key]
 
 
+def docs_containment_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
+    """Asymmetric near-dup pairs by max-containment — |A∩B| / min(|A|,|B|)
+    ≥ CONTAINMENT_THRESHOLD over token sets (Broder's containment measure,
+    the quote/boilerplate-wrap detector: a short doc pasted inside a long
+    one scores ~1.0 where symmetric Jaccard dilutes toward |A|/|B|).  Same
+    distributed inverted-index core and df-cap defence as
+    docs_jaccard_dups; only the verify formula differs, so the scale
+    posture is identical (subquadratic by construction at the production
+    ``max_df``)."""
+    return _set_jaccard_pairs(
+        sf_dir, lambda text: set(_tokens(text)), max_df, score="containment"
+    )
+
+
 def docs_ngram_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     """Exact 3-gram-shingle Jaccard near-dup pairs — the n-gram variant of
     the dedup family (same distributed inverted-index core, feature = word
@@ -293,10 +310,31 @@ def docs_ngram_jaccard_dups(sf_dir: str, max_df: int | None = JACCARD_MAX_DF):
     return _set_jaccard_pairs(sf_dir, _ngrams, max_df)
 
 
-def _set_jaccard_pairs(sf_dir: str, feature_fn, max_df: int | None):
+def _set_jaccard_pairs(
+    sf_dir: str, feature_fn, max_df: int | None, score: str = "jaccard"
+):
     """Shared set-similarity core: ``feature_fn(text) -> set[str]`` defines
     the universe; everything downstream (inverted index, df cap, pair
-    counting, size join, threshold) is feature-agnostic."""
+    counting, size join, threshold) is feature-agnostic.  ``score`` picks
+    the pair measure: ``"jaccard"`` = |A∩B|/|A∪B| ≥ JACCARD_THRESHOLD,
+    ``"containment"`` = |A∩B|/min(|A|,|B|) ≥ CONTAINMENT_THRESHOLD (the
+    asymmetric detector — a small doc embedded in a big one scores ~1.0
+    where Jaccard dilutes toward 0)."""
+    if score == "containment":
+        score_col, score_thr = "containment", CONTAINMENT_THRESHOLD
+
+        def score_fn(i, sz_a, sz_b):
+            return i / np.minimum(sz_a, sz_b)
+
+    else:
+        score_col, score_thr = "jaccard", JACCARD_THRESHOLD
+
+        def score_fn(i, sz_a, sz_b):
+            return i / (sz_a + sz_b - i)
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), (score_col, pa.float64())]
+    )
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -367,24 +405,24 @@ def _set_jaccard_pairs(sf_dir: str, feature_fn, max_df: int | None):
 
         def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
-                return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+                return pd.DataFrame({"doc_a": [], "doc_b": [], score_col: []})
             m = lookup_broadcast(ref)
             i = df["i"].values.astype(np.float64)
             sz_a = df["doc_a"].map(m).values.astype(np.float64)
             sz_b = df["doc_b"].map(m).values.astype(np.float64)
-            j = i / (sz_a + sz_b - i)
-            keep = j >= JACCARD_THRESHOLD
+            j = score_fn(i, sz_a, sz_b)
+            keep = j >= score_thr
             return pd.DataFrame(
                 {
                     "doc_a": df["doc_a"].values[keep].astype(np.int64),
                     "doc_b": df["doc_b"].values[keep].astype(np.int64),
-                    "jaccard": round_col(j[keep], 4),
+                    score_col: round_col(j[keep], 4),
                 }
             )
 
         return collect_arrow(
             inter.map_batches(verify_bcast, batch_format="pandas", batch_size=None),
-            _PAIR_SCHEMA,
+            out_schema,
         )
 
     # materialized: BOTH endpoint joins below consume sizes — without it
@@ -423,22 +461,25 @@ def _set_jaccard_pairs(sf_dir: str, feature_fn, max_df: int | None):
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            return pd.DataFrame({"doc_a": [], "doc_b": [], score_col: []})
         i = df["i"].values.astype(np.float64)
-        union = df["sz_a"].values + df["sz_b"].values - i
-        j = i / union
-        keep = j >= JACCARD_THRESHOLD
+        j = score_fn(
+            i,
+            df["sz_a"].values.astype(np.float64),
+            df["sz_b"].values.astype(np.float64),
+        )
+        keep = j >= score_thr
         return pd.DataFrame(
             {
                 "doc_a": df["doc_a"].values[keep].astype(np.int64),
                 "doc_b": df["doc_b"].values[keep].astype(np.int64),
-                "jaccard": round_col(j[keep], 4),
+                score_col: round_col(j[keep], 4),
             }
         )
 
     return collect_arrow(
         with_ab.map_batches(verify, batch_format="pandas", batch_size=None),
-        _PAIR_SCHEMA,
+        out_schema,
     )
 
 
@@ -478,6 +519,43 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 
 
 DOCS_JACCARD_SQL = docs_jaccard_sql()
+
+
+def docs_containment_sql(max_df: int | None = JACCARD_MAX_DF) -> str:
+    """DuckDB mirror of docs_containment_dups: identical token universe and
+    df cap as docs_jaccard_sql; only the final measure changes to
+    i / LEAST(|A|, |B|)."""
+    df_filter = (
+        f"""tok0 AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tok0 GROUP BY w),
+tok AS (SELECT doc_id, tok0.w FROM tok0 JOIN dfreq ON dfreq.w = tok0.w
+        WHERE df <= {max_df})"""
+        if max_df is not None
+        else """tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+)"""
+    )
+    return f"""
+WITH {df_filter},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::DOUBLE AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(i / LEAST(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+DOCS_CONTAINMENT_SQL = docs_containment_sql()
 
 
 def docs_ngram_jaccard_sql(max_df: int | None = JACCARD_MAX_DF) -> str:
@@ -2414,6 +2492,7 @@ QUERIES = {
     "docs_stats_by_lang": (docs_stats_by_lang, DOCS_STATS_BY_LANG_SQL),
     "docs_fingerprint": (docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_jaccard_dups": (docs_jaccard_dups, DOCS_JACCARD_SQL),
+    "docs_containment_dups": (docs_containment_dups, DOCS_CONTAINMENT_SQL),
     "docs_ngram_jaccard_dups": (docs_ngram_jaccard_dups, DOCS_NGRAM_JACCARD_SQL),
     "docs_topk_ngrams": (docs_topk_ngrams, DOCS_TOPK_NGRAMS_SQL),
     "docs_pmi_bigrams": (docs_pmi_bigrams, DOCS_PMI_SQL),

@@ -175,3 +175,15 @@ def test_pmi_join_regime_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(textops, "_PMI_BROADCAST_MAX_DOCS", 0)
     large = _canon(_to_df(textops.docs_pmi_bigrams(SF_DIR)))
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_containment_sizes_shuffle_regime_matches_broadcast(ray_session, monkeypatch):
+    """docs_containment_dups through the forced >_SIZES_BROADCAST_MAX
+    regime (shuffle_agg sizes + two shuffle_joins) — identical pairs to the
+    broadcast regime, same contract as the jaccard sibling."""
+    import scrapy__ray.pipelines.textops as textops
+
+    small = _canon(_to_df(textops.docs_containment_dups(SF_DIR)))
+    monkeypatch.setattr(textops, "_SIZES_BROADCAST_MAX", 0)
+    large = _canon(_to_df(textops.docs_containment_dups(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
