@@ -1050,6 +1050,146 @@ def emb_srp_lsh_dups(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------- k-NN graph
+_KNN_K = 5
+
+
+def _knn_block_pair(ta: pa.Table, tb: pa.Table | None, k: int) -> pa.Table:
+    """Local per-row top-k contributions between two Arrow blocks (both
+    directions when ``tb`` is given; diagonal masked when it is None).
+    Ranking is (round(cos,4) desc, nbr_id asc) — columns are pre-sorted by
+    neighbor id so a STABLE argsort on the rounded scores realizes the tie
+    break with zero per-row Python."""
+    ids_a, m_a = _batch_matrix(ta)
+    m_a = m_a / np.linalg.norm(m_a, axis=1, keepdims=True)
+    if tb is None:
+        ids_b, m_b = ids_a, m_a
+    else:
+        ids_b, m_b = _batch_matrix(tb)
+        m_b = m_b / np.linalg.norm(m_b, axis=1, keepdims=True)
+
+    cos = m_a @ m_b.T
+    cos_r = round_col(cos.ravel(), 4).reshape(cos.shape)
+
+    def local_topk(scores: np.ndarray, row_ids, col_ids) -> tuple:
+        # order columns by neighbor id once, then stable argsort by -score
+        col_order = np.argsort(col_ids, kind="stable")
+        s = scores[:, col_order]
+        cid = col_ids[col_order]
+        kk = min(k, s.shape[1])
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(row_ids, kk)
+        return rows, cid[idx].ravel(), np.take_along_axis(s, idx, axis=1).ravel()
+
+    if tb is None:
+        masked = cos_r.copy()
+        np.fill_diagonal(masked, -2.0)
+        r, nb, sc = local_topk(masked, ids_a, ids_b)
+    else:
+        r1, nb1, sc1 = local_topk(cos_r, ids_a, ids_b)
+        r2, nb2, sc2 = local_topk(cos_r.T, ids_b, ids_a)
+        r = np.concatenate([r1, r2])
+        nb = np.concatenate([nb1, nb2])
+        sc = np.concatenate([sc1, sc2])
+    return pa.table(
+        {
+            "vec_id": pa.array(r, pa.int64()),
+            "nbr_id": pa.array(nb, pa.int64()),
+            "cos": pa.array(sc, pa.float64()),
+        }
+    )
+
+
+def emb_knn_graph(sf_dir: str, k: int = _KNN_K, force_exact: bool = False):
+    """Exact cosine k-NN graph — every vector's top-``k`` neighbors with
+    rank, the SemDeDup / graph-clustering / label-propagation substrate.
+
+    Same block-pair posture as emb_cosine_dups (blocks stay in the object
+    store, one zero-copy task per unordered block pair, each task emits
+    LOCAL per-row top-k in BOTH directions = k rows per (row, opposing
+    block), never the full score matrix), then ONE hash exchange keyed by
+    vec_id merges local candidates into the global top-k with rank.  Exact
+    all-pairs is O(N²) compute, so the EXACT_COS_MAX_ROWS guard routes
+    oversized inputs to the IVF-bucketed family (emb_ivf_topk /
+    emb_cosine_dups_bucketed posture) unless ``force_exact=True``.
+    Determinism: ranking key is (round(cos,4) desc, nbr_id asc) end-to-end,
+    the same convention the SQL oracle's ROW_NUMBER uses."""
+    import ray
+
+    n_rows = _embeddings_num_rows(sf_dir)
+    if n_rows > EXACT_COS_MAX_ROWS and not force_exact:
+        raise ValueError(
+            f"emb_knn_graph is exact all-pairs (O(N²)); input has "
+            f"{n_rows} rows > EXACT_COS_MAX_ROWS={EXACT_COS_MAX_ROWS}. "
+            "Use the IVF-bucketed family or pass force_exact=True."
+        )
+
+    from scrapy__ray.pipelines.util import collect_arrow, shuffle_agg
+    import ray.data as rd
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    block_refs = ds.materialize().to_arrow_refs()
+
+    pair_task = ray.remote(_knn_block_pair)
+    out_refs = []
+    for i in range(len(block_refs)):
+        out_refs.append(pair_task.remote(block_refs[i], None, k))
+        for j in range(i + 1, len(block_refs)):
+            out_refs.append(pair_task.remote(block_refs[i], block_refs[j], k))
+    cand_schema = pa.schema(
+        [("vec_id", pa.int64()), ("nbr_id", pa.int64()), ("cos", pa.float64())]
+    )
+    tbls = [t.cast(cand_schema) for t in ray.get(out_refs) if t.num_rows]
+    cands = rd.from_arrow(pa.concat_tables(tbls))
+
+    def topk_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.array([], dtype="int64"),
+                 "nbr_id": pd.array([], dtype="int64"),
+                 "cos": pd.array([], dtype="float64")}
+            )
+        df = df.sort_values(
+            ["vec_id", "cos", "nbr_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        return df.groupby("vec_id", as_index=False).head(k)
+
+    def rank_final(df: pd.DataFrame) -> pd.DataFrame:
+        df = topk_merge(df)
+        df["rank"] = df.groupby("vec_id").cumcount() + 1
+        return df[["vec_id", "rank", "nbr_id", "cos"]]
+
+    merged = shuffle_agg(cands, ["vec_id"], topk_merge, rank_final)
+    tbl = collect_arrow(
+        merged,
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("nbr_id", pa.int64()),
+                ("cos", pa.float64()),
+            ]
+        ),
+    )
+    df = tbl.to_pandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EMB_KNN_GRAPH_SQL = f"""
+SELECT vec_id, rank, nbr_id, cos FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= {_KNN_K}
+"""
+
+
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
     "emb_ann_topk_multi": (emb_ann_topk_multi, EMB_ANN_MULTI_SQL),
@@ -1063,4 +1203,5 @@ QUERIES = {
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_ivfpq_topk": (emb_ivfpq_topk, None),
     "emb_pca": (emb_pca, None),
+    "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
 }
