@@ -755,6 +755,110 @@ def oracle_crawl_triangles(corpus: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_components(corpus: str) -> pd.DataFrame:
+    """Weakly-connected-components mirror (spec pinned in
+    crawlq.crawl_components): classic path-compressed union-find over the
+    single-process link-graph edges, every page a node (isolated pages are
+    singletons), one row per component with the lexicographically-smallest
+    member url as representative, page count and distinct-host count,
+    sorted (n_pages desc, component asc).  Independent of the Ray
+    pipeline's rank-id min-label machinery."""
+    from scrapy__ray.functions.url import host_of
+
+    urls, edges = _oracle_link_graph(corpus)
+    parent: dict[str, str] = {u: u for u in urls}
+
+    def find(u: str) -> str:
+        root = u
+        while parent[root] != root:
+            root = parent[root]
+        while parent[u] != root:
+            parent[u], u = root, parent[u]
+        return root
+
+    for s, d in edges:
+        rs, rd_ = find(s), find(d)
+        if rs != rd_:
+            parent[rd_] = rs
+    comps: dict[str, list[str]] = {}
+    for u in urls:
+        comps.setdefault(find(u), []).append(u)
+    rows = []
+    for members in comps.values():
+        rows.append(
+            (
+                min(members),
+                len(members),
+                len({host_of(u) for u in members}),
+            )
+        )
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(
+        {
+            "component": [r[0] for r in rows],
+            "n_pages": pd.array([r[1] for r in rows], dtype="int64"),
+            "n_hosts": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def oracle_crawl_seed_distance(corpus: str) -> pd.DataFrame:
+    """Multi-source BFS mirror (spec pinned in crawlq.crawl_seed_distance):
+    stdlib deque BFS over the directed single-process link edges from the
+    seeds.parquet list; reachable pages only, sorted (dist asc, url asc)."""
+    from collections import deque
+
+    import pyarrow.parquet as pq
+
+    _urls, edges = _oracle_link_graph(corpus)
+    seeds = sorted(
+        set(pq.read_table(corpus + "/seeds.parquet", columns=["url"])["url"].to_pylist())
+    )
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist: dict[str, int] = {u: 0 for u in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    rows = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))
+    return pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "dist": pd.array([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def oracle_crawl_domain_graph(corpus: str) -> pd.DataFrame:
+    """Host-level webgraph mirror (spec pinned in crawlq.crawl_domain_graph):
+    plain dict scan over the single-process link edges — per (src_host,
+    dst_host): total links and distinct linking pages, self-host edges
+    included, sorted (n_links desc, src_host, dst_host)."""
+    from scrapy__ray.functions.url import host_of
+
+    _urls, edges = _oracle_link_graph(corpus)
+    links: dict[tuple[str, str], int] = {}
+    pages: dict[tuple[str, str], set] = {}
+    for s, d in edges:
+        k = (host_of(s), host_of(d))
+        links[k] = links.get(k, 0) + 1
+        pages.setdefault(k, set()).add(s)
+    keys = sorted(links, key=lambda k: (-links[k], k[0], k[1]))
+    return pd.DataFrame(
+        {
+            "src_host": [k[0] for k in keys],
+            "dst_host": [k[1] for k in keys],
+            "n_links": pd.array([links[k] for k in keys], dtype="int64"),
+            "n_src_pages": pd.array([len(pages[k]) for k in keys], dtype="int64"),
+        }
+    )
+
+
 def oracle_crawl_hits(corpus: str) -> pd.DataFrame:
     """Integer-exact HITS mirror (spec pinned in crawlq.crawl_hits): 5
     alternating iterations, each half renormalized to 10^12 mass by floor
@@ -1434,6 +1538,9 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_pagerank", oracle_crawl_pagerank(corpus)),
         ("crawl_hits", oracle_crawl_hits(corpus)),
         ("crawl_triangles", oracle_crawl_triangles(corpus)),
+        ("crawl_components", oracle_crawl_components(corpus)),
+        ("crawl_domain_graph", oracle_crawl_domain_graph(corpus)),
+        ("crawl_seed_distance", oracle_crawl_seed_distance(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),
         ("crawl_paragraph_dedup", oracle_crawl_paragraph_dedup(corpus)),
         ("crawl_anchor_text", oracle_crawl_anchor_text(corpus)),

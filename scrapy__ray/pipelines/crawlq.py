@@ -1138,6 +1138,429 @@ def crawl_anchor_text(sf_dir: str):
     )
 
 
+# -------------------------------------------- weakly-connected components
+def crawl_components(sf_dir: str):
+    """Weakly-connected components of the corpus link graph — the web-graph
+    partitioning primitive (site/community discovery, crawl-partition
+    sizing): every page is a node, every intra-corpus link an undirected
+    edge; emit one row per component with its representative url (the
+    lexicographically smallest member), page count and distinct-host count,
+    sorted (n_pages desc, component asc).  Isolated pages are singleton
+    components.
+
+    Node ids are each url's rank in the sorted url list — the url set is
+    already driver-resident for _link_edges' membership broadcast (same
+    small-side posture, same documented >10^8 semi-join alternative), and
+    rank ids make the component-MINIMUM id the component's
+    lexicographically-smallest url, so the dedup machinery's min-label
+    semantics directly yield the representative.  Components resolve via
+    pipelines.dedup.pairs_to_clusters (two regimes: driver union-find under
+    200k edges, iterated min-label propagation above — tests force both).
+    Per-component fold is ONE hash exchange keyed by rep carrying
+    (rep, host, pages) partials; host cardinality per component is tiny
+    (hosts ≪ pages), so partials collapse before the exchange.  Oracle:
+    independent union-find (oracle_ext.oracle_crawl_components),
+    materialized."""
+    import ray.data as rd
+
+    from scrapy__ray.functions.url import host_of
+    from scrapy__ray.pipelines.dedup import pairs_to_clusters
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        collect_arrow,
+        ensure_ctx,
+        lookup_broadcast,
+        shuffle_agg,
+    )
+
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+
+    urls = sorted(
+        pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist()
+    )
+    id_ref = broadcast({u: i for i, u in enumerate(urls)})
+    urls_ref = broadcast(urls)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        ids = lookup_broadcast(id_ref)
+        a = np.fromiter(
+            (ids[s] for s in t["src"].to_pylist()), dtype=np.int64, count=t.num_rows
+        )
+        b = np.fromiter(
+            (ids[d] for d in t["dst"].to_pylist()), dtype=np.int64, count=t.num_rows
+        )
+        # canonical lo<hi orientation; duplicates are harmless to both
+        # cluster regimes (set-union / min-agg are idempotent)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    pairs_ds = edges.map_batches(to_pairs, batch_format="pyarrow")
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        ids = lookup_broadcast(id_ref)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [ids[u] for u in t["url"].to_pylist()], pa.int64()
+                )
+            }
+        )
+
+    ensure_ctx()
+    nodes_ds = rd.read_parquet(corpus + "/pages", columns=["url"]).map_batches(
+        to_nodes, batch_format="pyarrow"
+    )
+    labels = pairs_to_clusters(pairs_ds, nodes_ds)
+
+    def attach(t: pa.Table) -> pa.Table:
+        us = lookup_broadcast(urls_ref)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rep": t["cluster_rep"],
+                "host": pa.array([host_of(us[i]) for i in doc], pa.string()),
+                "pages": pa.array(np.ones(len(doc), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["rep", "host"], as_index=False)["pages"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"rep": pd.array([], dtype="int64"),
+                 "n_pages": pd.array([], dtype="int64"),
+                 "n_hosts": pd.array([], dtype="int64")}
+            )
+        g = df.groupby("rep")
+        out = g["pages"].sum().rename("n_pages").to_frame()
+        out["n_hosts"] = g["host"].nunique()
+        return out.reset_index()
+
+    per_rep = shuffle_agg(
+        rd.from_arrow(labels).map_batches(attach, batch_format="pyarrow"),
+        ["rep"],
+        partial,
+        final,
+    )
+
+    def name_rep(df: pd.DataFrame) -> pd.DataFrame:
+        us = lookup_broadcast(urls_ref)
+        return pd.DataFrame(
+            {
+                "component": [us[int(r)] for r in df["rep"]],
+                "n_pages": df["n_pages"].astype("int64").values,
+                "n_hosts": df["n_hosts"].astype("int64").values,
+            }
+        )
+
+    tbl = collect_arrow(
+        per_rep.map_batches(name_rep, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [
+                ("component", pa.string()),
+                ("n_pages", pa.int64()),
+                ("n_hosts", pa.int64()),
+            ]
+        ),
+    )
+    df = (
+        tbl.to_pandas()
+        .sort_values(["n_pages", "component"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------- multi-source seed BFS
+#: hop-synchronous propagation runs DIAMETER rounds (the Pregel BFS law).
+#: Real webgraph diameters are ~20-30 hops; the budget is sized for the
+#: pathological chain-shaped corpora the fixture generator produces
+#: (sf-small max seed distance = 123 — paginated next-page chains).
+_BFS_MAX_ROUNDS = 256
+_BFS_SMALL_EDGES = 200_000
+
+
+def _min_dist_propagate(edges, labels, unreach: int):
+    """Iterated min-distance propagation (the distributed BFS kernel,
+    shared spec with crawl_seed_distance and unit-tested standalone on
+    synthetic graphs): per round ONE shuffle_join keyed by src relays
+    dist+1 across edges and ONE min shuffle_agg keyed by node folds it
+    into the label table.  Convergence: per-block remote sums over the
+    just-materialized label refs (no extra dataset execution) — the capped
+    distance sum strictly decreases until fixpoint.  Plan/stats ancestry
+    is severed per round via from_arrow_refs: the chained join+union+agg
+    operator tree otherwise grows several stats nodes per round and Ray's
+    recursive DatasetStats summarization blows Python's recursion limit
+    near ~20 rounds (blocks stay in the object store — refs only).
+
+    ``edges``: Dataset[(src, dst, ...)]; ``labels``: materialized
+    Dataset[(node, dist)] with seeds at 0 and everything else at
+    ``unreach``.  Raises on non-convergence within _BFS_MAX_ROUNDS rather
+    than returning partial distances (the pairs_to_clusters contract)."""
+    import ray
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import shuffle_agg, shuffle_join
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        # empty exchange partitions surface as zero-column blocks
+        if "dist" not in t.column_names:
+            return 0
+        return int(np.sum(t["dist"].to_numpy(zero_copy_only=False)))
+
+    def refs_sum(refs) -> int:
+        return sum(ray.get([block_sum.remote(r) for r in refs]))
+
+    def relay(t: pa.Table) -> pa.Table:
+        # Arrow in/out so EMPTY partitions keep (string, int64) types — an
+        # empty pandas frame degrades to null-typed Arrow columns and
+        # poisons downstream schema unification
+        return pa.table(
+            {
+                "node": t["dst"],
+                "dist": pa.array(
+                    np.minimum(
+                        t["dist"].to_numpy(zero_copy_only=False) + 1, unreach
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def min_partial(df: pd.DataFrame):
+        # typed Arrow out: an empty partition's object-dtype (or
+        # zero-column) pandas frame would otherwise become a null-typed
+        # block and poison schema unification
+        if not len(df) or "node" not in df.columns:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        g = df.groupby("node", as_index=False)["dist"].min()
+        return pa.table(
+            {
+                "node": pa.array(g["node"], pa.string()),
+                "dist": pa.array(g["dist"], pa.int64()),
+            }
+        )
+
+    refs = labels.to_arrow_refs()
+    labels = rd.from_arrow_refs(refs)
+    prev = refs_sum(refs)
+    for _ in range(_BFS_MAX_ROUNDS):
+        contrib = shuffle_join(
+            edges,
+            labels.map_batches(
+                lambda t: t.rename_columns(["src", "dist"]),
+                batch_format="pyarrow",
+            ),
+            on="src",
+            left_cols=["src", "dst"],
+            right_cols=["src", "dist"],
+        ).map_batches(relay, batch_format="pyarrow", batch_size=None)
+        labels = shuffle_agg(
+            contrib.union(labels), ["node"], min_partial, min_partial
+        ).materialize()
+        refs = labels.to_arrow_refs()
+        labels = rd.from_arrow_refs(refs)
+        cur = refs_sum(refs)
+        if cur == prev:  # distances only decrease; equal sum == fixpoint
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"min-distance propagation did not converge within "
+        f"{_BFS_MAX_ROUNDS} rounds; graph diameter exceeds the budget"
+    )
+
+
+def crawl_seed_distance(sf_dir: str):
+    """Minimum hop distance from the seed list to every reachable page over
+    the DIRECTED link graph — the static mirror of crawl depth (what
+    DEPTH_LIMIT prunes against) and the standard multi-source BFS
+    primitive.  Output: (url, dist) for reachable pages, seeds at 0,
+    sorted (dist asc, url asc).
+
+    Two regimes by edge volume (the pairs_to_clusters posture):
+      * ≤ _BFS_SMALL_EDGES: driver BFS over the collected edge list —
+        edges ≪ pages-with-html, the node side is never collected;
+      * above: iterated min-distance propagation — per round one
+        shuffle_join keyed by src relaying dist+1 across edges and one
+        min shuffle_agg keyed by node; the driver holds one convergence
+        scalar (sum of capped distances, strictly decreasing until
+        fixpoint).  O(graph diameter) rounds, ≤ _BFS_MAX_ROUNDS (refuses
+        rather than returning partial distances, like pairs_to_clusters).
+    Oracle: independent deque BFS (oracle_ext.oracle_crawl_seed_distance),
+    materialized."""
+    from scrapy__ray.pipelines.util import collect_arrow, ensure_ctx
+
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+    ensure_ctx()
+    seeds = pq.read_table(corpus + "/seeds.parquet", columns=["url"])[
+        "url"
+    ].to_pylist()
+    seed_set = set(seeds)
+    out_schema = pa.schema([("url", pa.string()), ("dist", pa.int64())])
+
+    n_edges = edges.count()
+    if n_edges <= _BFS_SMALL_EDGES:
+        from collections import deque
+
+        adj: dict[str, list[str]] = {}
+        for t in ray_get_blocks(edges):
+            for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+                adj.setdefault(s, []).append(d)
+        dist: dict[str, int] = {u: 0 for u in seed_set}
+        q = deque(sorted(seed_set))
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        rows = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "dist": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    # distributed regime: min-distance propagation over string-keyed labels
+    unreach = int(_BFS_MAX_ROUNDS + 1)
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        d = np.fromiter(
+            (0 if u in seed_set else unreach for u in urls),
+            dtype=np.int64,
+            count=len(urls),
+        )
+        return pa.table(
+            {"node": pa.array(urls, pa.string()), "dist": pa.array(d, pa.int64())}
+        )
+
+    import ray.data as rd
+
+    labels = (
+        rd.read_parquet(corpus + "/pages", columns=["url"])
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    labels = _min_dist_propagate(edges, labels, unreach)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        keep = d < unreach
+        return pa.table(
+            {
+                "url": pa.array(
+                    np.asarray(t["node"].to_pylist(), dtype=object)[keep],
+                    pa.string(),
+                ),
+                "dist": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    tbl = collect_arrow(
+        labels.map_batches(finish, batch_format="pyarrow"), out_schema
+    )
+    df = tbl.to_pandas().sort_values(["dist", "url"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def ray_get_blocks(ds):
+    """Arrow blocks of a (small) materialized Dataset on the driver."""
+    import ray
+
+    return [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+
+
+# ------------------------------------------------- host-level domain graph
+def crawl_domain_graph(sf_dir: str):
+    """Host-to-host link adjacency over the corpus — the Common-Crawl-style
+    host-level webgraph (the unit of crawl partitioning, politeness budgets
+    and domain-authority signals): one row per (src_host, dst_host) pair
+    with total link count and distinct linking-page count, self-host edges
+    included (they dominate real webgraphs and the intra/inter split is a
+    consumer-side filter), sorted (n_links desc, src_host, dst_host).
+
+    Scale: ONE hash exchange keyed by the host pair carrying
+    (src_host, dst_host, src_page, cnt) partials — host-pair cardinality is
+    quadratic in HOSTS, not pages, so partials collapse the page dimension
+    before the exchange.  Oracle: independent single-process link-graph
+    scan (oracle_ext.oracle_crawl_domain_graph), materialized."""
+    from scrapy__ray.functions.url import host_of
+    from scrapy__ray.pipelines.util import collect_arrow, shuffle_agg
+
+    corpus = _corpus()
+    edges = _link_edges(corpus)
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_host": t["src_host"],
+                "dst_host": pa.array(
+                    [host_of(d) for d in t["dst"].to_pylist()], pa.string()
+                ),
+                "src": t["src"],
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src_host", "dst_host", "src"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"src_host": pd.array([], dtype="str"),
+                 "dst_host": pd.array([], dtype="str"),
+                 "n_links": pd.array([], dtype="int64"),
+                 "n_src_pages": pd.array([], dtype="int64")}
+            )
+        g = df.groupby(["src_host", "dst_host"])
+        out = g["cnt"].sum().rename("n_links").to_frame()
+        out["n_src_pages"] = g["src"].nunique()
+        return out.reset_index()
+
+    per_pair = shuffle_agg(
+        edges.map_batches(host_rows, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        partial,
+        final,
+    )
+    tbl = collect_arrow(
+        per_pair,
+        pa.schema(
+            [
+                ("src_host", pa.string()),
+                ("dst_host", pa.string()),
+                ("n_links", pa.int64()),
+                ("n_src_pages", pa.int64()),
+            ]
+        ),
+    )
+    df = (
+        tbl.to_pandas()
+        .sort_values(
+            ["n_links", "src_host", "dst_host"], ascending=[False, True, True]
+        )
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -1152,4 +1575,7 @@ QUERIES = {
     "crawl_main_content": (crawl_main_content, None),
     "crawl_paragraph_dedup": (crawl_paragraph_dedup, None),
     "crawl_anchor_text": (crawl_anchor_text, None),
+    "crawl_components": (crawl_components, None),
+    "crawl_domain_graph": (crawl_domain_graph, None),
+    "crawl_seed_distance": (crawl_seed_distance, None),
 }

@@ -129,6 +129,14 @@ def pairs_to_clusters(pairs_ds, nodes_ds, max_iters: int = 50):
         labels = shuffle_agg(
             contrib.union(labels), ["node"], min_partial, min_partial
         ).materialize()
+        # sever plan/stats ancestry per round (blocks stay in the object
+        # store): the chained join+union+agg operator tree otherwise grows
+        # by several stats nodes per round and Ray's recursive DatasetStats
+        # summarization hits Python's recursion limit near ~20 rounds —
+        # found by crawl_seed_distance, whose BFS genuinely iterates to the
+        # graph diameter; near-dup clusters converge in 2-3 rounds but the
+        # 50-round budget exists precisely for long chain components
+        labels = rd.from_arrow_refs(labels.to_arrow_refs())
         cur = label_sum(labels)
         if cur == prev:  # labels only ever decrease; equal sum == fixpoint
             converged = True
