@@ -1285,20 +1285,41 @@ def crawl_components(sf_dir: str):
 #: (sf-small max seed distance = 123 — paginated next-page chains).
 _BFS_MAX_ROUNDS = 256
 _BFS_SMALL_EDGES = 200_000
+#: frontier rows at or under this broadcast as a driver dict (node→dist,
+#: ~100 B/row → ≤50 MB object) so the relay needs NO exchange; above it the
+#: relay is a shuffle_join — the standard broadcast-vs-shuffle join choice.
+_BFS_BROADCAST_FRONTIER = 500_000
 
 
 def _min_dist_propagate(edges, labels, unreach: int):
-    """Iterated min-distance propagation (the distributed BFS kernel,
-    shared spec with crawl_seed_distance and unit-tested standalone on
-    synthetic graphs): per round ONE shuffle_join keyed by src relays
-    dist+1 across edges and ONE min shuffle_agg keyed by node folds it
-    into the label table.  Convergence: per-block remote sums over the
-    just-materialized label refs (no extra dataset execution) — the capped
-    distance sum strictly decreases until fixpoint.  Plan/stats ancestry
-    is severed per round via from_arrow_refs: the chained join+union+agg
-    operator tree otherwise grows several stats nodes per round and Ray's
-    recursive DatasetStats summarization blows Python's recursion limit
-    near ~20 rounds (blocks stay in the object store — refs only).
+    """Delta-frontier BFS (the distributed multi-source BFS kernel, shared
+    spec with crawl_seed_distance and unit-tested standalone on synthetic
+    graphs).  Per round only the FRONTIER — the nodes whose distance
+    improved last round — relays dist+1 across its out-edges.  The
+    hop-synchronous invariant (unit edge weights, all seeds at 0) means a
+    node's distance is final the round it first improves, so every node
+    relays at most once and total relay volume is O(E) over the WHOLE run
+    — not O(E·diameter) as full re-relabeling would cost, which is the
+    difference between usable and unusable on the 123-hop chain corpora
+    the fixture generator produces.  Relay regime by frontier size:
+
+      * ≤ _BFS_BROADCAST_FRONTIER rows: the frontier broadcasts as a
+        node→dist dict and the relay is a map_batches filter over the
+        materialized edge set — no exchange on the relay side;
+      * above: shuffle_join(edges, frontier) — one exchange carrying
+        E + |frontier| rows (wide BFS levels on flat graphs).
+
+    The merge is ONE labels+contrib exchange keyed by node whose
+    per-partition final computes the new minimum AND flags improvements
+    (label rows tagged old=1, contrib rows old=0); the improved rows ARE
+    the next frontier, and an empty frontier is the exact convergence
+    signal.  Frontier extraction runs as per-block remote tasks over the
+    just-materialized label refs — blocks never gather on the driver
+    except the ≤threshold frontier rows themselves.  Plan/stats ancestry
+    is severed per round via to_arrow_refs/from_arrow_refs: the chained
+    union+agg operator tree otherwise grows several stats nodes per round
+    and Ray's recursive DatasetStats summarization blows Python's
+    recursion limit near ~20 rounds (blocks stay in the object store).
 
     ``edges``: Dataset[(src, dst, ...)]; ``labels``: materialized
     Dataset[(node, dist)] with seeds at 0 and everything else at
@@ -1307,22 +1328,56 @@ def _min_dist_propagate(edges, labels, unreach: int):
     import ray
     import ray.data as rd
 
-    from scrapy__ray.pipelines.util import shuffle_agg, shuffle_join
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        lookup_broadcast,
+        shuffle_agg,
+        shuffle_join,
+    )
 
-    @ray.remote
-    def block_sum(t: pa.Table) -> int:
-        # empty exchange partitions surface as zero-column blocks
-        if "dist" not in t.column_names:
-            return 0
-        return int(np.sum(t["dist"].to_numpy(zero_copy_only=False)))
+    # the edge set is re-scanned every round — pin its blocks once
+    edges = edges.materialize()
 
-    def refs_sum(refs) -> int:
-        return sum(ray.get([block_sum.remote(r) for r in refs]))
+    def _empty_front() -> pa.Table:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "dist": pa.array([], pa.int64())}
+        )
+
+    @ray.remote(num_returns=2)
+    def split_block(t: pa.Table, first: bool):
+        """(frontier rows of one label block, their count).  Round 0's
+        frontier is every node already under ``unreach`` (the seeds);
+        later rounds read the merge's improvement flag."""
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _empty_front(), 0
+        mask = (
+            pc.less(t["dist"], unreach)
+            if first
+            else pc.equal(t["imp"], pa.scalar(1, pa.int8()))
+        )
+        f = t.filter(mask).select(["node", "dist"])
+        return f, f.num_rows
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                    "old": pa.array([], pa.int8()),
+                }
+            )
+        t = t.select(["node", "dist"])
+        return t.append_column(
+            "old", pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8())
+        )
 
     def relay(t: pa.Table) -> pa.Table:
-        # Arrow in/out so EMPTY partitions keep (string, int64) types — an
-        # empty pandas frame degrades to null-typed Arrow columns and
-        # poisons downstream schema unification
+        # Arrow in/out so EMPTY partitions keep typed columns — an empty
+        # pandas frame degrades to null-typed Arrow and poisons schema
+        # unification downstream
         return pa.table(
             {
                 "node": t["dst"],
@@ -1332,51 +1387,141 @@ def _min_dist_propagate(edges, labels, unreach: int):
                     ),
                     pa.int64(),
                 ),
+                "old": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
             }
         )
 
-    def min_partial(df: pd.DataFrame):
-        # typed Arrow out: an empty partition's object-dtype (or
-        # zero-column) pandas frame would otherwise become a null-typed
-        # block and poison schema unification
+    def merge_partial(df: pd.DataFrame):
         if not len(df) or "node" not in df.columns:
             return pa.table(
                 {
                     "node": pa.array([], pa.string()),
                     "dist": pa.array([], pa.int64()),
+                    "old": pa.array([], pa.int8()),
                 }
             )
-        g = df.groupby("node", as_index=False)["dist"].min()
+        g = df.groupby(["node", "old"], as_index=False)["dist"].min()
         return pa.table(
             {
                 "node": pa.array(g["node"], pa.string()),
                 "dist": pa.array(g["dist"], pa.int64()),
+                "old": pa.array(g["old"].astype(np.int8), pa.int8()),
             }
         )
 
+    def merge_final(df: pd.DataFrame):
+        if not len(df) or "node" not in df.columns:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                    "imp": pa.array([], pa.int8()),
+                }
+            )
+        newmin = df.groupby("node")["dist"].min()
+        oldmin = (
+            df[df["old"] == 1]
+            .groupby("node")["dist"]
+            .min()
+            .reindex(newmin.index)
+            .fillna(unreach)
+        )
+        return pa.table(
+            {
+                "node": pa.array(newmin.index, pa.string()),
+                "dist": pa.array(newmin.to_numpy(np.int64), pa.int64()),
+                "imp": pa.array(
+                    (newmin.to_numpy(np.int64) < oldmin.to_numpy(np.int64)).astype(
+                        np.int8
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    def drop_imp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _empty_front()
+        return t.select(["node", "dist"])
+
     refs = labels.to_arrow_refs()
-    labels = rd.from_arrow_refs(refs)
-    prev = refs_sum(refs)
+    first = True
     for _ in range(_BFS_MAX_ROUNDS):
-        contrib = shuffle_join(
-            edges,
-            labels.map_batches(
-                lambda t: t.rename_columns(["src", "dist"]),
+        parts = [split_block.remote(r, first) for r in refs]
+        f_refs = [p[0] for p in parts]
+        n_front = sum(ray.get([p[1] for p in parts]))
+        if n_front == 0:  # no node improved — distances are final
+            out = rd.from_arrow_refs(refs)
+            if not first:
+                out = out.map_batches(drop_imp, batch_format="pyarrow")
+            return out
+        if n_front <= _BFS_BROADCAST_FRONTIER:
+            fdict: dict[str, int] = {}
+            for t in ray.get(f_refs):
+                for n, d in zip(t["node"].to_pylist(), t["dist"].to_pylist()):
+                    fdict[n] = d
+            f_ref = broadcast(fdict)
+
+            def relay_broadcast(t: pa.Table, _ref=f_ref) -> pa.Table:
+                fd = lookup_broadcast(_ref)
+                srcs = t["src"].to_pylist()
+                keep = [i for i, s in enumerate(srcs) if s in fd]
+                if not keep:
+                    return pa.table(
+                        {
+                            "node": pa.array([], pa.string()),
+                            "dist": pa.array([], pa.int64()),
+                            "old": pa.array([], pa.int8()),
+                        }
+                    )
+                idx = pa.array(keep, pa.int64())
+                return pa.table(
+                    {
+                        "node": t["dst"].take(idx),
+                        "dist": pa.array(
+                            np.fromiter(
+                                (min(fd[srcs[i]] + 1, unreach) for i in keep),
+                                dtype=np.int64,
+                                count=len(keep),
+                            ),
+                            pa.int64(),
+                        ),
+                        "old": pa.array(
+                            np.zeros(len(keep), dtype=np.int8), pa.int8()
+                        ),
+                    }
+                )
+
+            contrib = edges.map_batches(relay_broadcast, batch_format="pyarrow")
+        else:
+            frontier = rd.from_arrow_refs(f_refs).map_batches(
+                lambda t: (
+                    t.rename_columns(["src", "dist"])
+                    if t.num_rows
+                    else pa.table(
+                        {
+                            "src": pa.array([], pa.string()),
+                            "dist": pa.array([], pa.int64()),
+                        }
+                    )
+                ),
                 batch_format="pyarrow",
-            ),
-            on="src",
-            left_cols=["src", "dst"],
-            right_cols=["src", "dist"],
-        ).map_batches(relay, batch_format="pyarrow", batch_size=None)
+            )
+            contrib = shuffle_join(
+                edges,
+                frontier,
+                on="src",
+                left_cols=["src", "dst"],
+                right_cols=["src", "dist"],
+            ).map_batches(relay, batch_format="pyarrow", batch_size=None)
+        labels_tagged = rd.from_arrow_refs(refs).map_batches(
+            tag_old, batch_format="pyarrow"
+        )
         labels = shuffle_agg(
-            contrib.union(labels), ["node"], min_partial, min_partial
+            contrib.union(labels_tagged), ["node"], merge_partial, merge_final
         ).materialize()
         refs = labels.to_arrow_refs()
-        labels = rd.from_arrow_refs(refs)
-        cur = refs_sum(refs)
-        if cur == prev:  # distances only decrease; equal sum == fixpoint
-            return labels
-        prev = cur
+        first = False
     raise RuntimeError(
         f"min-distance propagation did not converge within "
         f"{_BFS_MAX_ROUNDS} rounds; graph diameter exceeds the budget"

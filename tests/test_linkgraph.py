@@ -10,6 +10,7 @@ both-paths-identical contract as pipelines/dedup.py.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -119,3 +120,21 @@ def test_min_dist_propagate_matches_bfs(ray_session):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+@pytest.mark.slow
+def test_seed_distance_distributed_regime_matches_oracle(ray_session, monkeypatch):
+    """crawl_seed_distance through the FORCED delta-frontier propagation
+    regime on the real fixture corpus (123-hop chain → 124 hop-synchronous
+    rounds) must equal the deque-BFS oracle — the same both-paths-identical
+    contract as crawl_components.  ~3-4 min at 16 cpus, hence slow-marked;
+    the kernel itself is unit-tested fast on a synthetic graph above."""
+    import fixtures.gen as fxgen
+    import scrapy__ray.pipelines.crawlq as cq
+    from scrapy__ray.oracle_ext import oracle_crawl_seed_distance
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    theirs = _canon(oracle_crawl_seed_distance(corpus))
+    monkeypatch.setattr(cq, "_BFS_SMALL_EDGES", 0)
+    dist = _canon(cq.crawl_seed_distance("unused").to_pandas())
+    pd.testing.assert_frame_equal(dist, theirs, check_dtype=False, check_exact=True)
