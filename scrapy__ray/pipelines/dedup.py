@@ -315,12 +315,140 @@ FROM reach GROUP BY node
 """
 
 
+def docs_dup_keep_best(sf_dir: str):
+    """Quality-aware canonical selection over the exact-Jaccard dup
+    clusters: instead of keeping the MIN-doc_id member (docs_dup_clusters'
+    keep flag — an arbitrary canonical), keep the LONGEST member of each
+    cluster (max token count, tie-break lowest doc_id) — the standard
+    curation rule for near-dup canonicals (the longest version of a
+    boilerplate-wrapped page is usually the most complete).  Output one
+    row per document: (doc_id, cluster_rep, n_tokens, keep), sorted by
+    doc_id.
+
+    Shape: the cluster labels (already resolved by pairs_to_clusters) and
+    a narrow (doc_id, n_tokens) token-count pass shuffle-join on doc_id,
+    then ONE hash exchange keyed by cluster_rep elects the argmax inside
+    each partition with a vectorized sort+first — no per-group UDF
+    dispatch, no driver-side cluster state.  Token counts reuse
+    docs_quality's tokenizer, whose SQL mirror is already oracle-proven,
+    so the WHOLE chain (capped pair SQL -> recursive-CTE closure ->
+    window-function argmax) has an exact DuckDB oracle."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.textops import _tokens
+    from scrapy__ray.pipelines.util import hash_partition_map
+
+    clusters = docs_dup_clusters(sf_dir)  # pa.Table (doc_id, cluster_rep, keep)
+    clusters_ds = rd.from_arrow(clusters.select(["doc_id", "cluster_rep"]))
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [len(_tokens(x)) for x in t["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    ntok = read_parquet(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    joined = shuffle_join(
+        clusters_ds,
+        ntok,
+        on="doc_id",
+        left_cols=["doc_id", "cluster_rep"],
+        right_cols=["doc_id", "n_tokens"],
+    )
+
+    def elect(df: pd.DataFrame):
+        if not len(df) or "doc_id" not in df.columns:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
+        df = df.sort_values(
+            ["cluster_rep", "n_tokens", "doc_id"], ascending=[True, False, True]
+        )
+        keep = df.groupby("cluster_rep").cumcount() == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "cluster_rep": pa.array(
+                    df["cluster_rep"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64), pa.int64()),
+                "keep": pa.array(keep.to_numpy(), pa.bool_()),
+            }
+        )
+
+    out = collect_arrow(
+        hash_partition_map(joined, ["cluster_rep"], elect),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("cluster_rep", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("keep", pa.bool_()),
+            ]
+        ),
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _dup_keep_best_sql() -> str:
+    from scrapy__ray.pipelines.textops import docs_jaccard_sql
+
+    pair_sql = docs_jaccard_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pair_sql}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r)::BIGINT AS cluster_rep FROM reach GROUP BY node
+),
+tok AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+           AS n_tokens
+  FROM documents
+)
+SELECT c.doc_id, c.cluster_rep, t.n_tokens,
+       (ROW_NUMBER() OVER (
+          PARTITION BY c.cluster_rep
+          ORDER BY t.n_tokens DESC, c.doc_id ASC) = 1) AS keep
+FROM clusters c JOIN tok t USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 EMB_DUP_CLUSTERS_SQL = _emb_dup_clusters_sql()
 
+DOCS_DUP_KEEP_BEST_SQL = _dup_keep_best_sql()
+
+
 QUERIES = {
     "docs_dup_clusters": (docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
     "docs_dup_clusters_minhash": (docs_dup_clusters_minhash, None),
+    "docs_dup_keep_best": (docs_dup_keep_best, DOCS_DUP_KEEP_BEST_SQL),
     "emb_dup_clusters": (emb_dup_clusters, EMB_DUP_CLUSTERS_SQL),
 }
