@@ -755,6 +755,60 @@ def oracle_crawl_triangles(corpus: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_hyperball(corpus: str) -> pd.DataFrame:
+    """HyperBall mirror (spec pinned in crawlq.crawl_hyperball): the same
+    HLL(p=6) register/estimator law run single-process over a dict of
+    bytearrays — 8 hop-synchronous rounds of register-max along out-edges
+    (new round's sketch built strictly from the PREVIOUS round's, like the
+    distributed kernel), then the estimate with small-range correction.
+    The register sum runs in sequential register order on both sides, so
+    the float64 result is bit-identical, not statistically close."""
+    import hashlib
+    import math
+
+    urls, edges = _oracle_link_graph(corpus)
+    p, m = 6, 64
+    regs: dict[str, bytearray] = {}
+    for u in urls:
+        r = bytearray(m)
+        h = int.from_bytes(
+            hashlib.blake2b(u.encode(), digest_size=8).digest(), "big"
+        )
+        idx = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        r[idx] = 64 - w.bit_length() + 1 if w else (64 - p) + 1
+        regs[u] = r
+    out_adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        out_adj.setdefault(s, []).append(d)
+    for _ in range(8):
+        new = {u: bytearray(r) for u, r in regs.items()}
+        for s, nbrs in out_adj.items():
+            tgt = new[s]
+            for d in nbrs:
+                src_regs = regs[d]
+                for i in range(m):
+                    if src_regs[i] > tgt[i]:
+                        tgt[i] = src_regs[i]
+        regs = new
+    rows = []
+    for u in sorted(urls):
+        r = regs[u]
+        fm = float(m)
+        alpha = 0.7213 / (1 + 1.079 / fm)
+        est = alpha * fm * fm / sum(2.0 ** -int(b) for b in r)
+        zeros = sum(1 for b in r if b == 0)
+        if est <= 2.5 * fm and zeros:
+            est = fm * math.log(fm / zeros)
+        rows.append((u, round(est, 2)))
+    return pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "est_ball": pd.array([r[1] for r in rows], dtype="float64"),
+        }
+    )
+
+
 def oracle_crawl_components(corpus: str) -> pd.DataFrame:
     """Weakly-connected-components mirror (spec pinned in
     crawlq.crawl_components): classic path-compressed union-find over the
@@ -1539,6 +1593,7 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_hits", oracle_crawl_hits(corpus)),
         ("crawl_triangles", oracle_crawl_triangles(corpus)),
         ("crawl_components", oracle_crawl_components(corpus)),
+        ("crawl_hyperball", oracle_crawl_hyperball(corpus)),
         ("crawl_domain_graph", oracle_crawl_domain_graph(corpus)),
         ("crawl_seed_distance", oracle_crawl_seed_distance(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),

@@ -1706,6 +1706,174 @@ def crawl_domain_graph(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# ------------------------------------------------------------- HyperBall
+_HB_P = 6  #: 64 registers -> 64 B sketch per node (HyperBall's design point:
+#: the per-node state must be tiny because every round ships one sketch per
+#: edge; p=6 gives ~13% standard error, irrelevant to the correctness gate
+#: because the oracle pins the IDENTICAL register/estimator law — the match
+#: is exact, not statistical)
+_HB_RADIUS = 8  #: fixed ball radius — bounded rounds, diameter-independent
+
+
+def _hb_init_regs(url: str) -> bytes:
+    """One-element HLL(p=_HB_P) register vector for a node's own url."""
+    import hashlib
+
+    m = 1 << _HB_P
+    regs = bytearray(m)
+    h = int.from_bytes(hashlib.blake2b(url.encode(), digest_size=8).digest(), "big")
+    idx = h >> (64 - _HB_P)
+    w = (h << _HB_P) & ((1 << 64) - 1)
+    regs[idx] = 64 - w.bit_length() + 1 if w else (64 - _HB_P) + 1
+    return bytes(regs)
+
+
+def _hb_estimate(regs: bytes) -> float:
+    """HLL estimate with small-range correction.  Sequential register-order
+    summation, mirrored LITERALLY by the oracle: the raw sum spans ~2^0 to
+    2^-59 and is not exactly representable in float64, so a different
+    summation order could differ in the last ulp — both sides sum in the
+    same order to keep the match bit-exact."""
+    import math
+
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -int(b) for b in regs)
+    zeros = sum(1 for b in regs if b == 0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def crawl_hyperball(sf_dir: str):
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall") over the corpus link graph: per page an
+    HLL(p=6) sketch of the out-ball {u : dist(v→u) ≤ _HB_RADIUS}, grown by
+    _HB_RADIUS hop-synchronous rounds of register-max merges
+    (ball(v, r+1) = ball(v, r) ∪ union of ball(w, r) over out-neighbors
+    w).  Output (url, est_ball) — the sketch's cardinality estimate,
+    rounded to 2 decimals — sorted by url.  This is THE webgraph
+    neighborhood-function algorithm: exact ball sizes need O(N) state per
+    node, the sketch needs 64 bytes, and register-max is commutative /
+    associative / idempotent, so merge order (and therefore block order)
+    cannot change the result.
+
+    Scale: sketches live as a Dataset (node, 64 B regs); each round is one
+    shuffle_join keyed by dst (relay each node's sketch to its
+    in-neighbors' merge) + one register-max shuffle_agg keyed by node —
+    2 exchanges/round carrying E+N sketch rows, bounded rounds, nothing
+    per-node on the driver.  Plan lineage severed per round (the
+    pairs_to_clusters posture).  Oracle: independent single-process
+    dict-of-bytearrays implementation of the same pinned law
+    (oracle_ext.oracle_crawl_hyperball), materialized."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import (
+        collect_arrow,
+        ensure_ctx,
+        shuffle_agg,
+        shuffle_join,
+    )
+
+    corpus = _corpus()
+    edges = _link_edges(corpus).materialize()
+    ensure_ctx()
+
+    def init_batch(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(urls, pa.string()),
+                "regs": pa.array([_hb_init_regs(u) for u in urls], pa.binary()),
+            }
+        )
+
+    sketches = (
+        rd.read_parquet(corpus + "/pages", columns=["url"])
+        .map_batches(init_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _empty_sketch() -> pa.Table:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "regs": pa.array([], pa.binary())}
+        )
+
+    def merge_max(df: pd.DataFrame):
+        # per-node register max, vectorized: stable-sort by node, stack the
+        # fixed-width buffers, np.maximum.reduceat at group boundaries
+        if not len(df) or "node" not in df.columns:
+            return _empty_sketch()
+        order = np.argsort(df["node"].to_numpy(), kind="stable")
+        nodes = df["node"].to_numpy()[order]
+        mat = np.frombuffer(
+            b"".join(df["regs"].to_numpy()[order]), dtype=np.uint8
+        ).reshape(len(df), 1 << _HB_P)
+        starts = np.r_[0, np.flatnonzero(nodes[1:] != nodes[:-1]) + 1]
+        red = np.maximum.reduceat(mat, starts, axis=0)
+        return pa.table(
+            {
+                "node": pa.array(nodes[starts], pa.string()),
+                "regs": pa.array([r.tobytes() for r in red], pa.binary()),
+            }
+        )
+
+    def relay(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return _empty_sketch()
+        return pa.table({"node": t["src"], "regs": t["regs"]})
+
+    for _ in range(_HB_RADIUS):
+        contrib = shuffle_join(
+            edges,
+            sketches.map_batches(
+                lambda t: (
+                    pa.table({"dst": t["node"], "regs": t["regs"]})
+                    if t.num_rows
+                    else pa.table(
+                        {
+                            "dst": pa.array([], pa.string()),
+                            "regs": pa.array([], pa.binary()),
+                        }
+                    )
+                ),
+                batch_format="pyarrow",
+            ),
+            on="dst",
+            left_cols=["src", "dst"],
+            right_cols=["dst", "regs"],
+        ).map_batches(relay, batch_format="pyarrow", batch_size=None)
+        sketches = shuffle_agg(
+            contrib.union(sketches), ["node"], merge_max, merge_max
+        ).materialize()
+        sketches = rd.from_arrow_refs(sketches.to_arrow_refs())
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "est_ball": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "url": t["node"],
+                "est_ball": pa.array(
+                    [round(_hb_estimate(r), 2) for r in t["regs"].to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    tbl = collect_arrow(
+        sketches.map_batches(finish, batch_format="pyarrow"),
+        pa.schema([("url", pa.string()), ("est_ball", pa.float64())]),
+    )
+    df = tbl.to_pandas().sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -1723,4 +1891,5 @@ QUERIES = {
     "crawl_components": (crawl_components, None),
     "crawl_domain_graph": (crawl_domain_graph, None),
     "crawl_seed_distance": (crawl_seed_distance, None),
+    "crawl_hyperball": (crawl_hyperball, None),
 }
