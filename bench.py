@@ -93,6 +93,7 @@ def _bench_crawl(scale: str, num_cpus: int) -> dict:
         "wall_s": round(wall, 3),
         "engine_wall_s": round(summary.wall_s, 3),
         "urls_per_sec": round(summary.total_fetched / summary.wall_s, 1),
+        "phase_s": summary.phase_s,
     }
 
 

@@ -72,6 +72,7 @@ class CrawlSummary:
     round_metrics: list = field(default_factory=list)
     urls_per_sec: float = 0.0
     wall_s: float = 0.0
+    phase_s: dict = field(default_factory=dict)
 
 
 class CrawlEngine:
@@ -107,6 +108,15 @@ class CrawlEngine:
             for i in range(S)
         ]
         self.stats = ray.remote(StatsCollector).options(num_cpus=0).remote()
+        # decode-once plasma corpus cache (sources/corpus.py); threaded so
+        # first-touch loads of different partitions decode in parallel
+        from scrapy__ray.sources.corpus import CorpusPartRegistry
+
+        self.registry = (
+            ray.remote(CorpusPartRegistry)
+            .options(num_cpus=0, max_concurrency=8)
+            .remote()
+        )
 
         ckpt_round = self._latest_checkpoint() if resume else None
         if ckpt_round is not None:
@@ -200,6 +210,10 @@ class CrawlEngine:
 
         cfg = self.cfg
         t_start = time.monotonic()
+        # per-phase wall accounting (resolve barrier / dataset exec+write /
+        # driver bookkeeping / checkpoint) — drives scaling-efficiency work;
+        # summed per run and exposed on the summary as `phase_s`
+        phases = {"resolve": 0.0, "exec": 0.0, "driver": 0.0, "ckpt": 0.0}
         round_metrics: list[dict] = [
             dict(m) for m in getattr(self, "_prior_round_metrics", [])
         ]
@@ -219,6 +233,7 @@ class CrawlEngine:
             # (96 tasks/round) ran 22% SLOWER than floor 2048 (26
             # tasks/round) — per-task push fan-out dominates the extra
             # load-balance granularity.  Do not lower it.
+            t_ph = time.monotonic()
             cpus = int(ray.cluster_resources().get("CPU", 8))
             chunk = max(
                 cfg.scheduled_chunk_rows,
@@ -228,6 +243,7 @@ class CrawlEngine:
                 [s.resolve.remote(rnd, chunk) for s in self.shards]
             )
             shard_stats = ray.get([s.status.remote(rnd) for s in self.shards])
+            phases["resolve"] += time.monotonic() - t_ph
             n_sched = sum(st["scheduled"] for st in shard_stats)
             self._last_sched = n_sched
             if n_sched == 0:
@@ -249,6 +265,7 @@ class CrawlEngine:
                 break
             sched_refs = [r for lst in ref_lists for r in lst]
 
+            t_ph = time.monotonic()
             ds = ray.data.from_arrow_refs(sched_refs)
             results = (
                 ds.map_batches(
@@ -261,6 +278,7 @@ class CrawlEngine:
                             if cfg.http_cache
                             else None
                         ),
+                        registry=self.registry,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,
@@ -291,6 +309,8 @@ class CrawlEngine:
                     "(expected parquet | json | csv)"
                 )
 
+            phases["exec"] += time.monotonic() - t_ph
+            t_ph = time.monotonic()
             last_done = rnd
             fetch_m = ray.get(self.stats.get_round.remote(rnd))
             self.total_fetched += fetch_m.get("fetched", 0)
@@ -306,8 +326,11 @@ class CrawlEngine:
             # checkpoint cadence: every Nth completed round (snapshots are
             # self-contained, so skipping intermediates only bounds how much
             # work a crash replays — resume stays byte-identical)
+            phases["driver"] += time.monotonic() - t_ph
             if (rnd + 1) % max(1, cfg.checkpoint_every_n) == 0:
+                t_ph = time.monotonic()
                 self._checkpoint(rnd, round_metrics)
+                phases["ckpt"] += time.monotonic() - t_ph
             rnd += 1
 
         # final checkpoint if the cadence skipped the last completed round
@@ -331,6 +354,7 @@ class CrawlEngine:
             round_metrics=round_metrics,
             urls_per_sec=(self.total_fetched / wall if wall > 0 else 0.0),
             wall_s=wall,
+            phase_s={k: round(v, 3) for k, v in phases.items()},
         )
 
     def _checkpoint(self, rnd: int, round_metrics: list[dict]) -> None:
@@ -381,7 +405,7 @@ class CrawlEngine:
     def shutdown(self) -> None:
         import ray
 
-        for a in self.shards + [self.stats]:
+        for a in self.shards + [self.stats, self.registry]:
             ray.kill(a)
 
 

@@ -53,9 +53,18 @@ def fetch_batch(
     corpus_dir: str,
     download_maxsize: int = 1 << 30,
     cache_dir: str | None = None,
+    registry=None,
 ) -> pa.Table:
     """Simulated fetch: corpus lookup + deterministic fault model.
     Bodies over ``download_maxsize`` abort (status TOOBIG -> errors).
+
+    With a ``registry`` (CorpusPartRegistry handle) and no http-cache the
+    lookup is fully vectorized against plasma-shared decoded partitions —
+    one ``index_in`` + ``take`` per (batch, partition), html bytes never
+    materialize as Python objects here.  The row-wise path remains for
+    fsdir mirrors, gzip variant corpora and the S5 http-cache, and is the
+    semantics reference the vectorized path must byte-match
+    (test_crawl_equivalence covers both through the engine).
 
     ``cache_dir`` enables the S5 HTTP-cache analogue (DummyPolicy: cache
     everything, serve every hit): each fetch result persists keyed by
@@ -63,6 +72,141 @@ def fetch_batch(
     past the last committed checkpoint — is served entirely from the cache
     with ZERO corpus (network) lookups.  Writes are atomic (tmp + rename)
     so a crash mid-write can only lose an entry, never corrupt one."""
+    from scrapy__ray.sources.corpus import corpus_meta
+
+    meta = corpus_meta(corpus_dir)
+    if (
+        registry is not None
+        and cache_dir is None
+        and meta.get("type") != "fsdir"
+        and not meta.get("gzip")
+    ):
+        return _fetch_batch_vectorized(
+            batch, corpus_dir, meta, download_maxsize, registry
+        )
+    return _fetch_batch_rowwise(batch, corpus_dir, download_maxsize, cache_dir)
+
+
+def _fetch_batch_vectorized(
+    batch: pa.Table,
+    corpus_dir: str,
+    meta: dict,
+    download_maxsize: int,
+    registry,
+) -> pa.Table:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from scrapy__ray.sources.corpus import shared_part_columns
+
+    n = batch.num_rows
+    if n == 0:
+        return _fetch_batch_rowwise(batch, corpus_dir, download_maxsize, None)
+    urls = batch["url"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    retries = batch["retry_count"].to_numpy(zero_copy_only=False)
+    hh = batch["host_hash"].to_numpy(zero_copy_only=False)
+    n_parts = meta["n_parts"]
+    parts = (hh % n_parts).astype(np.int64)
+    url_arr = batch["url"].combine_chunks()
+
+    # data: URIs carry their body in the url itself — no corpus partition
+    data_rows = [i for i, u in enumerate(urls) if u.startswith("data:")]
+    if data_rows:
+        parts = parts.copy()
+        parts[data_rows] = -1
+
+    # one index_in + take per touched partition, scattered back to row order
+    order = np.argsort(parts, kind="stable")
+    sorted_parts = parts[order]
+    bounds = np.nonzero(np.diff(sorted_parts))[0] + 1
+    group_starts = np.concatenate([[0], bounds, [n]])
+    pieces: list[pa.Array] = []
+    for gi in range(len(group_starts) - 1):
+        lo, hi = int(group_starts[gi]), int(group_starts[gi + 1])
+        g_idx = order[lo:hi]
+        part = int(parts[g_idx[0]])
+        sub = url_arr.take(pa.array(g_idx, pa.int64()))
+        if part < 0:
+            from scrapy__ray.sources.datauri import parse_data_uri
+
+            got = pa.array(
+                [parse_data_uri(urls[i]) for i in g_idx], pa.binary()
+            )
+        else:
+            u_col, h_col = shared_part_columns(corpus_dir, part, registry)
+            idx = pc.index_in(sub, value_set=u_col)
+            got = h_col.take(idx)
+            if isinstance(got, pa.ChunkedArray):
+                got = (
+                    got.chunk(0)
+                    if got.num_chunks == 1
+                    else pa.concat_arrays(got.chunks)
+                )
+        pieces.append(got)
+    merged = pa.concat_arrays(pieces) if pieces else pa.array([], pa.binary())
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    html_col = merged.take(pa.array(inv, pa.int64()))
+
+    found = html_col.is_valid().to_numpy(zero_copy_only=False)
+    lens = pc.binary_length(html_col).fill_null(0).to_numpy(zero_copy_only=False)
+    n_pages = host_page_counts(corpus_dir)
+
+    # fault model per row (one sha1 per url covers status + latency)
+    import hashlib as _hl
+
+    statuses = np.empty(n, dtype=np.int32)
+    lat = np.empty(n, dtype=np.float32)
+    locations = [""] * n
+    for i, url in enumerate(urls):
+        if url.startswith(("file://", "data:")):
+            if not found[i]:
+                statuses[i] = faults.STATUS_NOTFOUND
+            elif lens[i] > download_maxsize:
+                statuses[i] = faults.STATUS_TOOBIG
+            else:
+                statuses[i] = faults.STATUS_OK
+            lat[i] = 0.0
+            continue
+        d = _hl.sha1(url.encode("utf-8")).digest()
+        lat[i] = 5.0 + (d[1] / 255.0) * 45.0
+        if not found[i]:
+            statuses[i] = faults.STATUS_NOTFOUND
+        elif lens[i] > download_maxsize:
+            statuses[i] = faults.STATUS_TOOBIG
+        else:
+            b0 = d[0] % 100
+            if b0 < 3:
+                statuses[i] = (
+                    faults.STATUS_RETRY if retries[i] == 0 else faults.STATUS_OK
+                )
+            elif b0 == 3:
+                statuses[i] = faults.STATUS_REDIRECT
+                locations[i] = faults.redirect_target(
+                    url, hosts[i], n_pages.get(hosts[i], 0)
+                )
+            elif b0 == 4:
+                statuses[i] = faults.STATUS_NOTFOUND
+            else:
+                statuses[i] = faults.STATUS_OK
+
+    ok = pa.array(statuses == faults.STATUS_OK)
+    html_final = pc.if_else(ok, html_col, pa.scalar(None, pa.binary()))
+    return (
+        batch.append_column("status", pa.array(statuses, pa.int32()))
+        .append_column("html", html_final)
+        .append_column("location", pa.array(locations, pa.string()))
+        .append_column("latency_ms", pa.array(lat, pa.float32()))
+    )
+
+
+def _fetch_batch_rowwise(
+    batch: pa.Table,
+    corpus_dir: str,
+    download_maxsize: int = 1 << 30,
+    cache_dir: str | None = None,
+) -> pa.Table:
     import os
     import pickle
 
