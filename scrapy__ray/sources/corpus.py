@@ -90,15 +90,39 @@ def _load_part(corpus_dir: str, part: int) -> dict[str, tuple[bytes, str]]:
 
 def _decode_part(corpus_dir: str, part: int) -> "object":
     """Read + fully decode one pages partition into a single-chunk Arrow
-    table (url, html) ready for vectorized ``index_in``/``take`` lookups."""
+    table laid out for O(log n) vectorized lookups: rows sorted by url, plus
+    a fixed-width ``url_fixed`` column that consumers view zero-copy as a
+    numpy 'S<w>' array for ``np.searchsorted`` — the sort and width-padding
+    happen ONCE per cluster here, never per worker process.  Falls back to
+    the unsorted (url, html) layout when urls are non-ASCII or duplicated
+    (consumers then use ``pc.index_in``)."""
+    import numpy as np
     import pyarrow as pa
 
     path = os.path.join(corpus_dir, "pages", f"part-{part}.parquet")
     if not os.path.exists(path):
         return pa.table({"url": pa.array([], pa.string()),
                          "html": pa.array([], pa.binary())})
-    t = pq.read_table(path, columns=["url", "html"])
-    return t.combine_chunks()
+    t = pq.read_table(path, columns=["url", "html"]).combine_chunks()
+    try:
+        urls_np = np.asarray(t.column("url").to_pylist(), dtype="S")
+    except UnicodeEncodeError:
+        return t
+    if urls_np.size == 0:
+        return t
+    perm = np.argsort(urls_np, kind="stable")
+    u_sorted = urls_np[perm]
+    if (u_sorted[1:] == u_sorted[:-1]).any():
+        return t  # duplicate urls: first-match semantics need index_in
+    width = u_sorted.dtype.itemsize
+    fixed = pa.Array.from_buffers(
+        pa.binary(width), len(u_sorted), [None, pa.py_buffer(u_sorted.tobytes())]
+    )
+    return (
+        t.take(pa.array(perm, pa.int64()))
+        .combine_chunks()
+        .append_column("url_fixed", fixed)
+    )
 
 
 class CorpusPartRegistry:
@@ -143,13 +167,29 @@ class CorpusPartRegistry:
 
 
 #: per-process handles to plasma-resident partition tables (zero-copy mmap —
-#: holding every partition costs no process heap beyond the handle)
+#: holding every partition costs no process heap beyond the handles)
 _SHARED_PARTS: dict[tuple[str, int], tuple] = {}
 
 
-def shared_part_columns(corpus_dir: str, part: int, registry) -> tuple:
-    """-> (url ChunkedArray, html ChunkedArray) of the partition, via the
-    shared registry; per-process memoized."""
+def _single_chunk(col):
+    """ChunkedArray -> Array with NO copy when already single-chunk
+    (ChunkedArray.combine_chunks always copies — measured 39 ms + 60 MB
+    heap per partition, which multiplied per worker process was the
+    dominant non-scaling cost of the cache's first version)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
+
+
+def shared_part_lookup(corpus_dir: str, part: int, registry) -> tuple:
+    """-> (u_sorted np.'S<w>' | None, html Array, url Array | None) of the
+    partition via the shared registry, per-process memoized.  When
+    ``u_sorted`` is not None the partition rows are url-sorted and lookups
+    are ``np.searchsorted`` against the zero-copy plasma view; otherwise
+    callers fall back to ``pc.index_in`` over the ``url`` Array."""
+    import numpy as np
     import ray
 
     key = (corpus_dir, int(part))
@@ -161,7 +201,17 @@ def shared_part_columns(corpus_dir: str, part: int, registry) -> tuple:
         except Exception:
             # registry evicted / owner unavailable: local one-off decode
             tbl = _decode_part(corpus_dir, part)
-        ent = (tbl["url"].combine_chunks(), tbl["html"].combine_chunks())
+        html = _single_chunk(tbl["html"])
+        url = _single_chunk(tbl["url"])
+        if "url_fixed" in tbl.column_names and tbl.num_rows:
+            fixed = _single_chunk(tbl["url_fixed"])
+            width = fixed.type.byte_width
+            u_sorted = np.frombuffer(
+                fixed.buffers()[1], dtype=f"S{width}", count=len(fixed)
+            )
+            ent = (u_sorted, html, url)
+        else:
+            ent = (None, html, url)
         _SHARED_PARTS[key] = ent
     return ent
 

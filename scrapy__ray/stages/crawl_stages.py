@@ -59,9 +59,9 @@ def fetch_batch(
     Bodies over ``download_maxsize`` abort (status TOOBIG -> errors).
 
     With a ``registry`` (CorpusPartRegistry handle) and no http-cache the
-    lookup is fully vectorized against plasma-shared decoded partitions —
-    one ``index_in`` + ``take`` per (batch, partition), html bytes never
-    materialize as Python objects here.  The row-wise path remains for
+    lookup is fully vectorized against plasma-shared url-sorted partitions —
+    one ``np.searchsorted`` + ``take`` per (batch, partition), html bytes
+    never materialize as Python objects here.  The row-wise path remains for
     fsdir mirrors, gzip variant corpora and the S5 http-cache, and is the
     semantics reference the vectorized path must byte-match
     (test_crawl_equivalence covers both through the engine).
@@ -97,7 +97,7 @@ def _fetch_batch_vectorized(
     import numpy as np
     import pyarrow.compute as pc
 
-    from scrapy__ray.sources.corpus import shared_part_columns
+    from scrapy__ray.sources.corpus import shared_part_lookup
 
     n = batch.num_rows
     if n == 0:
@@ -134,9 +134,33 @@ def _fetch_batch_vectorized(
                 [parse_data_uri(urls[i]) for i in g_idx], pa.binary()
             )
         else:
-            u_col, h_col = shared_part_columns(corpus_dir, part, registry)
-            idx = pc.index_in(sub, value_set=u_col)
-            got = h_col.take(idx)
+            u_sorted, h_col, u_col = shared_part_lookup(
+                corpus_dir, part, registry
+            )
+            got = None
+            if u_sorted is not None and len(u_sorted):
+                try:
+                    q = np.asarray([urls[i] for i in g_idx], dtype="S")
+                except UnicodeEncodeError:
+                    q = None  # non-ASCII query urls: index_in below
+                if q is not None:
+                    # O(log n) per query row against the plasma-resident
+                    # sorted view — no per-call value_set re-hash (index_in
+                    # re-hashed the whole 20k-url partition per batch)
+                    width = u_sorted.dtype.itemsize
+                    qq = q.astype(u_sorted.dtype)
+                    pos = np.searchsorted(u_sorted, qq)
+                    pos_c = np.minimum(pos, len(u_sorted) - 1)
+                    valid = u_sorted[pos_c] == qq
+                    if q.dtype.itemsize > width:
+                        # astype truncated: a truncation can collide with a
+                        # real key, so over-width queries are never found
+                        valid &= np.char.str_len(q) <= width
+                    idx = pa.array(pos_c, pa.int64(), mask=~valid)
+                    got = h_col.take(idx)
+            if got is None:
+                idx = pc.index_in(sub, value_set=u_col)
+                got = h_col.take(idx)
             if isinstance(got, pa.ChunkedArray):
                 got = (
                     got.chunk(0)
