@@ -70,9 +70,10 @@ def _bench_crawl_cfg():
     # writeback was the prime suspect for the 0.68-0.87 scaling-efficiency
     # swings on identical code (BASELINE.md round-2 noise caveat).  Crash
     # recovery still loses at most 7 rounds; resume stays byte-identical.
+    floor = int(os.environ.get("GRAFT_CHUNK_FLOOR", "2048"))
     return CrawlConfig(
         depth_limit=0, round_duration=64.0, dedup="cuckoo", num_shards=32,
-        checkpoint_every_n=8,
+        checkpoint_every_n=8, scheduled_chunk_rows=floor,
     )
 
 

@@ -114,9 +114,19 @@ class CrawlEngine:
 
         self.registry = (
             ray.remote(CorpusPartRegistry)
-            .options(num_cpus=0, max_concurrency=8)
+            .options(num_cpus=0, max_concurrency=32)
             .remote()
         )
+        # pre-warm: fire one decode per partition now (fire-and-forget) so
+        # round 0's tasks find published refs instead of stampeding the
+        # registry — the first-touch queue cost was ~4 cpu-s per round-0
+        # task at 32 cpus, a pure fixed cost on the scaling-efficiency rule
+        from scrapy__ray.sources.corpus import corpus_meta
+
+        meta = corpus_meta(corpus_dir)
+        if meta.get("type") != "fsdir" and not meta.get("gzip"):
+            for p in range(int(meta.get("n_parts", 0))):
+                self.registry.get_part.remote(corpus_dir, p)
 
         ckpt_round = self._latest_checkpoint() if resume else None
         if ckpt_round is not None:
@@ -344,6 +354,16 @@ class CrawlEngine:
             self._checkpoint(last_done, round_metrics)
 
         wall = time.monotonic() - t_start
+        if os.environ.get("SCRAPY_RAY_STAGE_TIMING") == "1":
+            tm = ray.get(self.stats.timing.remote())
+            agg: dict[str, float] = {}
+            for rm in tm.values():
+                for k, v in rm.items():
+                    if k.startswith("max_"):
+                        agg[k] = max(agg.get(k, 0.0), v)
+                    else:
+                        agg[k] = agg.get(k, 0.0) + v
+            phases["stages"] = {k: round(v, 3) for k, v in sorted(agg.items())}
         totals = {k: sum(m[k] for m in round_metrics) for k in _METRIC_KEYS}
         self._write_metrics(round_metrics)
         return CrawlSummary(
@@ -354,7 +374,8 @@ class CrawlEngine:
             round_metrics=round_metrics,
             urls_per_sec=(self.total_fetched / wall if wall > 0 else 0.0),
             wall_s=wall,
-            phase_s={k: round(v, 3) for k, v in phases.items()},
+            phase_s={k: (v if isinstance(v, dict) else round(v, 3))
+                     for k, v in phases.items()},
         )
 
     def _checkpoint(self, rnd: int, round_metrics: list[dict]) -> None:

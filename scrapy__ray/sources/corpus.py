@@ -88,6 +88,60 @@ def _load_part(corpus_dir: str, part: int) -> dict[str, tuple[bytes, str]]:
 # ---------------------------------------------------------------------------
 
 
+def _sidecar_path(corpus_dir: str, part: int) -> str:
+    # own directory, NOT pages/ — readers glob pages/ as all-parquet
+    return os.path.join(corpus_dir, ".decoded", f"part-{part}.sorted.arrow")
+
+
+def _sidecar_fresh(corpus_dir: str, part: int) -> bool:
+    """Sidecar exists and is newer than its source partition (a corpus
+    regenerated in place invalidates by mtime)."""
+    sc = _sidecar_path(corpus_dir, part)
+    src = os.path.join(corpus_dir, "pages", f"part-{part}.parquet")
+    try:
+        return os.path.getmtime(sc) >= os.path.getmtime(src)
+    except OSError:
+        return False
+
+
+def load_sidecar(corpus_dir: str, part: int):
+    """Zero-copy mmap load of the decoded-sorted partition, or None.
+
+    The sidecar is uncompressed Arrow IPC: ``read_all`` maps the buffers
+    straight out of the OS page cache, so every worker process on the node
+    shares one physical copy with NO actor RPC, plasma put, or parquet
+    decode on its first touch — the decode ran exactly once, when the
+    registry built the file."""
+    import pyarrow as pa
+
+    if not _sidecar_fresh(corpus_dir, part):
+        return None
+    try:
+        with pa.memory_map(_sidecar_path(corpus_dir, part)) as f:
+            return pa.ipc.open_file(f).read_all()
+    except (pa.ArrowInvalid, OSError):
+        return None
+
+
+def _write_sidecar(corpus_dir: str, part: int, tbl) -> None:
+    """Atomic (tmp + rename) best-effort persist of the decoded layout."""
+    import pyarrow as pa
+
+    path = _sidecar_path(corpus_dir, part)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _decode_part(corpus_dir: str, part: int) -> "object":
     """Read + fully decode one pages partition into a single-chunk Arrow
     table laid out for O(log n) vectorized lookups: rows sorted by url, plus
@@ -143,26 +197,52 @@ class CorpusPartRegistry:
     only consumer."""
 
     def __init__(self, max_bytes: int = 16 << 30):
+        import threading
+
         self._refs: OrderedDict[tuple[str, int], tuple] = OrderedDict()
         self._max_bytes = max_bytes
         self._total = 0
+        self._mu = threading.Lock()  # registry map ops
+        self._decoding: dict[tuple[str, int], object] = {}  # key -> Lock
 
     def get_part(self, corpus_dir: str, part: int) -> list:
-        """-> [ObjectRef(table)] (wrapped so the ref is not auto-resolved)."""
+        """-> [ObjectRef(table)] (wrapped so the ref is not auto-resolved).
+
+        Per-key decode locks: under the first-round stampede (every worker
+        first-touches every partition at once) only ONE thread decodes a
+        given partition; the rest block on its lock and then read the
+        published ref — without this, concurrency-many threads each paid
+        the full decode for the same key."""
+        import threading
+
         import ray
 
         key = (corpus_dir, int(part))
-        ent = self._refs.get(key)
-        if ent is None:
-            tbl = _decode_part(corpus_dir, part)
-            # setdefault: a concurrent thread may have won the race — its
-            # ref becomes canonical and the loser's put is GC'd harmlessly
-            ent = self._refs.setdefault(key, (ray.put(tbl), tbl.nbytes))
-            self._total += ent[1]
-            while self._total > self._max_bytes and len(self._refs) > 1:
-                _, (_, nb) = self._refs.popitem(last=False)
-                self._total -= nb
-        self._refs.move_to_end(key)
+        with self._mu:
+            ent = self._refs.get(key)
+            if ent is not None:
+                self._refs.move_to_end(key)
+                return [ent[0]]
+            lk = self._decoding.setdefault(key, threading.Lock())
+        with lk:
+            with self._mu:
+                ent = self._refs.get(key)
+                if ent is not None:
+                    self._refs.move_to_end(key)
+                    return [ent[0]]
+            tbl = load_sidecar(corpus_dir, part)
+            if tbl is None:
+                tbl = _decode_part(corpus_dir, part)
+                _write_sidecar(corpus_dir, part, tbl)
+            ref = ray.put(tbl)
+            with self._mu:
+                ent = self._refs.setdefault(key, (ref, tbl.nbytes))
+                self._total += ent[1]
+                while self._total > self._max_bytes and len(self._refs) > 1:
+                    _, (_, nb) = self._refs.popitem(last=False)
+                    self._total -= nb
+                self._refs.move_to_end(key)
+                self._decoding.pop(key, None)
         return [ent[0]]
 
 
@@ -195,12 +275,17 @@ def shared_part_lookup(corpus_dir: str, part: int, registry) -> tuple:
     key = (corpus_dir, int(part))
     ent = _SHARED_PARTS.get(key)
     if ent is None:
-        [ref] = ray.get(registry.get_part.remote(corpus_dir, part))
-        try:
-            tbl = ray.get(ref)
-        except Exception:
-            # registry evicted / owner unavailable: local one-off decode
-            tbl = _decode_part(corpus_dir, part)
+        # sidecar first: a fresh decoded-sorted IPC file mmaps zero-copy
+        # with no RPC (page cache shared across all processes on the node);
+        # the registry path decodes once and writes it for everyone else
+        tbl = load_sidecar(corpus_dir, part)
+        if tbl is None:
+            [ref] = ray.get(registry.get_part.remote(corpus_dir, part))
+            try:
+                tbl = ray.get(ref)
+            except Exception:
+                # registry evicted / owner unavailable: local one-off decode
+                tbl = _decode_part(corpus_dir, part)
         html = _single_chunk(tbl["html"])
         url = _single_chunk(tbl["url"])
         if "url_fixed" in tbl.column_names and tbl.num_rows:

@@ -16,6 +16,8 @@ Stage mapping to the reference (SURVEY.md §2):
 from __future__ import annotations
 
 import hashlib
+import os as _os
+import time as _time
 
 import pyarrow as pa
 
@@ -36,6 +38,43 @@ from scrapy__ray.sources.corpus import host_page_counts, lookup_html
 import fixtures.gen as fxgen
 
 
+# --------------------------------------------------------- stage diagnostics
+# SCRAPY_RAY_STAGE_TIMING=1: per-stage wall accumulates in this process
+# global (the three stages of one block run fused in one task, so the
+# read-and-reset in expand_push_batch attributes them to that block) and
+# ships to the StatsCollector's side channel — never the oracle metrics.
+_STAGE_TIMING = _os.environ.get("SCRAPY_RAY_STAGE_TIMING") == "1"
+_STAGE_T = {"fetch": 0.0, "extract": 0.0}
+
+
+def _stage_add(name: str, dt: float) -> None:
+    # a module-level named function: cloudpickle ships closures that call it
+    # BY REFERENCE, so accumulation lands in the worker's module global (a
+    # closure mutating _STAGE_T directly gets a by-value copy instead, and
+    # the expand-stage read-out sees zeros)
+    _STAGE_T[name] += dt
+
+
+def _stage_timed(name):
+    def deco(fn):
+        if not _STAGE_TIMING:
+            return fn
+
+        def wrapped(*a, **kw):
+            t0 = _time.monotonic()
+            try:
+                return fn(*a, **kw)
+            finally:
+                _stage_add(name, _time.monotonic() - t0)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__qualname__ = fn.__qualname__
+        wrapped.__module__ = fn.__module__
+        return wrapped
+
+    return deco
+
+
 # ------------------------------------------------------------------- fetch
 def _cache_path(cache_dir: str, fp: bytes, rc: int) -> str:
     """S5 HTTP-cache layout (scrapy/extensions/httpcache.py::
@@ -47,6 +86,7 @@ def _cache_path(cache_dir: str, fp: bytes, rc: int) -> str:
     return f"{cache_dir}/{h[:2]}/{h}-{rc}.pkl"
 
 
+@_stage_timed("fetch")
 def fetch_batch(
     batch: pa.Table,
     *,
@@ -305,6 +345,7 @@ def _fetch_batch_rowwise(
 
 
 # ----------------------------------------------------------------- extract
+@_stage_timed("extract")
 def extract_batch(batch: pa.Table) -> pa.Table:
     """html -> (byte-exact text, canonical out_links, meta-refresh target);
     drops html.  The meta-refresh cfg gates (enabled, maxdelay) are applied
@@ -370,6 +411,7 @@ def expand_push_batch(
     emit the results rows.  Semantics: config.py steps 4-6."""
     import ray
 
+    t_expand0 = _time.monotonic() if _STAGE_TIMING else 0.0
     rnd = batch["round"][0].as_py() if batch.num_rows else -1
     cols = {c: batch[c].to_pylist() for c in batch.column_names}
     n = batch.num_rows
@@ -543,7 +585,21 @@ def expand_push_batch(
     if stats is not None:
         shard_id = int(cols["host_hash"][0] % S) if n else -1
         push_refs.append(stats.inc.remote(rnd, shard_id, batch_sig, m))
+    t_push0 = _time.monotonic() if _STAGE_TIMING else 0.0
     ray.get(push_refs)  # ensure pushes land before the execution barrier
+    if _STAGE_TIMING and stats is not None:
+        now = _time.monotonic()
+        stats.inc_timing.remote(
+            rnd,
+            {
+                "fetch": _STAGE_T["fetch"],
+                "extract": _STAGE_T["extract"],
+                "expand": t_push0 - t_expand0,
+                "push_wait": now - t_push0,
+            },
+        )
+        _STAGE_T["fetch"] = 0.0
+        _STAGE_T["extract"] = 0.0
 
     # ---- results rows ------------------------------------------------------
     keep = [

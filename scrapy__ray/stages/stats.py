@@ -27,6 +27,26 @@ class StatsCollector:
             self._rounds[rnd][k] += v
             self._by_shard[(rnd, shard_id)][k] += v
 
+    # -- diagnostics only (SCRAPY_RAY_STAGE_TIMING=1): never merged into the
+    # round metrics the oracle compares
+    def inc_timing(self, rnd: int, t: dict) -> None:
+        if not hasattr(self, "_timing"):
+            self._timing = defaultdict(lambda: defaultdict(float))
+        agg = self._timing[rnd]
+        for k, v in t.items():
+            agg[k] += v
+            mk = "max_" + k
+            if v > agg[mk]:
+                agg[mk] = v
+        agg["tasks"] += 1
+
+    def timing(self) -> dict:
+        return (
+            {r: dict(v) for r, v in self._timing.items()}
+            if hasattr(self, "_timing")
+            else {}
+        )
+
     def get_round(self, rnd: int) -> dict:
         return dict(self._rounds.get(rnd, {}))
 
