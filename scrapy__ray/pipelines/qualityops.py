@@ -1811,6 +1811,66 @@ FROM assigned GROUP BY source, split
 """
 
 
+# ------------------------------------------------ global shuffle → shards
+def docs_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle into training output shards — the last
+    step of a pre-training curation pipeline: every document gets a shard
+    (uniform via md5) and a within-shard position (rank of the md5 hex, so
+    the order is a reproducible pseudo-random permutation, stable across
+    runs, engines and cluster layouts — unlike ``random_shuffle()``).
+
+    Scale shape: ONE hash exchange keyed by shard, then each shard sorts
+    independently inside its partition — at the 100 TB design point the
+    shard is also the parquet write partition, so no global sort and no
+    driver materialization; shard count just grows with the corpus.
+    """
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in t["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "hx": pa.array(hx, pa.string()),
+                "shard": pa.array([int(h[0], 16) for h in hx], pa.int64()),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "hx", "doc_id"], kind="mergesort").reset_index(drop=True)
+        df["pos"] = df.groupby("shard").cumcount().astype("int64")
+        return df[["doc_id", "shard", "pos", "n_chars"]]
+
+    out = hash_partition_map(
+        ds.map_batches(hashed, batch_format="pyarrow"), ["shard"], rank
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("shard", pa.int64()),
+                ("pos", pa.int64()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
+DOCS_SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS hx FROM documents
+)
+SELECT doc_id,
+       (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)::BIGINT AS shard,
+       (row_number() OVER (
+          PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id) - 1)::BIGINT AS pos,
+       n_chars
+FROM h
+"""
+
+
 QUERIES = {
     "docs_repetition_signals": (docs_repetition_signals, DOCS_REPETITION_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
@@ -1827,4 +1887,5 @@ QUERIES = {
     "docs_bpe_encode": (docs_bpe_encode, None),
     "docs_inverted_index": (docs_inverted_index, DOCS_INVERTED_SQL),
     "docs_split_assign": (docs_split_assign, DOCS_SPLIT_SQL),
+    "docs_shuffle_shards": (docs_shuffle_shards, DOCS_SHUFFLE_SHARDS_SQL),
 }
