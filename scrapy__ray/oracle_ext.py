@@ -856,6 +856,45 @@ def oracle_crawl_components(corpus: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_kcore(corpus: str) -> pd.DataFrame:
+    """k-core mirror (spec pinned in crawlq.crawl_kcore): classic
+    Batagelj–Zaveršnik peeling — pop vertices in increasing current-degree
+    order (lazy-deletion heap), a vertex's core number is its degree at
+    removal, and a neighbor's degree only decrements while it exceeds the
+    popped vertex's (so degrees never fall below the current k).
+    Undirected simple graph (both directions collapse, self-loops
+    dropped); isolated pages core 0.  Independent of the Ray pipeline's
+    h-index fixed point — different algorithm, same answer."""
+    import heapq
+
+    urls, edges = _oracle_link_graph(corpus)
+    adj: dict[str, set] = {u: set() for u in urls}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {u: len(a) for u, a in adj.items()}
+    heap = [(d, u) for u, d in deg.items()]
+    heapq.heapify(heap)
+    core: dict[str, int] = {}
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in core or d != deg[u]:  # removed already / stale heap entry
+            continue
+        core[u] = d
+        for v in adj[u]:
+            if v not in core and deg[v] > d:
+                deg[v] -= 1
+                heapq.heappush(heap, (deg[v], v))
+    rows = sorted(urls)
+    return pd.DataFrame(
+        {
+            "url": rows,
+            "core": pd.array([core[u] for u in rows], dtype="int64"),
+        }
+    )
+
+
 def oracle_crawl_seed_distance(corpus: str) -> pd.DataFrame:
     """Multi-source BFS mirror (spec pinned in crawlq.crawl_seed_distance):
     stdlib deque BFS over the directed single-process link edges from the
@@ -1594,6 +1633,7 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_triangles", oracle_crawl_triangles(corpus)),
         ("crawl_components", oracle_crawl_components(corpus)),
         ("crawl_hyperball", oracle_crawl_hyperball(corpus)),
+        ("crawl_kcore", oracle_crawl_kcore(corpus)),
         ("crawl_domain_graph", oracle_crawl_domain_graph(corpus)),
         ("crawl_seed_distance", oracle_crawl_seed_distance(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),

@@ -1874,6 +1874,365 @@ def crawl_hyperball(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# --------------------------------------------------------------- k-core
+#: undirected edge count at or under which the whole (deduplicated) edge
+#: list gathers on the driver and the h-index fixed point runs in numpy —
+#: the pairs_to_clusters small-regime posture (edges ≪ corpus bytes).
+_KCORE_SMALL_EDGES = 200_000
+#: node count at or under which each round's labels broadcast as a
+#: node→h dict (≤ ~16 B/row) so the relay needs no exchange; above it the
+#: relay is a shuffle_join keyed by neighbor — the _BFS_BROADCAST_FRONTIER
+#: choice applied to a full (non-delta) label set.
+_KCORE_BROADCAST_LABELS = 500_000
+#: h-index propagation converges in far fewer rounds than BFS on the same
+#: graph (labels drop geometrically toward coreness; Lü et al. 2016 report
+#: tens of rounds on real webgraphs) — but the guard exists for the same
+#: reason as _BFS_MAX_ROUNDS: refuse rather than return wrong cores.
+_KCORE_MAX_ROUNDS = 512
+
+
+def _hindex_per_node(node: np.ndarray, val: np.ndarray, n_nodes: int) -> np.ndarray:
+    """h-index of each node's value multiset, vectorized: lexsort by
+    (node, val desc); within a node's run the sorted values v_1 ≥ v_2 ≥ …
+    make "v_i ≥ i" a prefix property, so h = count of positions with
+    v_i ≥ i.  Nodes with no rows get 0."""
+    if not len(node):
+        return np.zeros(n_nodes, dtype=np.int64)
+    order = np.lexsort((-val, node))
+    sn, sv = node[order], val[order]
+    boundary = np.flatnonzero(np.r_[True, sn[1:] != sn[:-1]])
+    run_len = np.diff(np.r_[boundary, len(sn)])
+    rank = np.arange(len(sn), dtype=np.int64) - np.repeat(boundary, run_len) + 1
+    hits = (sv >= rank).astype(np.int64)
+    return np.bincount(sn, weights=hits, minlength=n_nodes).astype(np.int64)
+
+
+def _kcore_driver(n_nodes: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Driver-side h-index fixed point over a deduplicated undirected edge
+    list (ea[i]—eb[i], no self-loops, no duplicates): start every node at
+    its degree, then repeatedly replace each node's label with the h-index
+    of its neighbors' labels; the sequence is monotone non-increasing and
+    its fixed point is the core number (Lü, Chen, Ren, Zhang, Zhang & Zhou,
+    "The H-index of a network node and its relation to degree and
+    coreness", Nature Communications 2016).  Deliberately a DIFFERENT
+    algorithm from the oracle's Batagelj–Zaveršnik peeling — the
+    both-paths-identical contract."""
+    node = np.concatenate([ea, eb])
+    nbr = np.concatenate([eb, ea])
+    labels = np.bincount(node, minlength=n_nodes).astype(np.int64)
+    for _ in range(_KCORE_MAX_ROUNDS):
+        new = np.minimum(labels, _hindex_per_node(node, labels[nbr], n_nodes))
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+    raise RuntimeError(
+        f"k-core h-index iteration did not converge within "
+        f"{_KCORE_MAX_ROUNDS} rounds"
+    )
+
+
+def crawl_kcore(sf_dir: str):
+    """Core number of every page in the corpus link graph — THE webgraph
+    density / spam-farm / community-strength signal (a page is in the
+    k-core iff it survives repeatedly deleting all nodes of degree < k).
+    Graph law: undirected simple graph over the corpus pages — both link
+    directions collapse to one edge, per-pair duplicates and self-loops
+    dropped; isolated pages have core 0.  Output (url, core), sorted by
+    url.
+
+    Two regimes, tests force both (the pairs_to_clusters contract):
+
+      * ≤ _KCORE_SMALL_EDGES undirected edges: the deduplicated edge ID
+        list gathers on the driver (edges ≪ corpus — same posture as
+        crawl_components' union-find regime) and _kcore_driver runs the
+        h-index fixed point in numpy;
+      * above: distributed h-index propagation — labels live as a Dataset
+        (node, h) starting at degree; per round the neighbor labels relay
+        across the directed edge set (broadcast dict ≤ _KCORE_BROADCAST_
+        LABELS nodes, shuffle_join keyed by neighbor above), ONE exchange
+        keyed by node computes each node's neighbor-h-index and flags
+        drops, and per-block remote counts of the flag give the driver a
+        single convergence scalar.  Plan lineage severed per round via
+        to_arrow_refs/from_arrow_refs (the _min_dist_propagate posture).
+
+    Both regimes compute the same h-index law; the oracle
+    (oracle_ext.oracle_crawl_kcore, materialized) is an independent
+    Batagelj–Zaveršnik bucket peeling — different algorithm, same answer
+    by the 2016 h-index/coreness theorem."""
+    import ray
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        collect_arrow,
+        ensure_ctx,
+        hash_partition_map,
+        lookup_broadcast,
+        shuffle_join,
+    )
+
+    corpus = _corpus()
+    ensure_ctx()
+    urls = sorted(
+        pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist()
+    )
+    n_nodes = len(urls)
+    id_ref = broadcast({u: i for i, u in enumerate(urls)})
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        ids = lookup_broadcast(id_ref)
+        a = np.fromiter(
+            (ids[s] for s in t["src"].to_pylist()), dtype=np.int64, count=t.num_rows
+        )
+        b = np.fromiter(
+            (ids[d] for d in t["dst"].to_pylist()), dtype=np.int64, count=t.num_rows
+        )
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table(
+            {
+                "ea": pa.array(lo[keep], pa.int64()),
+                "eb": pa.array(hi[keep], pa.int64()),
+            }
+        )
+
+    # degree semantics need DISTINCT undirected edges (the raw link set has
+    # both directions): one hash exchange keyed by the pair dedupes
+    pairs = hash_partition_map(
+        _link_edges(corpus).map_batches(to_pairs, batch_format="pyarrow"),
+        ["ea", "eb"],
+        lambda df: df.drop_duplicates(["ea", "eb"]),
+    ).materialize()
+    n_edges = pairs.count()
+
+    if n_edges <= _KCORE_SMALL_EDGES:
+        if n_edges:
+            tbl = pa.concat_tables(
+                [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+            )
+            ea = tbl["ea"].to_numpy(zero_copy_only=False)
+            eb = tbl["eb"].to_numpy(zero_copy_only=False)
+        else:
+            ea = eb = np.array([], dtype=np.int64)
+        core = _kcore_driver(n_nodes, ea, eb)
+    else:
+        core = _kcore_distributed(pairs, n_nodes)
+
+    df = pd.DataFrame({"url": urls, "core": pd.array(core, dtype="int64")})
+    df = df.sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _kcore_distributed(pairs, n_nodes: int) -> np.ndarray:
+    """Distributed h-index propagation (see crawl_kcore docstring).  Takes
+    the deduplicated undirected pair Dataset [(ea, eb)], returns the core
+    number per node id as a dense numpy array (the label set is one int64
+    per node — driver-resident by the same small-side posture as the url
+    list itself; the ROUNDS never gather more than convergence scalars)."""
+    import ray
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import (
+        broadcast,
+        hash_partition_map,
+        lookup_broadcast,
+        shuffle_agg,
+        shuffle_join,
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["ea"].combine_chunks(), t["eb"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t["eb"].combine_chunks(), t["ea"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # initial labels = degree: partial-sum per block, one exchange by node
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).size()
+        return g.rename(columns={"size": "h"})
+
+    def deg_final(df: pd.DataFrame) -> pa.Table:
+        if not len(df) or "node" not in df.columns:
+            return _kcore_empty_labels()
+        g = df.groupby("node", as_index=False)["h"].sum()
+        return pa.table(
+            {
+                "node": pa.array(g["node"].to_numpy(np.int64), pa.int64()),
+                "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    labels = shuffle_agg(edges, ["node"], deg_partial, deg_final).materialize()
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _kcore_empty_tagged()
+        t = t.select(["node", "h"])
+        return t.append_column(
+            "old", pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8())
+        )
+
+    def merge_final(df: pd.DataFrame) -> pa.Table:
+        if not len(df) or "node" not in df.columns:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    "imp": pa.array([], pa.int8()),
+                }
+            )
+        old = df[df["old"] == 1].set_index("node")["h"]
+        c = df[df["old"] == 0]
+        if len(c):
+            node = c["node"].to_numpy(np.int64)
+            val = c["h"].to_numpy(np.int64)
+            # per-node h-index inside this hash partition (every contrib
+            # row of a node lands here — the exchange key is the node)
+            order = np.lexsort((-val, node))
+            sn, sv = node[order], val[order]
+            boundary = np.flatnonzero(np.r_[True, sn[1:] != sn[:-1]])
+            run_len = np.diff(np.r_[boundary, len(sn)])
+            rank = (
+                np.arange(len(sn), dtype=np.int64)
+                - np.repeat(boundary, run_len)
+                + 1
+            )
+            hits = (sv >= rank).astype(np.int64)
+            hidx = pd.Series(hits, index=sn).groupby(level=0).sum()
+        else:
+            hidx = pd.Series(dtype=np.int64)
+        hidx = hidx.reindex(old.index).fillna(old).astype(np.int64)
+        new = np.minimum(old.to_numpy(np.int64), hidx.to_numpy(np.int64))
+        return pa.table(
+            {
+                "node": pa.array(old.index.to_numpy(np.int64), pa.int64()),
+                "h": pa.array(new, pa.int64()),
+                "imp": pa.array(
+                    (new < old.to_numpy(np.int64)).astype(np.int8), pa.int8()
+                ),
+            }
+        )
+
+    @ray.remote
+    def count_imp(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "imp" not in t.column_names:
+            return 0
+        return pc.sum(t["imp"]).as_py() or 0
+
+    def drop_imp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _kcore_empty_labels()
+        return t.select(["node", "h"])
+
+    refs = labels.to_arrow_refs()
+    for rnd in range(_KCORE_MAX_ROUNDS):
+        if n_nodes <= _KCORE_BROADCAST_LABELS:
+            # dense node-id-indexed label vector (ids are url ranks, 8 B/
+            # node) — the relay becomes one vectorized fancy-index
+            ldense = np.zeros(n_nodes, dtype=np.int64)
+            for t in ray.get(refs):
+                if t.num_rows and "node" in t.column_names:
+                    ldense[t["node"].to_numpy(zero_copy_only=False)] = t[
+                        "h"
+                    ].to_numpy(zero_copy_only=False)
+            l_ref = broadcast(ldense)
+
+            def relay_broadcast(t: pa.Table, _ref=l_ref) -> pa.Table:
+                ld = lookup_broadcast(_ref)
+                nb = t["nbr"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "node": t["node"],
+                        "h": pa.array(ld[nb], pa.int64()),
+                        "old": pa.array(
+                            np.zeros(t.num_rows, dtype=np.int8), pa.int8()
+                        ),
+                    }
+                )
+
+            contrib = edges.map_batches(relay_broadcast, batch_format="pyarrow")
+        else:
+            lbl = rd.from_arrow_refs(refs).map_batches(
+                lambda t: (
+                    t.select(["node", "h"]).rename_columns(["nbr", "h"])
+                    if t.num_rows and "node" in t.column_names
+                    else pa.table(
+                        {
+                            "nbr": pa.array([], pa.int64()),
+                            "h": pa.array([], pa.int64()),
+                        }
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            contrib = shuffle_join(
+                edges,
+                lbl,
+                on="nbr",
+                left_cols=["nbr", "node"],
+                right_cols=["nbr", "h"],
+            ).map_batches(
+                lambda t: (
+                    pa.table(
+                        {
+                            "node": t["node"],
+                            "h": t["h"],
+                            "old": pa.array(
+                                np.zeros(t.num_rows, dtype=np.int8), pa.int8()
+                            ),
+                        }
+                    )
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        tagged = rd.from_arrow_refs(refs).map_batches(
+            tag_old, batch_format="pyarrow"
+        )
+        labels = hash_partition_map(
+            contrib.union(tagged), ["node"], merge_final
+        ).materialize()
+        refs = labels.to_arrow_refs()
+        n_imp = sum(ray.get([count_imp.remote(r) for r in refs]))
+        if n_imp == 0:
+            core = np.zeros(n_nodes, dtype=np.int64)
+            for t in ray.get(refs):
+                if t.num_rows and "node" in t.column_names:
+                    core[t["node"].to_numpy(zero_copy_only=False)] = t[
+                        "h"
+                    ].to_numpy(zero_copy_only=False)
+            return core
+    raise RuntimeError(
+        f"k-core propagation did not converge within {_KCORE_MAX_ROUNDS} rounds"
+    )
+
+
+def _kcore_empty_labels() -> pa.Table:
+    return pa.table(
+        {"node": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+    )
+
+
+def _kcore_empty_tagged() -> pa.Table:
+    return pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "old": pa.array([], pa.int8()),
+        }
+    )
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -1892,4 +2251,5 @@ QUERIES = {
     "crawl_domain_graph": (crawl_domain_graph, None),
     "crawl_seed_distance": (crawl_seed_distance, None),
     "crawl_hyperball": (crawl_hyperball, None),
+    "crawl_kcore": (crawl_kcore, None),
 }

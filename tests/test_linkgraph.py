@@ -138,3 +138,72 @@ def test_seed_distance_distributed_regime_matches_oracle(ray_session, monkeypatc
     monkeypatch.setattr(cq, "_BFS_SMALL_EDGES", 0)
     dist = _canon(cq.crawl_seed_distance("unused").to_pandas())
     pd.testing.assert_frame_equal(dist, theirs, check_dtype=False, check_exact=True)
+
+
+def test_kcore_small_regime_matches_oracle(ray_session):
+    """crawl_kcore (default driver h-index regime) must equal the
+    independent Batagelj–Zaveršnik peeling oracle on the fixture corpus —
+    two different algorithms whose agreement is the h-index/coreness
+    theorem, not shared code."""
+    import fixtures.gen as fxgen
+    import scrapy__ray.pipelines.crawlq as cq
+    from scrapy__ray.oracle_ext import oracle_crawl_kcore
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    theirs = _canon(oracle_crawl_kcore(corpus))
+    mine = _canon(cq.crawl_kcore("unused").to_pandas())
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
+
+
+def test_kcore_distributed_kernel_both_relays(ray_session, monkeypatch):
+    """_kcore_distributed on a synthetic graph with hand-checkable core
+    numbers — K4 clique (core 3) glued by a bridge to a triangle (core 2),
+    a 6-node path (core 1), and an isolated node (core 0) — through BOTH
+    relay regimes (broadcast label vector and forced shuffle_join), each
+    equal to the driver fixed point and to the known answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import scrapy__ray.pipelines.crawlq as cq
+    from scrapy__ray.pipelines.util import ensure_ctx
+
+    ensure_ctx()
+    # nodes 0-3: K4; 4-6: triangle; bridge 3-4; 7-12: path; 13: isolated
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(4, 5), (4, 6), (5, 6), (3, 4)]
+        + [(i, i + 1) for i in range(7, 12)]
+    )
+    want = np.array([3, 3, 3, 3, 2, 2, 2, 1, 1, 1, 1, 1, 1, 0], dtype=np.int64)
+    n = 14
+    ea = np.array([min(e) for e in edges], dtype=np.int64)
+    eb = np.array([max(e) for e in edges], dtype=np.int64)
+    pairs = rd.from_arrow(
+        pa.table({"ea": pa.array(ea, pa.int64()), "eb": pa.array(eb, pa.int64())})
+    ).materialize()
+
+    assert np.array_equal(cq._kcore_driver(n, ea, eb), want)
+    got_bcast = cq._kcore_distributed(pairs, n)
+    assert np.array_equal(got_bcast, want)
+    monkeypatch.setattr(cq, "_KCORE_BROADCAST_LABELS", 0)
+    got_join = cq._kcore_distributed(pairs, n)
+    assert np.array_equal(got_join, want)
+
+
+@pytest.mark.slow
+def test_kcore_distributed_regime_matches_oracle(ray_session, monkeypatch):
+    """crawl_kcore through the FORCED distributed h-index propagation on
+    the real fixture corpus.  The 123-hop chain is the h-index worst case
+    (labels peel one hop per round from the chain ends → ~62 rounds),
+    hence slow-marked; the kernel is unit-tested fast on a synthetic graph
+    above."""
+    import fixtures.gen as fxgen
+    import scrapy__ray.pipelines.crawlq as cq
+    from scrapy__ray.oracle_ext import oracle_crawl_kcore
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    theirs = _canon(oracle_crawl_kcore(corpus))
+    monkeypatch.setattr(cq, "_KCORE_SMALL_EDGES", 0)
+    dist = _canon(cq.crawl_kcore("unused").to_pandas())
+    pd.testing.assert_frame_equal(dist, theirs, check_dtype=False, check_exact=True)
