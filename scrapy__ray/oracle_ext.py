@@ -755,6 +755,42 @@ def oracle_crawl_triangles(corpus: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_clustering_coef(corpus: str) -> pd.DataFrame:
+    """Local-clustering-coefficient mirror (spec pinned in
+    crawlq.crawl_clustering_coef): naive per-vertex neighbor-set
+    intersection for the triangle count (independent of the Ray pipeline's
+    oriented wedge join), coefficient = ONE IEEE division 2.0·T/(d·(d−1))
+    for d ≥ 2 else 0, all pages, sorted by url."""
+    urls, edges = _oracle_link_graph(corpus)
+    adj: dict[str, set] = {u: set() for u in urls}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    rows = sorted(urls)
+    deg, tri, coef = [], [], []
+    for v in rows:
+        ns = sorted(adj[v])
+        c = 0
+        for i, u in enumerate(ns):
+            au = adj[u]
+            for w in ns[i + 1 :]:
+                if w in au:
+                    c += 1
+        d = len(ns)
+        deg.append(d)
+        tri.append(c)
+        coef.append(2.0 * c / (d * (d - 1)) if d >= 2 else 0.0)
+    return pd.DataFrame(
+        {
+            "url": rows,
+            "degree": pd.array(deg, dtype="int64"),
+            "n_triangles": pd.array(tri, dtype="int64"),
+            "coef": pd.array(coef, dtype="float64"),
+        }
+    )
+
+
 def oracle_crawl_hyperball(corpus: str) -> pd.DataFrame:
     """HyperBall mirror (spec pinned in crawlq.crawl_hyperball): the same
     HLL(p=6) register/estimator law run single-process over a dict of
@@ -1634,6 +1670,7 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_components", oracle_crawl_components(corpus)),
         ("crawl_hyperball", oracle_crawl_hyperball(corpus)),
         ("crawl_kcore", oracle_crawl_kcore(corpus)),
+        ("crawl_clustering_coef", oracle_crawl_clustering_coef(corpus)),
         ("crawl_domain_graph", oracle_crawl_domain_graph(corpus)),
         ("crawl_seed_distance", oracle_crawl_seed_distance(corpus)),
         ("crawl_main_content", oracle_crawl_main_content(corpus)),

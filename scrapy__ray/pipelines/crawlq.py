@@ -925,9 +925,32 @@ def crawl_triangles(sf_dir: str):
     both edge endpoints (same exchanges, no broadcast).  Oracle:
     independent naive neighbor-set-intersection implementation
     (oracle_ext.oracle_crawl_triangles), materialized."""
+    from scrapy__ray.pipelines.util import collect_arrow
+
+    corpus = _corpus()
+    counts, _deg = _per_vertex_triangles(corpus)
+    tbl = collect_arrow(
+        counts.map_batches(
+            lambda df: df.rename(columns={"c": "n_triangles"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        pa.schema([("url", pa.string()), ("n_triangles", pa.int64())]),
+    )
+    df = tbl.to_pandas().sort_values(
+        ["n_triangles", "url"], ascending=[False, True]
+    ).head(_TRI_TOPK)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def _per_vertex_triangles(corpus: str):
+    """Shared triangle-count kernel (algorithm + exchange plan pinned in
+    the crawl_triangles docstring): returns (counts Dataset [(url, c)] —
+    one row per triangle-participating vertex, undirected-degree DataFrame
+    [(u, d)] — driver-resident, one int per vertex, the broadcast rank-map
+    side)."""
     from scrapy__ray.pipelines.util import (
         broadcast,
-        collect_arrow,
         driver_agg,
         hash_partition_map,
         lookup_broadcast,
@@ -935,7 +958,6 @@ def crawl_triangles(sf_dir: str):
         shuffle_join,
     )
 
-    corpus = _corpus()
     edges = _link_edges(corpus)
 
     # exchange 1: undirected canonical pairs, deduped where both live
@@ -1022,18 +1044,52 @@ def crawl_triangles(sf_dir: str):
         lambda df: df.groupby("url", as_index=False)["c"].sum(),
         lambda df: df.groupby("url", as_index=False)["c"].sum(),
     )
+    return counts, deg
+
+
+def crawl_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per page over the undirected corpus
+    link graph — c(v) = 2·T(v) / (d(v)·(d(v)−1)) for degree ≥ 2, else 0 —
+    plus the inputs (degree, triangle count) per row; ALL corpus pages,
+    isolated ones included, sorted by url.  The hub-vs-community signal:
+    link farms and boilerplate nav rings have high coefficients at high
+    degree, genuine hubs low ones.
+
+    Reuses the degree-ordered wedge-join triangle kernel
+    (_per_vertex_triangles — exchanges and the broadcast rank-map posture
+    documented there); the coefficient itself is one vectorized divide in
+    the final fold.  The float is ONE IEEE division of two exact int64
+    products, so the independent naive oracle
+    (oracle_ext.oracle_crawl_clustering_coef, materialized) is
+    bit-identical, not approximately close."""
+    from scrapy__ray.pipelines.util import collect_arrow
+
+    corpus = _corpus()
+    counts, deg = _per_vertex_triangles(corpus)
     tbl = collect_arrow(
-        counts.map_batches(
-            lambda df: df.rename(columns={"c": "n_triangles"}),
-            batch_format="pandas",
-            batch_size=None,
-        ),
-        pa.schema([("url", pa.string()), ("n_triangles", pa.int64())]),
+        counts,
+        pa.schema([("url", pa.string()), ("c", pa.int64())]),
     )
-    df = tbl.to_pandas().sort_values(
-        ["n_triangles", "url"], ascending=[False, True]
-    ).head(_TRI_TOPK)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    tri = dict(zip(tbl["url"].to_pylist(), tbl["c"].to_pylist()))
+    degs = dict(zip(deg["u"], deg["d"].astype("int64")))
+    urls = sorted(
+        pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist()
+    )
+    d = np.array([degs.get(u, 0) for u in urls], dtype=np.int64)
+    t = np.array([tri.get(u, 0) for u in urls], dtype=np.int64)
+    denom = d * (d - 1)
+    coef = np.divide(
+        2.0 * t, denom, out=np.zeros(len(urls)), where=denom > 0
+    )
+    df = pd.DataFrame(
+        {
+            "url": urls,
+            "degree": pd.array(d, dtype="int64"),
+            "n_triangles": pd.array(t, dtype="int64"),
+            "coef": pd.array(coef, dtype="float64"),
+        }
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ------------------------------------------------- anchor-text aggregation
@@ -2252,4 +2308,5 @@ QUERIES = {
     "crawl_seed_distance": (crawl_seed_distance, None),
     "crawl_hyperball": (crawl_hyperball, None),
     "crawl_kcore": (crawl_kcore, None),
+    "crawl_clustering_coef": (crawl_clustering_coef, None),
 }
