@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 from scrapy__ray.pipelines.util import (
+    arrow_out,
     broadcast,
     collect_arrow,
     driver_agg,
@@ -1285,6 +1286,435 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------- Q3 shape
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1995-03-15"
+
+
+def segment_top_orders(sf_dir: str):
+    """Top-10 unshipped-revenue orders for one market segment (the TPC-H Q3
+    three-table join + grouped-revenue + global-top-k shape).
+
+    customer is the SMALL side (filtered to one segment, key column only) →
+    broadcast semi-join inside the orders scan; orders×lineitem is the
+    LARGE×LARGE leg → ONE hash exchange on orderkey (shuffle_join), revenue
+    summed in exact integer hundredths-of-cents per partition, per-partition
+    top-10 partials merged on the driver (10 rows × #partitions).  No float
+    crosses the exchange, so accumulation order is irrelevant."""
+    cutoff = np.datetime64(_Q3_DATE, "us")
+
+    seg_keys = driver_agg(
+        read_parquet(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        lambda df: df.loc[df["c_mktsegment"] == _Q3_SEGMENT, ["c_custkey"]],
+        lambda df: df,
+    )
+    seg_ref = broadcast(set(seg_keys["c_custkey"].astype(np.int64).tolist()))
+
+    orders = read_parquet(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def open_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keys = lookup_broadcast(seg_ref)
+        d = df[
+            (df["o_orderdate"].values.astype("datetime64[us]") < cutoff)
+            & df["o_custkey"].isin(keys)
+        ]
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["o_orderkey"].values.astype(np.int64),
+                "o_orderdate": d["o_orderdate"].values.astype("datetime64[us]"),
+            }
+        )
+
+    open_o = orders.map_batches(
+        arrow_out(open_orders), batch_format="pandas", batch_size=None
+    )
+
+    li = read_parquet(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def late_items(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_shipdate"].values.astype("datetime64[us]") > cutoff]
+        # exact integer hundredths of cents: price has 2 decimals, discount 2
+        price_c = np.round(d["l_extendedprice"].values * 100).astype(np.int64)
+        disc_c = np.round(d["l_discount"].values * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["l_orderkey"].values.astype(np.int64),
+                "rev_cc": price_c * (100 - disc_c),
+            }
+        )
+
+    late = li.map_batches(
+        arrow_out(late_items), batch_format="pandas", batch_size=None
+    )
+
+    joined = shuffle_join(
+        late,
+        open_o,
+        on="l_orderkey",
+        left_cols=["l_orderkey", "rev_cc"],
+        right_cols=["l_orderkey", "o_orderdate"],
+    )
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["l_orderkey", "rev_cc", "o_orderdate"]]
+        g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False)[
+            "rev_cc"
+        ].sum()
+        return g.sort_values(
+            ["rev_cc", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+
+    out = driver_agg(
+        joined,
+        part_topk,
+        lambda df: df.sort_values(
+            ["rev_cc", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10),
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(out["l_orderkey"].astype("int64"), pa.int64()),
+            "revenue": pa.array(
+                (out["rev_cc"].astype("int64") / 10000.0).round(2), pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                out["o_orderdate"].values.astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+SEGMENT_TOP_ORDERS_SQL = f"""
+SELECT l_orderkey,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue,
+       o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DESC,
+         l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ Q14 shape
+_Q14_FROM = "1995-09-01"
+_Q14_TO = "1995-10-01"
+
+
+def promo_revenue_share(sf_dir: str):
+    """Promotion revenue share for one month (the TPC-H Q14 broadcast-join +
+    conditional-aggregate shape): part is the classic SMALL dimension →
+    its promo flag broadcasts once as a keyset (at 100 TB part is ~1/1000
+    of lineitem; the keyset is partkeys whose p_type starts with PROMO),
+    the lineitem scan folds two exact-integer sums per block, the driver
+    adds scalars.  ZERO exchanges.  Share reported in integer millionths
+    (exact floor division) so the oracle compare is bit-stable."""
+    promo = driver_agg(
+        read_parquet(sf_dir, "part", columns=["p_partkey", "p_type"]),
+        lambda df: df.loc[
+            df["p_type"].str.startswith("PROMO"), ["p_partkey"]
+        ],
+        lambda df: df,
+    )
+    promo_ref = broadcast(set(promo["p_partkey"].astype(np.int64).tolist()))
+    lo = np.datetime64(_Q14_FROM, "us")
+    hi = np.datetime64(_Q14_TO, "us")
+
+    li = read_parquet(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].values.astype("datetime64[us]")
+        d = df[(ship >= lo) & (ship < hi)]
+        price_c = np.round(d["l_extendedprice"].values * 100).astype(np.int64)
+        disc_c = np.round(d["l_discount"].values * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        is_promo = d["l_partkey"].isin(lookup_broadcast(promo_ref)).values
+        return pd.DataFrame(
+            {"promo_cc": [rev[is_promo].sum()], "total_cc": [rev.sum()]}
+        )
+
+    tot = driver_agg(li, partial, lambda df: df.sum())
+    promo_cc, total_cc = int(tot["promo_cc"]), int(tot["total_cc"])
+    share_ppm = (1_000_000 * promo_cc) // total_cc if total_cc else 0
+    return pa.table(
+        {
+            "promo_share_ppm": pa.array([share_ppm], pa.int64()),
+            "promo_revenue": pa.array([round(promo_cc / 10000.0, 2)], pa.float64()),
+            "total_revenue": pa.array([round(total_cc / 10000.0, 2)], pa.float64()),
+        }
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_cc,
+         (p_type LIKE 'PROMO%') AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{_Q14_FROM}'
+    AND l_shipdate < TIMESTAMP '{_Q14_TO}'
+)
+SELECT CAST((1000000 * SUM(CASE WHEN is_promo THEN rev_cc ELSE 0 END))
+         // SUM(rev_cc) AS BIGINT) AS promo_share_ppm,
+       ROUND(SUM(CASE WHEN is_promo THEN rev_cc ELSE 0 END) / 10000.0, 2)
+         AS promo_revenue,
+       ROUND(SUM(rev_cc) / 10000.0, 2) AS total_revenue
+FROM j
+"""
+
+
+# --------------------------------------------- Q22 shape with a Bloom filter
+_BLOOM_M = 1 << 22  # bits (512 KiB packed) — sized for ~10^5 distinct keys
+_BLOOM_K = 4  # hash functions; FP ~7e-5 at 10^5 keys
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Steele et al. 2014, public domain) — the
+    standard 64-bit integer mix; vectorized, uint64 wraparound is the
+    intended arithmetic."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """k bit positions per key, shape (len(keys), k).  Kirsch-Mitzenmacher
+    double hashing: pos_i = (h1 + i*h2) mod m — two mixes give k
+    independent-enough probes (Kirsch & Mitzenmacher 2006)."""
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(_BLOOM_M)).astype(
+            np.int64
+        )
+
+
+def _bloom_pack(positions: np.ndarray) -> np.ndarray:
+    bm = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    flat = positions.ravel()
+    np.bitwise_or.at(bm, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8))
+    return bm
+
+
+def _bloom_test(bm: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """True where ALL k bits are set (key maybe-present)."""
+    bits = (bm[positions >> 3] >> (positions & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+_DORMANT_CUTOFF = "2000-07-01"
+
+
+def customers_no_orders_bloom(sf_dir: str):
+    """High-balance DORMANT customers — no orders on/after the cutoff date —
+    per nation (the TPC-H Q22 anti-join shape) with a broadcast BLOOM FILTER
+    pruning the anti-join's probe side before the exchange.
+
+    Three narrow passes, one small exchange:
+      1. exact positive-balance average as integer scalars (sum-cents, n) —
+         the qualifying predicate is the cross-multiplied integer compare
+         ``cents*n > sum_cents``, so no float boundary can disagree with
+         the SQL oracle;
+      2. orders fold to a 512-KiB Bloom bitmap (mergeable: per-block packed
+         bitmaps OR-reduced on the driver — the HLL posture with bits
+         instead of registers).  A Bloom filter has no false negatives, so
+         a qualifying customer whose probes MISS is proven order-less and
+         skips the exchange entirely;
+      3. only maybe-present customers travel: union with per-block-distinct
+         order custkeys, ONE hash exchange on custkey, per-partition exact
+         anti (drops the Bloom's ~7e-5 false positives), tiny driver
+         rollup by nation (25 groups).
+
+    At 10^10 orders the bitmap scales as distinct-custkeys bits (m ≈ 10n
+    for 1% FP) and merges as a tree reduce; the win is that the CUSTOMER
+    side of the exchange shrinks to true-order-holders + εn instead of
+    every qualifying row.  In TPC-H data most customers do hold orders, so
+    the pruning is modest here — the pattern's payoff is probe-miss-heavy
+    anti/semi joins (e.g. decontamination screens); measured prune fraction
+    is asserted > 0 in tests/test_relational_features.py."""
+    cust = read_parquet(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    # pass 1: exact threshold scalars
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].values * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [pos.sum()], "n": [np.int64(len(pos))]})
+
+    tot = driver_agg(cust, bal_partial, lambda df: df.sum())
+    sum_cents, n_pos = int(tot["s"]), int(tot["n"])
+
+    # pass 2: mergeable Bloom bitmap over RECENT order custkeys
+    cut = np.datetime64(_DORMANT_CUTOFF, "us")
+    orders = read_parquet(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_orderdate"].values.astype("datetime64[us]") >= cut]
+        keys = np.unique(d["o_custkey"].values.astype(np.int64))
+        bm = _bloom_pack(_bloom_positions(keys.astype(np.uint64)))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    merged = driver_agg(
+        orders,
+        bloom_partial,
+        lambda df: pd.DataFrame(
+            {
+                "bm": [
+                    np.bitwise_or.reduce(
+                        np.stack(
+                            [np.frombuffer(b, dtype=np.uint8) for b in df["bm"]]
+                        ),
+                        axis=0,
+                    ).tobytes()
+                ]
+            }
+        ),
+    )
+    bloom_ref = broadcast(np.frombuffer(merged["bm"].iloc[0], dtype=np.uint8))
+
+    # pass 3: qualify + probe; bloom-miss rows are final immediately
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].values * 100).astype(np.int64)
+        keep = cents * np.int64(n_pos) > np.int64(sum_cents)
+        df = df[keep].copy()
+        if not len(df):
+            return pd.DataFrame(
+                {"c_custkey": pd.Series([], dtype="int64"),
+                 "c_nationkey": pd.Series([], dtype="int64"),
+                 "cents": pd.Series([], dtype="int64"),
+                 "maybe": pd.Series([], dtype="int64")}
+            )
+        bm = lookup_broadcast(bloom_ref)
+        hit = _bloom_test(bm, _bloom_positions(df["c_custkey"].values.astype(np.uint64)))
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].values.astype(np.int64),
+                "c_nationkey": df["c_nationkey"].values.astype(np.int64),
+                "cents": np.round(df["c_acctbal"].values * 100).astype(np.int64),
+                "maybe": hit.astype(np.int64),
+            }
+        )
+
+    qualified = cust.map_batches(
+        arrow_out(qualify), batch_format="pandas", batch_size=None
+    )
+
+    def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["maybe"] == 1]
+        return pd.DataFrame(
+            {
+                "c_custkey": d["c_custkey"].values,
+                "c_nationkey": d["c_nationkey"].values,
+                "cents": d["cents"].values,
+                "side": np.zeros(len(d), dtype=np.int64),
+            }
+        )
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_orderdate"].values.astype("datetime64[us]") >= cut]
+        keys = np.unique(d["o_custkey"].values.astype(np.int64))
+        return pd.DataFrame(
+            {
+                "c_custkey": keys,
+                "c_nationkey": np.zeros(len(keys), dtype=np.int64),
+                "cents": np.zeros(len(keys), dtype=np.int64),
+                "side": np.ones(len(keys), dtype=np.int64),
+            }
+        )
+
+    both = qualified.map_batches(
+        arrow_out(cust_side), batch_format="pandas", batch_size=None
+    ).union(
+        orders.map_batches(arrow_out(order_side), batch_format="pandas", batch_size=None)
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["c_nationkey", "cents"]]
+        holders = set(df.loc[df["side"] == 1, "c_custkey"].values.tolist())
+        d = df[(df["side"] == 0) & ~df["c_custkey"].isin(holders)]
+        return d[["c_nationkey", "cents"]]
+
+    anti_rows = hash_partition_map(both, ["c_custkey"], arrow_out(anti))
+
+    # bloom-miss rows (maybe == 0) are definite antis — no exchange needed
+    def miss_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["maybe"] == 0]
+        return d[["c_nationkey", "cents"]]
+
+    misses = qualified.map_batches(
+        arrow_out(miss_rows), batch_format="pandas", batch_size=None
+    )
+
+    def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("cents", "size"), cents=("cents", "sum")
+        )
+        return g
+
+    out = driver_agg(
+        anti_rows.union(misses),
+        roll_partial,
+        lambda df: df.groupby("c_nationkey", as_index=False).sum(),
+    )
+    return pa.table(
+        {
+            "c_nationkey": pa.array(out["c_nationkey"].astype("int64"), pa.int64()),
+            "numcust": pa.array(out["numcust"].astype("int64"), pa.int64()),
+            "totacctbal": pa.array(
+                (out["cents"].astype("int64") / 100.0).round(2), pa.float64()
+            ),
+        }
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = f"""
+WITH pos AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS totacctbal
+FROM customer, pos
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_DORMANT_CUTOFF}'
+  )
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
@@ -1310,4 +1740,10 @@ QUERIES = {
     ),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "lineitem_quantity_quantiles": (lineitem_quantity_quantiles, LINEITEM_GQ_SQL),
+    "segment_top_orders": (segment_top_orders, SEGMENT_TOP_ORDERS_SQL),
+    "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SQL),
+    "customers_no_orders_bloom": (
+        customers_no_orders_bloom,
+        CUSTOMERS_NO_ORDERS_SQL,
+    ),
 }
