@@ -1715,6 +1715,481 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ Q18 shape
+_Q18_QTY = 250
+
+
+def large_volume_orders(sf_dir: str):
+    """Orders whose total line quantity exceeds a threshold, with their
+    customer — the TPC-H Q18 HAVING-SUM + join-back shape, top-100.
+
+    Quantity sums travel ONE hash exchange on orderkey (partial per-block
+    groupby first, so the exchange carries one row per (orderkey, block));
+    qualifying orderkeys stay a dataset and shuffle-join back to orders on
+    the SAME key.  The global top-100 (totalprice desc — in exact cents —
+    then orderdate, orderkey) merges 100-row per-partition partials on the
+    driver, and only the ≤100 winning custkeys' names are fetched via a
+    parquet predicate-pushdown read — the customer table itself never
+    loads.  Quantities are integral in this corpus; summed as int64 so no
+    float crosses the exchange."""
+    li = read_parquet(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"].values.astype(np.int64),
+                "qty": np.round(g["l_quantity"].values).astype(np.int64),
+            }
+        )
+
+    def qty_final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        g = df.groupby("l_orderkey", as_index=False)["qty"].sum()
+        return g[g["qty"] > _Q18_QTY]
+
+    big = shuffle_agg(li, ["l_orderkey"], qty_partial, arrow_out(qty_final))
+
+    orders = read_parquet(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].values.astype(np.int64),
+                "o_custkey": df["o_custkey"].values.astype(np.int64),
+                "price_c": np.round(df["o_totalprice"].values * 100).astype(
+                    np.int64
+                ),
+                "o_orderdate": df["o_orderdate"].values.astype("datetime64[us]"),
+            }
+        )
+
+    op = orders.map_batches(
+        arrow_out(o_proj), batch_format="pandas", batch_size=None
+    )
+    joined = shuffle_join(
+        big,
+        op,
+        on="l_orderkey",
+        left_cols=["l_orderkey", "qty"],
+        right_cols=["l_orderkey", "o_custkey", "price_c", "o_orderdate"],
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["price_c", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(100)
+
+    out = driver_agg(joined, topk, topk)
+
+    import pyarrow.parquet as pq
+
+    custkeys = sorted({int(k) for k in out["o_custkey"]})
+    names = {}
+    if custkeys:
+        nt = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filters=[("c_custkey", "in", custkeys)],
+        )
+        names = dict(
+            zip(nt["c_custkey"].to_pylist(), nt["c_name"].to_pylist())
+        )
+    return pa.table(
+        {
+            "c_name": pa.array(
+                [names[int(k)] for k in out["o_custkey"]], pa.string()
+            ),
+            "c_custkey": pa.array(out["o_custkey"].astype("int64"), pa.int64()),
+            "o_orderkey": pa.array(out["l_orderkey"].astype("int64"), pa.int64()),
+            "o_orderdate": pa.array(
+                out["o_orderdate"].values.astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array(
+                (out["price_c"].astype("int64") / 100.0).round(2), pa.float64()
+            ),
+            "total_qty": pa.array(out["qty"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+LARGE_VOLUME_SQL = f"""
+SELECT c_name,
+       CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {_Q18_QTY}
+ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# ------------------------------------------------------------ Q15 shape
+_Q15_FROM = "1996-01-01"
+_Q15_TO = "1996-04-01"
+
+
+def top_supplier_revenue(sf_dir: str):
+    """Suppliers whose quarterly revenue EQUALS the global maximum — the
+    TPC-H Q15 view + argmax shape (ties kept, like the spec's subquery).
+
+    Per-supplier totals travel one hash exchange on suppkey (partial
+    per-block groupby first); the global max is then a SCALAR driver
+    reduce over that already-aggregated dataset (one row per supplier per
+    partition — tiny), never over lineitem.  Winning suppliers (≥1 row,
+    ~always 1) fetch their names via parquet predicate pushdown.  Revenue
+    in exact integer hundredths-of-cents end to end; the float division
+    happens once, on the final ≤handful of rows."""
+    lo = np.datetime64(_Q15_FROM, "us")
+    hi = np.datetime64(_Q15_TO, "us")
+    li = read_parquet(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].values.astype("datetime64[us]")
+        d = df[(ship >= lo) & (ship < hi)]
+        price_c = np.round(d["l_extendedprice"].values * 100).astype(np.int64)
+        disc_c = np.round(d["l_discount"].values * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "s_suppkey": d["l_suppkey"].values.astype(np.int64),
+                "rev_cc": price_c * (100 - disc_c),
+            }
+        ).groupby("s_suppkey", as_index=False)["rev_cc"].sum()
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby("s_suppkey", as_index=False)["rev_cc"].sum()
+
+    totals = shuffle_agg(li, ["s_suppkey"], partial, arrow_out(final))
+    winners = driver_agg(
+        totals,
+        lambda df: df[df["rev_cc"] == df["rev_cc"].max()] if len(df) else df,
+        lambda df: df[df["rev_cc"] == df["rev_cc"].max()].sort_values(
+            "s_suppkey"
+        ),
+    )
+
+    import pyarrow.parquet as pq
+
+    keys = sorted(int(k) for k in winners["s_suppkey"])
+    names = {}
+    if keys:
+        nt = pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name"],
+            filters=[("s_suppkey", "in", keys)],
+        )
+        names = dict(zip(nt["s_suppkey"].to_pylist(), nt["s_name"].to_pylist()))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(
+                winners["s_suppkey"].astype("int64"), pa.int64()
+            ),
+            "s_name": pa.array(
+                [names[int(k)] for k in winners["s_suppkey"]], pa.string()
+            ),
+            "total_revenue": pa.array(
+                (winners["rev_cc"].astype("int64") / 10000.0).round(2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_cc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM}'
+    AND l_shipdate < TIMESTAMP '{_Q15_TO}'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, ROUND(r.rev_cc / 10000.0, 2) AS total_revenue
+FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.rev_cc = (SELECT MAX(rev_cc) FROM rev)
+ORDER BY r.s_suppkey
+"""
+
+
+# ------------------------------------------------------------- Q7 shape
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+_Q7_FROM = "1995-01-01"
+_Q7_TO = "1996-12-31"
+
+
+def nation_trade_volume(sf_dir: str):
+    """Shipping volume between two nations by (supplier nation, customer
+    nation, year) — the TPC-H Q7 two-dimension-join shape.
+
+    Supplier is the smallest table: its (suppkey → nation) map for JUST
+    the two nations broadcasts once and turns the supplier join into a
+    semi-filter inside the lineitem scan.  Customer is too large to
+    broadcast at the design point, so it takes the honest path: lineitem
+    (pre-filtered, with supp_nation + year attached) shuffle-joins orders
+    on orderkey, then the result shuffle-joins the two-nation slice of
+    customer on custkey — two exchanges, both on the natural keys.  The
+    4-pair × few-years rollup is a driver reduce.  Revenue in exact
+    integer hundredths-of-cents across both exchanges."""
+    lo = np.datetime64(_Q7_FROM, "us")
+    hi = np.datetime64(_Q7_TO + "T23:59:59.999999", "us")
+
+    nat = driver_agg(
+        read_parquet(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        lambda df: df[df["n_name"].isin(list(_Q7_NATIONS))],
+        lambda df: df,
+    )
+    nkeys = dict(
+        zip(nat["n_nationkey"].astype(np.int64), nat["n_name"])
+    )
+    supp = driver_agg(
+        read_parquet(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        lambda df: df[df["s_nationkey"].isin(list(nkeys))],
+        lambda df: df,
+    )
+    supp_ref = broadcast(
+        {
+            int(k): nkeys[int(n)]
+            for k, n in zip(supp["s_suppkey"], supp["s_nationkey"])
+        }
+    )
+
+    li = read_parquet(
+        sf_dir, "lineitem",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def li_pass(df: pd.DataFrame) -> pd.DataFrame:
+        smap = lookup_broadcast(supp_ref)
+        ship = df["l_shipdate"].values.astype("datetime64[us]")
+        d = df[(ship >= lo) & (ship <= hi) & df["l_suppkey"].isin(smap)]
+        price_c = np.round(d["l_extendedprice"].values * 100).astype(np.int64)
+        disc_c = np.round(d["l_discount"].values * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["l_orderkey"].values.astype(np.int64),
+                "supp_nation": d["l_suppkey"].map(smap).values,
+                "l_year": d["l_shipdate"]
+                .dt.year.values.astype(np.int64),
+                "rev_cc": price_c * (100 - disc_c),
+            }
+        )
+
+    lif = li.map_batches(arrow_out(li_pass), batch_format="pandas", batch_size=None)
+
+    orders = read_parquet(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].values.astype(np.int64),
+                "o_custkey": df["o_custkey"].values.astype(np.int64),
+            }
+        )
+
+    op = orders.map_batches(
+        arrow_out(o_proj), batch_format="pandas", batch_size=None
+    )
+    j1 = shuffle_join(
+        lif,
+        op,
+        on="l_orderkey",
+        left_cols=["l_orderkey", "supp_nation", "l_year", "rev_cc"],
+        right_cols=["l_orderkey", "o_custkey"],
+    )
+
+    cust = read_parquet(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def c_slice(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_nationkey"].isin(list(nkeys))]
+        return pd.DataFrame(
+            {
+                "o_custkey": d["c_custkey"].values.astype(np.int64),
+                "cust_nation": d["c_nationkey"].map(
+                    {k: v for k, v in nkeys.items()}
+                ).values,
+            }
+        )
+
+    cp = cust.map_batches(
+        arrow_out(c_slice), batch_format="pandas", batch_size=None
+    )
+    j2 = shuffle_join(
+        j1,
+        cp,
+        on="o_custkey",
+        left_cols=["o_custkey", "supp_nation", "l_year", "rev_cc"],
+        right_cols=["o_custkey", "cust_nation"],
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["supp_nation"] != df["cust_nation"]]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype=object),
+                    "cust_nation": pd.Series([], dtype=object),
+                    "l_year": pd.Series([], dtype=np.int64),
+                    "rev_cc": pd.Series([], dtype=np.int64),
+                }
+            )
+        return d.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        )["rev_cc"].sum()
+
+    out = driver_agg(
+        j2,
+        pair_partial,
+        lambda df: df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        )["rev_cc"]
+        .sum()
+        .sort_values(["supp_nation", "cust_nation", "l_year"]),
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array(out["supp_nation"], pa.string()),
+            "cust_nation": pa.array(out["cust_nation"], pa.string()),
+            "l_year": pa.array(out["l_year"].astype("int64"), pa.int64()),
+            "revenue": pa.array(
+                (out["rev_cc"].astype("int64") / 10000.0).round(2), pa.float64()
+            ),
+        }
+    )
+
+
+NATION_TRADE_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = '{_Q7_NATIONS[0]}' AND cn.n_name = '{_Q7_NATIONS[1]}')
+    OR (sn.n_name = '{_Q7_NATIONS[1]}' AND cn.n_name = '{_Q7_NATIONS[0]}'))
+  AND l_shipdate BETWEEN TIMESTAMP '{_Q7_FROM}' AND TIMESTAMP '{_Q7_TO} 23:59:59.999999'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------- Q19 shape
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#14", 1, 15, 20, 30),
+)
+
+
+def brand_filtered_revenue(sf_dir: str):
+    """Revenue under a DISJUNCTION of (brand, size-range, quantity-range)
+    conjunctions — the TPC-H Q19 multi-branch-predicate shape.
+
+    The part-side predicate of each branch compiles to a broadcast
+    partkey → branch-id map (each branch's qualifying parts are a small
+    slice of an already-small dimension); the lineitem scan is then ONE
+    vectorized pass that maps partkey → branch and applies that branch's
+    quantity range — the whole disjunction evaluates without any join or
+    exchange, and blocks fold to a single scalar partial.  Output in exact
+    cents, divided once at the end."""
+    parts = driver_agg(
+        read_parquet(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]),
+        lambda df: df[
+            np.logical_or.reduce(
+                [
+                    (df["p_brand"].values == b)
+                    & (df["p_size"].values >= s_lo)
+                    & (df["p_size"].values <= s_hi)
+                    for b, s_lo, s_hi, _, _ in _Q19_BRANCHES
+                ]
+            )
+        ],
+        lambda df: df,
+    )
+    branch_of = {}
+    for i, (b, s_lo, s_hi, _, _) in enumerate(_Q19_BRANCHES):
+        m = (
+            (parts["p_brand"] == b)
+            & (parts["p_size"] >= s_lo)
+            & (parts["p_size"] <= s_hi)
+        )
+        for k in parts.loc[m, "p_partkey"]:
+            branch_of[int(k)] = i
+    part_ref = broadcast(branch_of)
+    q_lo = np.array([b[3] for b in _Q19_BRANCHES], dtype=np.float64)
+    q_hi = np.array([b[4] for b in _Q19_BRANCHES], dtype=np.float64)
+
+    li = read_parquet(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bmap = lookup_broadcast(part_ref)
+        branch = df["l_partkey"].map(bmap).values
+        hit = ~pd.isna(branch)
+        d, branch = df[hit], branch[hit].astype(np.int64)
+        qty = d["l_quantity"].values
+        ok = (qty >= q_lo[branch]) & (qty <= q_hi[branch])
+        d = d[ok]
+        price_c = np.round(d["l_extendedprice"].values * 100).astype(np.int64)
+        disc_c = np.round(d["l_discount"].values * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        return pd.DataFrame(
+            {"rev_cc": [rev.sum()], "n": [np.int64(len(d))]}
+        )
+
+    tot = driver_agg(li, partial, lambda df: df.sum())
+    return pa.table(
+        {
+            "revenue": pa.array(
+                [round(int(tot["rev_cc"]) / 10000.0, 2)], pa.float64()
+            ),
+            "n_items": pa.array([int(tot["n"])], pa.int64()),
+        }
+    )
+
+
+BRAND_FILTERED_SQL = f"""
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p_brand = '{_Q19_BRANCHES[0][0]}' AND p_size BETWEEN {_Q19_BRANCHES[0][1]} AND {_Q19_BRANCHES[0][2]} AND l_quantity BETWEEN {_Q19_BRANCHES[0][3]} AND {_Q19_BRANCHES[0][4]})
+   OR (p_brand = '{_Q19_BRANCHES[1][0]}' AND p_size BETWEEN {_Q19_BRANCHES[1][1]} AND {_Q19_BRANCHES[1][2]} AND l_quantity BETWEEN {_Q19_BRANCHES[1][3]} AND {_Q19_BRANCHES[1][4]})
+   OR (p_brand = '{_Q19_BRANCHES[2][0]}' AND p_size BETWEEN {_Q19_BRANCHES[2][1]} AND {_Q19_BRANCHES[2][2]} AND l_quantity BETWEEN {_Q19_BRANCHES[2][3]} AND {_Q19_BRANCHES[2][4]})
+"""
+
+
 QUERIES = {
     "lineitem_pricing_summary": (lineitem_pricing_summary, LINEITEM_PRICING_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
@@ -1746,4 +2221,8 @@ QUERIES = {
         customers_no_orders_bloom,
         CUSTOMERS_NO_ORDERS_SQL,
     ),
+    "large_volume_orders": (large_volume_orders, LARGE_VOLUME_SQL),
+    "top_supplier_revenue": (top_supplier_revenue, TOP_SUPPLIER_SQL),
+    "nation_trade_volume": (nation_trade_volume, NATION_TRADE_SQL),
+    "brand_filtered_revenue": (brand_filtered_revenue, BRAND_FILTERED_SQL),
 }
