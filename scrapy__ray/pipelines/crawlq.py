@@ -2289,6 +2289,70 @@ def _kcore_empty_tagged() -> pa.Table:
     )
 
 
+def crawl_warc_source(sf_dir: str):
+    """Pages read FROM WARC — Common Crawl's wire format — instead of
+    parquet: ``warc_mirror`` shards the fixture corpus as per-record-gzip
+    ``.warc.gz`` (one shard per pages partition), ``read_warc`` parses
+    them back into the pages schema as a Dataset, and the rollup digests
+    every record per host: page count, html bytes, and the wraparound sum
+    of per-record sha1(url|ts_us|html) 32-bit prefixes (order-independent,
+    so partials combine across any block split).  tests/test_warc.py
+    computes the identical rollup straight from the parquet partitions and
+    asserts frame equality — the byte-level WARC round-trip evidence.
+    Host cardinality is unbounded at the design point, so the rollup takes
+    the hash-shuffle path, never a driver concat."""
+    import hashlib
+    from urllib.parse import urlsplit
+
+    from scrapy__ray.pipelines.util import collect_arrow, shuffle_agg
+    from scrapy__ray.sources.warc import read_warc, warc_mirror
+
+    ds = read_warc(warc_mirror(_corpus()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["warc_ts"].values.astype("datetime64[us]").astype("int64")
+        digs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.sha1(
+                        u.encode() + b"|" + str(t).encode() + b"|" + h
+                    ).digest()[:4],
+                    "big",
+                )
+                for u, t, h in zip(df["url"], ts_us, df["html"])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        g = pd.DataFrame(
+            {
+                "host": [urlsplit(u).netloc for u in df["url"]],
+                "n_pages": np.ones(len(df), dtype=np.int64),
+                "html_bytes": df["html"].str.len().values.astype(np.int64),
+                "digest_sum": digs,
+            }
+        )
+        return g.groupby("host", as_index=False).sum()
+
+    res = collect_arrow(
+        shuffle_agg(
+            ds,
+            ["host"],
+            partial,
+            lambda df: df.groupby("host", as_index=False).sum(),
+        ),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("n_pages", pa.int64()),
+                ("html_bytes", pa.int64()),
+                ("digest_sum", pa.int64()),
+            ]
+        ),
+    )
+    return res.to_pandas().sort_values("host").reset_index(drop=True)
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -2309,4 +2373,5 @@ QUERIES = {
     "crawl_hyperball": (crawl_hyperball, None),
     "crawl_kcore": (crawl_kcore, None),
     "crawl_clustering_coef": (crawl_clustering_coef, None),
+    "crawl_warc_source": (crawl_warc_source, None),
 }
