@@ -2353,6 +2353,70 @@ def crawl_warc_source(sf_dir: str):
     return res.to_pandas().sort_values("host").reset_index(drop=True)
 
 
+_TRAP_MIN_URLS = 5
+
+
+def crawl_url_templates(sf_dir: str):
+    """URL template mining / crawler-trap detection: collapse digit runs
+    in the path+query to ``{d}`` and parameter values to ``=``, count
+    URLs per (host, template), and report templates covering ≥
+    ``_TRAP_MIN_URLS`` URLs — the signal a production frontier uses to
+    cap calendar/session-id traps (a template absorbing 10^6 URLs on one
+    host is a trap, not content).
+
+    Fully vectorized: two pandas regex passes over the url column (host
+    split off first so digits in the hostname survive), then the standard
+    partial → hash-shuffle by (host, template) → vectorized final rollup;
+    template cardinality is unbounded at the design point (that is the
+    trap!) so no driver-side concat.  Independent pure-Python oracle in
+    tests/test_warc.py::test_url_templates_oracle."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import collect_arrow, ensure_ctx, shuffle_agg
+
+    ensure_ctx()
+    ds = rd.read_parquet(_corpus() + "/pages", columns=["url"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["url"].str.extract(r"^([a-z][a-z0-9+.-]*://[^/?#]*)(.*)$")
+        rest = (
+            parts[1]
+            .fillna("")
+            .str.replace(r"=[^&#]*", "=", regex=True)
+            .str.replace(r"\d+", "{d}", regex=True)
+        )
+        g = pd.DataFrame(
+            {
+                "host": parts[0].str.replace(
+                    r"^[a-z][a-z0-9+.-]*://", "", regex=True
+                ),
+                "template": rest,
+                "n_urls": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return g.groupby(["host", "template"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["host", "template"], as_index=False).sum()
+        return g[g["n_urls"] >= _TRAP_MIN_URLS]
+
+    res = collect_arrow(
+        shuffle_agg(ds, ["host", "template"], partial, final),
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("template", pa.string()),
+                ("n_urls", pa.int64()),
+            ]
+        ),
+    )
+    return (
+        res.to_pandas()
+        .sort_values(["host", "template"])
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "crawl_fetch_log": (crawl_fetch_log, None),
     "crawl_extract_identity": (crawl_extract_identity, None),
@@ -2374,4 +2438,5 @@ QUERIES = {
     "crawl_kcore": (crawl_kcore, None),
     "crawl_clustering_coef": (crawl_clustering_coef, None),
     "crawl_warc_source": (crawl_warc_source, None),
+    "crawl_url_templates": (crawl_url_templates, None),
 }

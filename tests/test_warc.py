@@ -119,6 +119,43 @@ def test_warc_mirror_matches_parquet_corpus(ray_session):
     )
 
 
+def test_url_templates_oracle(ray_session):
+    """crawl_url_templates vs an independent pure-Python mirror (urlsplit
+    + re, no pandas str ops) over every corpus URL."""
+    import re
+    from collections import Counter
+
+    import fixtures.gen as fxgen
+
+    from scrapy__ray.pipelines.crawlq import _TRAP_MIN_URLS, crawl_url_templates
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    got = crawl_url_templates("unused")
+
+    counts: Counter = Counter()
+    for f in sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet"))):
+        for u in pq.read_table(f, columns=["url"]).column("url").to_pylist():
+            sp = urlsplit(u)
+            rest = sp.path
+            if sp.query:
+                rest += "?" + sp.query
+            if sp.fragment:
+                rest += "#" + sp.fragment
+            rest = re.sub(r"=[^&#]*", "=", rest)
+            rest = re.sub(r"\d+", "{d}", rest)
+            counts[(sp.netloc, rest)] += 1
+    want = (
+        pd.DataFrame(
+            [(h, t, n) for (h, t), n in counts.items() if n >= _TRAP_MIN_URLS],
+            columns=["host", "template", "n_urls"],
+        )
+        .sort_values(["host", "template"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) > 0  # the fixture's /p/{d} family is detected
+
+
 def test_warc_mirror_cache_invalidates_on_source_change(tmp_path):
     """The mirror is keyed by source identity: touching a pages partition
     regenerates, an unchanged corpus reuses."""
