@@ -1600,6 +1600,69 @@ def oracle_docs_bpe_encode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_crawl_warc_source(corpus: str) -> pd.DataFrame:
+    """Independent mirror of the WARC round-trip rollup: digests every page
+    straight FROM THE PARQUET PARTITIONS (never touching the .warc.gz
+    shards), so a hash match proves the engine's warc_mirror → read_warc
+    path reproduced every (url, warc_ts, html) byte-exactly."""
+    import glob
+    from urllib.parse import urlsplit
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet"))):
+        t = pq.read_table(f, columns=["url", "warc_ts", "html"])
+        ts_us = t["warc_ts"].cast("int64").to_pylist()
+        for u, s, h in zip(t["url"].to_pylist(), ts_us, t["html"].to_pylist()):
+            dig = int.from_bytes(
+                hashlib.sha1(
+                    u.encode() + b"|" + str(s).encode() + b"|" + h
+                ).digest()[:4],
+                "big",
+            )
+            rows.append((urlsplit(u).netloc, 1, len(h), dig))
+    return (
+        pd.DataFrame(rows, columns=["host", "n_pages", "html_bytes", "digest_sum"])
+        .groupby("host", as_index=False)
+        .sum()
+        .sort_values("host")
+        .reset_index(drop=True)
+        .astype({"n_pages": "int64", "html_bytes": "int64", "digest_sum": "int64"})
+    )
+
+
+def oracle_crawl_url_templates(corpus: str) -> pd.DataFrame:
+    """Independent mirror of the URL-template trap miner: urlsplit + plain
+    ``re`` per URL (the pipeline uses one pandas extract + two vectorized
+    str.replace passes over the whole column) with a Counter rollup."""
+    import glob
+    from collections import Counter
+    from urllib.parse import urlsplit
+
+    from scrapy__ray.pipelines.crawlq import _TRAP_MIN_URLS
+
+    counts: Counter = Counter()
+    for f in sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet"))):
+        for u in pq.read_table(f, columns=["url"]).column("url").to_pylist():
+            sp = urlsplit(u)
+            rest = sp.path
+            if sp.query:
+                rest += "?" + sp.query
+            if sp.fragment:
+                rest += "#" + sp.fragment
+            rest = re.sub(r"=[^&#]*", "=", rest)
+            rest = re.sub(r"\d+", "{d}", rest)
+            counts[(sp.netloc, rest)] += 1
+    return (
+        pd.DataFrame(
+            [(h, t, n) for (h, t), n in counts.items() if n >= _TRAP_MIN_URLS],
+            columns=["host", "template", "n_urls"],
+        )
+        .sort_values(["host", "template"])
+        .reset_index(drop=True)
+        .astype({"n_urls": "int64"})
+    )
+
+
 _SF_ORACLES = {
     "docs_simhash": oracle_docs_simhash,
     "docs_simhash_dups": oracle_docs_simhash_dups,
@@ -1676,6 +1739,8 @@ def materialize(sf_dir: str) -> dict[str, str]:
         ("crawl_main_content", oracle_crawl_main_content(corpus)),
         ("crawl_paragraph_dedup", oracle_crawl_paragraph_dedup(corpus)),
         ("crawl_anchor_text", oracle_crawl_anchor_text(corpus)),
+        ("crawl_warc_source", oracle_crawl_warc_source(corpus)),
+        ("crawl_url_templates", oracle_crawl_url_templates(corpus)),
     ):
         paths[name] = write(name, df)
     _cache[sf_dir] = paths
