@@ -49,11 +49,13 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         simops,
         streamops,
         textops,
+        tpch2,
     )
 
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     for mod in (
-        relational, textops, qualityops, dedup, feedops, simops, streamops, crawlq
+        relational, tpch2, textops, qualityops, dedup, feedops, simops, streamops,
+        crawlq,
     ):
         out.update(mod.QUERIES)
     return out
