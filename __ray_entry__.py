@@ -50,12 +50,13 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         streamops,
         textops,
         tpch2,
+        tpch3,
     )
 
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     for mod in (
-        relational, tpch2, textops, qualityops, dedup, feedops, simops, streamops,
-        crawlq,
+        relational, tpch2, tpch3, textops, qualityops, dedup, feedops, simops,
+        streamops, crawlq,
     ):
         out.update(mod.QUERIES)
     return out
