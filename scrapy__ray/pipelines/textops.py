@@ -660,6 +660,146 @@ ORDER BY n DESC, shingle LIMIT {_TOPK_NGRAMS}
 """
 
 
+# ------------------------------------------------------------- mirror sources
+_MIRROR_K = 5  # shingle width (words)
+_MIRROR_MIN_SHARED = 5  # a pair survives with >= this many shared shingles
+
+
+def docs_mirror_sources(sf_dir: str):
+    """Mirrored-source detection (the Bharat-Broder mirror-classification
+    signal computed over Broder shingles): two sources are mirror candidates
+    when they share many DISTINCT word 5-shingles.  Per surviving pair:
+    shared-shingle count, each side's distinct-shingle total, min-side
+    containment, and Jaccard resemblance.
+
+    Distributed shape — two exchanges, nothing driver-side until the tiny
+    pair table:
+
+      map_batches: tokenize + shingle + per-block DISTINCT (source, shingle)
+        — the combiner bounding exchange 1 at one row per (source, shingle,
+        block)
+      -> exchange 1 (key=shingle): co-locates every copy of a shingle, so
+        the within-partition distinct and the per-shingle source pairs are
+        globally complete; the same partition pass emits per-source
+        distinct-shingle totals as marker rows (source_b='', impossible as
+        a real source name) — both as PARTIAL counts
+      -> exchange 2 (key=source pair): sums partials; rows entering it are
+        one per (pair-or-source, partition), << corpus
+      -> driver: map totals onto pairs (sources << docs by construction),
+        score, threshold.
+
+    A hot shingle (boilerplate present in every source) expands to at most
+    sources^2/2 pair rows — bounded by SOURCE cardinality, not corpus size,
+    which is why this needs no df cap where the doc-level Jaccard pair
+    expansion did.  At web scale exchange 1 would carry a 64/128-bit Rabin
+    fingerprint of the shingle; here it carries the string itself so the
+    shared count is exactly the SQL oracle's string-equality count (a
+    fingerprint collision could silently merge two distinct shingles)."""
+    ds = read_parquet(sf_dir, "documents", columns=["source", "text"])
+
+    def shingled(t: pa.Table) -> pa.Table:
+        src_out: list[str] = []
+        sh_out: list[str] = []
+        for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for sh in _ngrams(text, _MIRROR_K):
+                src_out.append(src)
+                sh_out.append(sh)
+        df = pd.DataFrame({"source": src_out, "shingle": sh_out})
+        df = df.drop_duplicates()  # per-block combiner
+        return pa.table(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "shingle": pa.array(df["shingle"], pa.string()),
+            }
+        )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # exchange 1 co-located all copies of each shingle here, so this
+        # distinct is globally exact for the shingles in this partition
+        df = df.drop_duplicates(["shingle", "source"])
+        tot = df.groupby("source", as_index=False).size()
+        tot.columns = ["source_a", "n"]
+        tot["source_b"] = ""
+        m = df.merge(df, on="shingle")  # vectorized per-shingle pair expand
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = m.groupby(["source_x", "source_y"], as_index=False).size()
+        pairs.columns = ["source_a", "source_b", "n"]
+        return pd.concat(
+            [pairs, tot[["source_a", "source_b", "n"]]], ignore_index=True
+        )
+
+    def sum_n(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+
+    agg = shuffle_agg(
+        hash_partition_map(
+            ds.map_batches(shingled, batch_format="pyarrow"),
+            ["shingle"],
+            pair_partials,
+        ),
+        ["source_a", "source_b"],
+        sum_n,
+        sum_n,
+    )
+    tbl = collect_arrow(
+        agg,
+        pa.schema(
+            [
+                ("source_a", pa.string()),
+                ("source_b", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+    tot = tbl[tbl["source_b"] == ""].set_index("source_a")["n"]
+    pairs = tbl[(tbl["source_b"] != "") & (tbl["n"] >= _MIRROR_MIN_SHARED)]
+    shared = pairs["n"].to_numpy(dtype="int64")
+    n_a = pairs["source_a"].map(tot).to_numpy(dtype="int64")
+    n_b = pairs["source_b"].map(tot).to_numpy(dtype="int64")
+    return pa.table(
+        {
+            "source_a": pa.array(pairs["source_a"], pa.string()),
+            "source_b": pa.array(pairs["source_b"], pa.string()),
+            "shared": pa.array(shared, pa.int64()),
+            "n_a": pa.array(n_a, pa.int64()),
+            "n_b": pa.array(n_b, pa.int64()),
+            "containment": pa.array(
+                round_col(shared / np.minimum(n_a, n_b), 4), pa.float64()
+            ),
+            "resemblance": pa.array(
+                round_col(shared / (n_a + n_b - shared), 4), pa.float64()
+            ),
+        }
+    )
+
+
+DOCS_MIRROR_SOURCES_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(arr)-{_MIRROR_K - 2}),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+                  arr[i+3] || ' ' || arr[i+4])) AS shingle
+    FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents WHERE trim(text) <> '')
+    WHERE len(arr) >= {_MIRROR_K}
+  )
+),
+n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MIRROR_MIN_SHARED}
+)
+SELECT p.source_a, p.source_b, p.shared, na.n AS n_a, nb.n AS n_b,
+       ROUND(p.shared::DOUBLE / LEAST(na.n, nb.n), 4) AS containment,
+       ROUND(p.shared::DOUBLE / (na.n + nb.n - p.shared), 4) AS resemblance
+FROM p
+JOIN n na ON na.source = p.source_a
+JOIN n nb ON nb.source = p.source_b
+"""
+
+
 # ------------------------------------------- incremental (cross-snapshot) dedup
 #: snapshot slice: sources src0..src9 model the previously-ingested corpus
 #: snapshot; the rest is the new batch being deduped AGAINST it (the
@@ -2495,6 +2635,7 @@ QUERIES = {
     "docs_containment_dups": (docs_containment_dups, DOCS_CONTAINMENT_SQL),
     "docs_ngram_jaccard_dups": (docs_ngram_jaccard_dups, DOCS_NGRAM_JACCARD_SQL),
     "docs_topk_ngrams": (docs_topk_ngrams, DOCS_TOPK_NGRAMS_SQL),
+    "docs_mirror_sources": (docs_mirror_sources, DOCS_MIRROR_SOURCES_SQL),
     "docs_pmi_bigrams": (docs_pmi_bigrams, DOCS_PMI_SQL),
     "docs_token_spectrum": (docs_token_spectrum, DOCS_TOKEN_SPECTRUM_SQL),
     "docs_dedup_incremental": (docs_dedup_incremental, DOCS_DEDUP_INCR_SQL),
