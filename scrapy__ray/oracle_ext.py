@@ -345,6 +345,50 @@ def _seed_centroids_np(ids: np.ndarray, emb: np.ndarray, k: int) -> np.ndarray:
     return emb[np.searchsorted(ids, want)].copy()
 
 
+def oracle_emb_sq_topk(sf_dir: str) -> pd.DataFrame:
+    """Single-process SQ8 mirror: global per-dim min/max (exact, order-free),
+    affine uint8 codes, decoded-space dot with per-dim integer fixing vs the
+    decoded vec_id=0 query."""
+    ids, emb = _read_embeddings(sf_dir)
+    lo, hi = emb.min(axis=0), emb.max(axis=0)
+    span = hi - lo
+    span[span <= 0] = 1.0
+    codes = np.clip(np.floor((emb - lo) / span * 255 + 0.5), 0, 255).astype(np.int64)
+    dec = lo + codes * (span / 255)
+    qdec = dec[np.searchsorted(ids, 0)]
+    score = (
+        np.floor(dec * qdec[None, :] * 1_000_000.0 + 0.5).astype(np.int64).sum(axis=1)
+    )
+    mask = ids != 0
+    s, i = score[mask], ids[mask]
+    order = np.lexsort((i, -s))[:10]
+    return pd.DataFrame(
+        {"vec_id": i[order], "qdot": s[order] / 1_000_000.0}
+    ).astype({"vec_id": "int64", "qdot": "float64"})
+
+
+def oracle_emb_centroid_outliers(sf_dir: str) -> pd.DataFrame:
+    """Assign to nearest seed centroid (first-min tie), µ-fixed squared L2,
+    10 farthest per cluster (distance desc, vec_id asc)."""
+    ids, emb = _read_embeddings(sf_dir)
+    cent = _seed_centroids_np(ids, emb, 8)
+    d2 = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    di = np.floor(d2[np.arange(len(a)), a] * 1_000_000.0 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"cluster": a.astype(np.int64), "vec_id": ids, "dist_i": di})
+    df = df.sort_values(
+        ["cluster", "dist_i", "vec_id"], ascending=[True, False, True], kind="stable"
+    )
+    df = df.groupby("cluster", as_index=False).head(10)
+    return pd.DataFrame(
+        {
+            "cluster": df["cluster"].astype("int64"),
+            "vec_id": df["vec_id"].astype("int64"),
+            "dist": df["dist_i"].astype("int64") / 1_000_000.0,
+        }
+    ).reset_index(drop=True)
+
+
 def oracle_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
     ids, emb = _read_embeddings(sf_dir)
     q = emb[np.searchsorted(ids, 0)]
@@ -1687,6 +1731,8 @@ _SF_ORACLES = {
     "docs_bpe_encode": oracle_docs_bpe_encode,
     "emb_pca": oracle_emb_pca,
     "docs_cdc_dups": oracle_docs_cdc_dups,
+    "emb_sq_topk": oracle_emb_sq_topk,
+    "emb_centroid_outliers": oracle_emb_centroid_outliers,
 }
 
 _cache: dict[str, dict[str, str]] = {}

@@ -1190,6 +1190,178 @@ SELECT vec_id, rank, nbr_id, cos FROM (
 """
 
 
+# ------------------------------------------- scalar-quantization (SQ8) ANN
+_SQ_LEVELS = 255  # uint8 code range per dimension (the FAISS SQ8 shape)
+
+
+def emb_sq_topk(sf_dir: str):
+    """Scalar-quantization ANN — each dimension affinely mapped to a uint8
+    code (the FAISS ``ScalarQuantizer`` QT_8bit shape), completing the
+    quantization family next to PQ codes (emb_pq_topk) and IVFADC residual
+    codes (emb_ivfpq_topk): top-10 by quantized dot product vs vec_id=0.
+
+    Two passes.  Pass 1 learns the per-dimension (min, max) bounds as
+    mergeable per-block partials — min/max are exact and order-independent,
+    so the trained code map is bit-identical for any block split.  Pass 2
+    encodes each vector to d uint8 codes and scores DECODED values (x̂ =
+    lo + code·span/255) against the decoded query — scoring must happen in
+    the original space: a dot product of raw codes is a per-dimension
+    whitened metric (each dim rescaled by 255/span and shifted by lo) that
+    does NOT approximate the true dot product (measured: 0/10 top-10
+    overlap with exact search on the fixture; decoded-space scoring
+    recovers it).  Each per-dimension contribution is fixed to integer
+    millionths and summed in int64, so accumulation can't reorder a float
+    add and the independent oracle is byte-exact.
+
+    Scale shape: the bounds + quantized query broadcast once (3·d doubles);
+    the corpus crosses as two streaming scans (materialized between, the
+    iterative-caching pattern emb_kmeans documents).  The point of SQ at
+    10^10 rows: the code table is d bytes/vector — 4x smaller than float32,
+    8x smaller than float64 — while keeping full dimensionality (PQ trades
+    dimensionality, SQ trades per-dim precision).  Only the final top-k
+    sort/limit exchanges anything."""
+    q = _query_vec(sf_dir)
+    ds = read_parquet(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def bounds(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        emb = np.array(df["embedding"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {"lo": [emb.min(axis=0).tobytes()], "hi": [emb.max(axis=0).tobytes()]}
+        )
+
+    parts = driver_agg(ds, bounds, lambda df: df)
+    lo = np.min(np.stack([np.frombuffer(b) for b in parts["lo"]]), axis=0)
+    hi = np.max(np.stack([np.frombuffer(b) for b in parts["hi"]]), axis=0)
+    span = hi - lo
+    span[span <= 0] = 1.0  # constant dimension -> code 0 everywhere
+    qcode = np.clip(
+        np.floor((q - lo) / span * _SQ_LEVELS + 0.5), 0, _SQ_LEVELS
+    ).astype(np.int64)
+    qdec = lo + qcode * (span / _SQ_LEVELS)  # decoded query, built once
+    ref = broadcast((lo, span, qdec))
+
+    def encode_score(t: pa.Table) -> pa.Table:
+        lo_, span_, qd = lookup_broadcast(ref)
+        ids, emb = _batch_matrix(t)
+        codes = np.clip(
+            np.floor((emb - lo_) / span_ * _SQ_LEVELS + 0.5), 0, _SQ_LEVELS
+        ).astype(np.int64)
+        dec = lo_ + codes * (span_ / _SQ_LEVELS)
+        score = np.floor(dec * qd[None, :] * 1_000_000.0 + 0.5).astype(
+            np.int64
+        ).sum(axis=1)
+        keep = ids != 0
+        return pa.table(
+            {
+                # negated score: one ascending sort key gives "largest
+                # quantized similarity first, vec_id tiebreak" without
+                # relying on mixed-direction sort support
+                "nqdot": pa.array(-score[keep], pa.int64()),
+                "vec_id": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(encode_score, batch_format="pyarrow")
+        .sort(["nqdot", "vec_id"])
+        .limit(10)
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        nq = np.asarray(t["nqdot"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "qdot": pa.array(-nq / 1_000_000.0, pa.float64()),
+            }
+        )
+
+    return collect_arrow(
+        top.map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("qdot", pa.float64())]),
+    )
+
+
+# --------------------------------------- distance-to-centroid outlier prune
+_OUTLIER_K = 8  # coarse clusters
+_OUTLIER_TOPN = 10  # farthest members reported per cluster
+
+
+def emb_centroid_outliers(sf_dir: str):
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
+    laws: beating power law scaling via data pruning"): assign every vector
+    to its nearest coarse centroid and report the _OUTLIER_TOPN FARTHEST
+    members of each cluster — the least-prototypical rows, the ones a
+    curation pipeline prunes (or upsamples) first.
+
+    Centroids are deterministic seed rows via predicate-pushdown read — the
+    documented emb_ivf_topk policy: the operator is the assign-and-prune
+    shape, and deterministic centroids make the independent oracle
+    byte-exact (a learned-centroid variant would inherit emb_kmeans' float
+    block-sum ordering).  Distance is integer-fixed (µ-units) on the worker
+    so the global ordering is platform- and split-exact.
+
+    Scale shape: ONE corpus scan, NO shuffle — each block emits only its
+    per-cluster top-N candidates (k·N rows per block), the driver merges
+    O(k·N·blocks) candidate rows; at 10^10 rows that is the per-partition
+    top-k + driver merge posture every other top-k in this repo uses."""
+    import pandas as pd
+
+    cent = _seed_centroids(sf_dir, _OUTLIER_K)
+    ref = broadcast(cent)
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster", "dist_i", "vec_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return df.groupby("cluster", as_index=False).head(_OUTLIER_TOPN)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = lookup_broadcast(ref)
+        emb = np.array(df["embedding"].tolist(), dtype=np.float64)
+        if not len(emb):
+            return pd.DataFrame(
+                {
+                    "cluster": pd.array([], dtype="int64"),
+                    "vec_id": pd.array([], dtype="int64"),
+                    "dist_i": pd.array([], dtype="int64"),
+                }
+            )
+        d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)  # first-minimum tie rule
+        di = np.floor(d2[np.arange(len(a)), a] * 1_000_000.0 + 0.5).astype(
+            np.int64
+        )
+        return topn(
+            pd.DataFrame(
+                {
+                    "cluster": a.astype(np.int64),
+                    "vec_id": np.asarray(df["vec_id"].values, dtype=np.int64),
+                    "dist_i": di,
+                }
+            )
+        )
+
+    out = driver_agg(ds, partial, topn)
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"].astype("int64"), pa.int64()),
+            "vec_id": pa.array(out["vec_id"].astype("int64"), pa.int64()),
+            "dist": pa.array(
+                out["dist_i"].astype("int64") / 1_000_000.0, pa.float64()
+            ),
+        }
+    )
+
+
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
     "emb_ann_topk_multi": (emb_ann_topk_multi, EMB_ANN_MULTI_SQL),
@@ -1204,4 +1376,6 @@ QUERIES = {
     "emb_ivfpq_topk": (emb_ivfpq_topk, None),
     "emb_pca": (emb_pca, None),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
+    "emb_sq_topk": (emb_sq_topk, None),
+    "emb_centroid_outliers": (emb_centroid_outliers, None),
 }

@@ -966,6 +966,94 @@ GROUP BY prev_type, event_type
 """
 
 
+# ------------------------------------------------ hourly anomaly detection
+def events_hourly_anomaly(sf_dir: str):
+    """Z-score anomaly detection over tumbling 1-hour windows, per event
+    type — the monitoring query behind 'this hour's traffic is 3σ off for
+    this event class'.  Emits every (type, hour) with its count and z-score
+    against the type's own hourly distribution (population moments).
+
+    Shape: ONE exchange total.  Per-block (event_type, hour) count partials
+    hash-shuffle by the window key (the events_hourly posture — window-key
+    cardinality grows with the time span, not the corpus); the per-type
+    moment reduction (n, Σc, Σc²) then folds on the driver because the
+    post-agg table is bounded by types × hours, independent of input rows.
+    Moments are exact int64 and z is computed in the one float64 op order
+    the SQL text mirrors, so rounding to 6 digits is hash-stable.  Types
+    whose hourly counts are constant (zero variance) are excluded on both
+    sides — no z is defined for them."""
+    ds = read_parquet(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hours = (
+            df["ts"].values.astype("datetime64[us]").astype("int64")
+            // 3_600_000_000
+        )
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].values, "hour": hours, "n_events": 1}
+        )
+        return g.groupby(["event_type", "hour"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "hour"], as_index=False).sum()
+
+    out = collect_arrow(
+        shuffle_agg(ds, ["event_type", "hour"], partial, final),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("hour", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+
+    cnt = out["n_events"].astype("int64")
+    g = out.groupby("event_type")["n_events"]
+    n = g.transform("size").astype("int64")
+    s1 = g.transform("sum").astype("int64")
+    s2 = (
+        out.assign(c2=cnt * cnt)
+        .groupby("event_type")["c2"]
+        .transform("sum")
+        .astype("int64")
+    )
+    var_num = n * s2 - s1 * s1  # n²·population-variance, exact int64
+    keep = (n >= 2) & (var_num > 0)
+    # pinned float64 op order, mirrored term-for-term by the SQL text
+    mean = s1.astype("float64") / n.astype("float64")
+    sd = np.sqrt(var_num.astype("float64") / (n * n).astype("float64"))
+    z = (cnt.astype("float64") - mean) / sd
+    res = out[keep].reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(res["event_type"], pa.string()),
+            "hour": pa.array(res["hour"].astype("int64"), pa.int64()),
+            "n_events": pa.array(res["n_events"].astype("int64"), pa.int64()),
+            "z": round_col(z[keep].reset_index(drop=True), 6),
+        }
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, hour
+), s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(n_events)::BIGINT AS s1,
+         SUM(n_events * n_events)::BIGINT AS s2
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n_events,
+       ROUND((CAST(h.n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)),
+             6) AS z
+FROM h JOIN s USING (event_type)
+WHERE n >= 2 AND n * s2 - s1 * s1 > 0
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_approx_users": (events_approx_users, None),
@@ -978,4 +1066,5 @@ QUERIES = {
     "events_props_stats": (events_props_stats, EVENTS_PROPS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
+    "events_hourly_anomaly": (events_hourly_anomaly, EVENTS_ANOMALY_SQL),
 }

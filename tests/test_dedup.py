@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+SF_DIR = "/root/testdata/sf0.01"
+
 
 def _run(pairs: list[tuple[int, int]], nodes: list[int]):
     import ray.data as rd
@@ -231,3 +233,60 @@ def test_simhash_banding_is_exact_by_pigeonhole():
     assert not any(
         ((a >> (16 * i)) & 0xFFFF) == ((b >> (16 * i)) & 0xFFFF) for i in range(4)
     )
+
+
+def test_sq_topk_recall_vs_exact(ray_session):
+    """SQ8 keeps full dimensionality, so its top-10 must strongly overlap the
+    exact float-dot top-10 (PQ-style rank inversions stay possible)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.simops import emb_sq_topk
+
+    got = emb_sq_topk(SF_DIR).to_pandas()
+    assert list(got.columns) == ["vec_id", "qdot"]
+    assert len(got) == 10
+    # descending quantized score, vec_id tiebreak
+    assert (got["qdot"].values[:-1] >= got["qdot"].values[1:]).all()
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = emb[np.searchsorted(np.sort(ids), 0)]
+    score = emb @ q
+    mask = ids != 0
+    exact = ids[mask][np.argsort(-score[mask], kind="stable")[:10]]
+    assert len(set(got["vec_id"]) & set(exact.tolist())) >= 5
+
+
+def test_centroid_outliers_are_the_farthest(ray_session):
+    """Every reported member must be at least as far from its centroid as
+    every unreported member of the same cluster (brute-force check)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.simops import (
+        _OUTLIER_K,
+        _OUTLIER_TOPN,
+        _seed_centroids,
+        emb_centroid_outliers,
+    )
+
+    got = emb_centroid_outliers(SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    cent = _seed_centroids(SF_DIR, _OUTLIER_K)
+    d2 = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    di = np.floor(d2[np.arange(len(a)), a] * 1e6 + 0.5).astype(np.int64)
+    for k in range(_OUTLIER_K):
+        member_ids = ids[a == k]
+        member_di = di[a == k]
+        rep = got[got["cluster"] == k]
+        assert len(rep) == min(_OUTLIER_TOPN, len(member_ids))
+        if not len(rep):
+            continue
+        floor_i = np.int64(round(rep["dist"].min() * 1e6))
+        outside = member_di[~np.isin(member_ids, rep["vec_id"].values)]
+        assert not len(outside) or outside.max() <= floor_i

@@ -242,3 +242,32 @@ def test_markov_transitions_tie_and_user_boundaries(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.values.tolist() == sql.values.tolist()
+
+
+def test_hourly_anomaly_zscore_law(ray_session):
+    """Population z-scores of a type's own hours must sum to ~0 and their
+    squares to ~n (the defining identities), and the engine must agree with
+    a from-scratch pandas recompute of counts/mean/std at full precision."""
+    from scrapy__ray.pipelines.streamops import events_hourly_anomaly
+
+    out = events_hourly_anomaly(SF_DIR).to_pandas()
+    assert len(out) and (out["n_events"] > 0).all()
+    for _t, g in out.groupby("event_type"):
+        # rounding to 6 digits bounds each |error| by 5e-7
+        assert abs(g["z"].sum()) < 5e-7 * len(g) + 1e-9
+        assert abs((g["z"] ** 2).sum() - len(g)) < 1e-4 * len(g)
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "event_type"])
+    hours = ev["ts"].values.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    h = (
+        pd.DataFrame({"event_type": ev["event_type"], "hour": hours, "cnt": 1})
+        .groupby(["event_type", "hour"], as_index=False)
+        .sum()
+    )
+    stats = h.groupby("event_type")["cnt"].agg(["mean", "std", "count"])
+    merged = out.merge(h, on=["event_type", "hour"])
+    st = stats.loc[merged["event_type"]].reset_index(drop=True)
+    # population std = sample std * sqrt((n-1)/n)
+    psd = st["std"].values * np.sqrt((st["count"].values - 1) / st["count"].values)
+    want = (merged["cnt"].values - st["mean"].values) / psd
+    assert np.allclose(merged["z"].values, want, atol=2e-6)
