@@ -1206,6 +1206,64 @@ def oracle_docs_importance_weights(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_feat", "log_weight"])
 
 
+def oracle_docs_importance_sample(sf_dir: str) -> pd.DataFrame:
+    """Gumbel-top-k mirror of the DSIR resampling step: same int-fixed
+    weights as oracle_docs_importance_weights, plus per-doc Gumbel noise
+    from md5(decimal doc_id) (53-bit uniform, scalar math.log), top-100 by
+    integer key desc then doc_id."""
+    import hashlib
+    import math
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    langs = tbl.column("lang").to_pylist()
+    B = 4096
+
+    def buckets(text: str) -> list[int]:
+        toks = _tokens(text)
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [_h64(f.encode()) % B for f in feats]
+
+    per_doc = [buckets(t) for t in texts]
+    c_all = [0] * B
+    c_tgt = [0] * B
+    for bs, lang in zip(per_doc, langs):
+        for b in bs:
+            c_all[b] += 1
+            if lang == "en":
+                c_tgt[b] += 1
+    tgt_tot = float(sum(c_tgt) + B)
+    all_tot = float(sum(c_all) + B)
+    ratio_int = []
+    for k in range(B):
+        r = (math.log((c_tgt[k] + 1) / tgt_tot)
+             - math.log((c_all[k] + 1) / all_tot)) * 1_000_000
+        ratio_int.append(int(math.copysign(math.floor(abs(r) + 0.5), r)))
+    rows = []
+    for doc_id, bs in zip(ids, per_doc):
+        w = sum(ratio_int[b] for b in bs)
+        h = int.from_bytes(
+            hashlib.md5(str(doc_id).encode()).digest()[:8], "big"
+        ) >> 11
+        u = (h + 0.5) / float(1 << 53)
+        g = -math.log(-math.log(u)) * 1_000_000
+        key = w + int(math.copysign(math.floor(abs(g) + 0.5), g))
+        rows.append((doc_id, w, key))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:100]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "log_weight": [float(_round_away(r[1] / 1_000_000, 4)) for r in rows],
+            "key": [r[2] / 1_000_000.0 for r in rows],
+        }
+    )
+
+
 def oracle_docs_lm_quality(sf_dir: str) -> pd.DataFrame:
     """Single-process CCNet-analogue mirror (spec pinned in
     pipelines/qualityops.py): hashed char-trigram counts over the en slice,
@@ -1732,6 +1790,7 @@ _SF_ORACLES = {
     "emb_pca": oracle_emb_pca,
     "docs_cdc_dups": oracle_docs_cdc_dups,
     "emb_sq_topk": oracle_emb_sq_topk,
+    "docs_importance_sample": oracle_docs_importance_sample,
     "emb_centroid_outliers": oracle_emb_centroid_outliers,
 }
 

@@ -835,30 +835,7 @@ def docs_importance_weights(sf_dir: str):
     scores each doc independently.  Feature hashing is the same per-token
     blake2b work as the MinHash stage — CPU-bound map, no exchange at all."""
     ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c_all = np.zeros(_DSIR_BUCKETS, np.int64)
-        c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
-        for text, lang in zip(df["text"], df["lang"]):
-            b = _dsir_buckets(text)
-            np.add.at(c_all, b, 1)
-            if lang == _DSIR_TARGET_LANG:
-                np.add.at(c_tgt, b, 1)
-        nz = np.flatnonzero(c_all)
-        return pd.DataFrame(
-            {"bucket": nz, "c_all": c_all[nz], "c_tgt": c_tgt[nz]}
-        )
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("bucket", as_index=False)[["c_all", "c_tgt"]].sum()
-
-    counts = driver_agg(ds, partial, final)
-    c_all = np.zeros(_DSIR_BUCKETS, np.int64)
-    c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
-    c_all[counts["bucket"].to_numpy(np.int64)] = counts["c_all"]
-    c_tgt[counts["bucket"].to_numpy(np.int64)] = counts["c_tgt"]
-    ratio_int = dsir_ratio_table(c_all, c_tgt)
-    ref = broadcast(ratio_int)
+    ref = _dsir_ratio_ref(ds)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         rt = lookup_broadcast(ref)
@@ -889,6 +866,36 @@ def docs_importance_weights(sf_dir: str):
     )
 
 
+def _dsir_ratio_ref(ds):
+    """Pass 1 of the DSIR pipelines, shared by the weight and resampling
+    ops: fold per-block (bucket, count_all, count_target) partials to the
+    driver (mergeable sketch, ≤_DSIR_BUCKETS rows per block, no shuffle),
+    build the int-fixed log-ratio table, broadcast it once."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c_all = np.zeros(_DSIR_BUCKETS, np.int64)
+        c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+        for text, lang in zip(df["text"], df["lang"]):
+            b = _dsir_buckets(text)
+            np.add.at(c_all, b, 1)
+            if lang == _DSIR_TARGET_LANG:
+                np.add.at(c_tgt, b, 1)
+        nz = np.flatnonzero(c_all)
+        return pd.DataFrame(
+            {"bucket": nz, "c_all": c_all[nz], "c_tgt": c_tgt[nz]}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)[["c_all", "c_tgt"]].sum()
+
+    counts = driver_agg(ds, partial, final)
+    c_all = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_all[counts["bucket"].to_numpy(np.int64)] = counts["c_all"]
+    c_tgt[counts["bucket"].to_numpy(np.int64)] = counts["c_tgt"]
+    return broadcast(dsir_ratio_table(c_all, c_tgt))
+
+
 def dsir_ratio_table(c_all: np.ndarray, c_tgt: np.ndarray) -> np.ndarray:
     """Laplace-smoothed per-bucket log(p_target/q_all), fixed to int64
     units of 1/_DSIR_SCALE with half-away-from-zero rounding.  Built with
@@ -908,6 +915,79 @@ def dsir_ratio_table(c_all: np.ndarray, c_tgt: np.ndarray) -> np.ndarray:
         ) * _DSIR_SCALE
         out[k] = int(math.copysign(math.floor(abs(r) + 0.5), r))
     return out
+
+
+# --------------------------------------------- DSIR importance RESAMPLING
+_DSIR_SAMPLE_K = 100
+
+
+def _dsir_gumbel_int(doc_id: int) -> int:
+    """Deterministic Gumbel noise for one doc in 1e-6 int units: u is the
+    top 53 bits of md5(decimal doc_id) mapped into (0,1) (the +0.5 keeps it
+    strictly interior, so neither log can hit 0), g = -log(-log(u)).
+    Scalar math.log per the dsir_ratio_table ulp policy — an ulp flip at a
+    rounding boundary would reorder the race vs the oracle's table."""
+    import math
+
+    h = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:8], "big") >> 11
+    u = (h + 0.5) / float(1 << 53)
+    g = -math.log(-math.log(u)) * _DSIR_SCALE
+    return int(math.copysign(math.floor(abs(g) + 0.5), g))
+
+
+def docs_importance_sample(sf_dir: str):
+    """The RESAMPLING step of DSIR (Xie et al. 2023 §2: select examples by
+    sampling without replacement proportional to exp(importance weight)):
+    Gumbel-top-k — add per-doc deterministic Gumbel noise to the log-weight
+    and keep the _DSIR_SAMPLE_K largest keys, which is exactly sampling
+    k docs without replacement from softmax(log_weight) (Vieira 2014; Kool,
+    van Hoof & Welling 2019, "Stochastic beams and where to find them").
+    The 'randomness' is a hash of doc_id, so reruns and the independent
+    oracle pick the identical sample.
+
+    Scale shape: pass 1 is the shared _dsir_ratio_ref driver fold (no
+    shuffle); pass 2 scores each doc and keeps only its block's top-k, the
+    driver merges O(k·blocks) candidate rows — the per-partition-heads
+    top-k posture, NO global sort, text never shuffled.  Keys are exact
+    int64 (1e-6 units) so the global order is split- and platform-exact."""
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ref = _dsir_ratio_ref(ds)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["key_i", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        return df.head(_DSIR_SAMPLE_K)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rt = lookup_broadcast(ref)
+        w_int = np.empty(len(df), np.int64)
+        key_i = np.empty(len(df), np.int64)
+        for i, (doc_id, text) in enumerate(zip(df["doc_id"], df["text"])):
+            b = _dsir_buckets(text)
+            w = int(rt[b].sum())
+            w_int[i] = w
+            key_i[i] = w + _dsir_gumbel_int(int(doc_id))
+        return topk(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "w_int": w_int,
+                    "key_i": key_i,
+                }
+            )
+        )
+
+    out = driver_agg(ds, score, topk)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+            "log_weight": round_col(out["w_int"].astype("int64") / _DSIR_SCALE, 4),
+            "key": pa.array(
+                out["key_i"].astype("int64") / _DSIR_SCALE, pa.float64()
+            ),
+        }
+    )
 
 
 # --------------------------------------- CCNet-style LM quality bucketing
@@ -1879,6 +1959,7 @@ QUERIES = {
     "docs_curation_pipeline": (docs_curation_pipeline, DOCS_CURATION_SQL),
     "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),
     "docs_importance_weights": (docs_importance_weights, None),
+    "docs_importance_sample": (docs_importance_sample, None),
     "docs_lm_quality": (docs_lm_quality, None),
     "docs_substring_dups": (docs_substring_dups, DOCS_SUBSTRING_SQL),
     "docs_chunk_overlap": (docs_chunk_overlap, DOCS_CHUNK_SQL),

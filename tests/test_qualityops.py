@@ -14,6 +14,8 @@ import collections
 import duckdb
 import pytest
 
+SF_DIR = "/root/testdata/sf0.01"
+
 from scrapy__ray.pipelines.qualityops import (
     DOCS_CURATION_SQL,
     DOCS_DECONTAMINATE_SQL,
@@ -436,3 +438,30 @@ def test_split_assign_thresholds_and_determinism():
     # hex-string comparison == numeric comparison at fixed width
     assert ("cccc" < _SPLIT_TRAIN_LT) and (int("cccc", 16) < int(_SPLIT_TRAIN_LT, 16))
     assert ("cccd" >= _SPLIT_TRAIN_LT) and (int("cccd", 16) >= int(_SPLIT_TRAIN_LT, 16))
+
+
+def test_importance_sample_is_topk_and_weight_skewed(ray_session):
+    """Gumbel-top-k must (a) return exactly k rows whose keys dominate every
+    unselected doc's key is the oracle's job; here we check the cheap
+    invariants: k rows, key = log_weight + Gumbel(doc_id) re-derivable per
+    row, and the sample's mean log-weight exceeds the corpus mean (that is
+    the point of importance resampling)."""
+    from scrapy__ray.pipelines.qualityops import (
+        _DSIR_SAMPLE_K,
+        _dsir_gumbel_int,
+        docs_importance_sample,
+        docs_importance_weights,
+    )
+
+    got = docs_importance_sample(SF_DIR).to_pandas()
+    assert len(got) == _DSIR_SAMPLE_K
+    assert got["doc_id"].is_unique
+    w = docs_importance_weights(SF_DIR).to_pandas()
+    merged = got.merge(w, on="doc_id")
+    assert len(merged) == _DSIR_SAMPLE_K
+    # key re-derivation: key == log_weight + gumbel(doc_id), both in 1e-6
+    # units (log_weight is rounded to 4 digits in BOTH outputs, so compare
+    # through the unrounded gumbel to 4-digit tolerance)
+    g = merged["doc_id"].map(lambda d: _dsir_gumbel_int(int(d)) / 1e6)
+    assert ((merged["key"] - g) - merged["log_weight_x"]).abs().max() < 2e-4
+    assert got["log_weight"].mean() > w["log_weight"].mean()
