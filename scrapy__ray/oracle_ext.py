@@ -275,6 +275,42 @@ def oracle_docs_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_docs_edit_dups(sf_dir: str) -> pd.DataFrame:
+    """Token-level Levenshtein similarity over the oracle's OWN minhash-LSH
+    pair set — classic full-matrix DP in plain Python (no numpy trick, no
+    shared code with the engine's row-rolling min-accumulate kernel)."""
+    pairs = oracle_docs_minhash_lsh(sf_dir)
+    ids, texts = _read_docs(sf_dir)
+    toks = {i: _tokens(t) for i, t in zip(ids, texts)}
+
+    def lev(a: list[str], b: list[str]) -> int:
+        n, m = len(a), len(b)
+        if not n or not m:
+            return max(n, m)
+        prev = list(range(m + 1))
+        for i in range(1, n + 1):
+            cur = [i] + [0] * m
+            for j in range(1, m + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[m]
+
+    rows = []
+    for a, b in sorted(zip(pairs["doc_a"], pairs["doc_b"])):
+        ta, tb = toks.get(a, []), toks.get(b, [])
+        d = lev(ta, tb)
+        denom = max(len(ta), len(tb))
+        sim = 1.0 - d / denom if denom else 1.0
+        rows.append((int(a), int(b), float(_round_away([sim], 4)[0])))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "edit_sim"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "edit_sim": "float64"}
+    )
+
+
 def oracle_docs_dup_clusters_minhash(sf_dir: str) -> pd.DataFrame:
     """Union-find over the independently-computed MinHash pairs -> the
     (doc_id, cluster_rep, keep) keep-set the distributed min-label
@@ -1791,6 +1827,7 @@ _SF_ORACLES = {
     "docs_cdc_dups": oracle_docs_cdc_dups,
     "emb_sq_topk": oracle_emb_sq_topk,
     "docs_importance_sample": oracle_docs_importance_sample,
+    "docs_edit_dups": oracle_docs_edit_dups,
     "emb_centroid_outliers": oracle_emb_centroid_outliers,
 }
 

@@ -22,6 +22,7 @@ import pyarrow as pa
 from scrapy__ray.pipelines.util import (
     collect_arrow,
     driver_agg,
+    ensure_ctx,
     hash_partition_map,
     read_parquet,
     round_col,
@@ -1257,6 +1258,143 @@ def _docs_minhash_lsh(sf_dir: str):
     return collect_arrow(
         with_ab.map_batches(verify, batch_format="pandas", batch_size=None),
         _PAIR_SCHEMA,
+    )
+
+
+# --------------------------------------- edit-distance pair verification
+def _token_edit_distance(a_toks: list[str], b_toks: list[str]) -> int:
+    """Token-level Levenshtein distance — exact integer DP, one numpy row
+    per a-token.  The insertion chain (cur[j] = min(cur[j], cur[j-1]+1))
+    is the only sequential dependency; it resolves in one vectorized
+    min-accumulate because min over k≤j of (cand[k] + (j-k)) equals
+    (running-min of cand[k]-k) + j."""
+    n, m = len(a_toks), len(b_toks)
+    if not n or not m:
+        return max(n, m)
+    vocab: dict[str, int] = {}
+    b_ids = np.fromiter((vocab.setdefault(t, len(vocab)) for t in b_toks),
+                        np.int64, m)
+    a_ids = [vocab.get(t, -1) for t in a_toks]
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    cand = np.empty(m + 1, np.int64)
+    for i, ai in enumerate(a_ids, 1):
+        cand[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (b_ids != ai), out=cand[1:])
+        prev = np.minimum.accumulate(cand - idx) + idx
+    return int(prev[m])
+
+
+def docs_edit_dups(sf_dir: str):
+    """Edit-similarity verification of the MinHash-LSH near-dup pairs: for
+    every LSH-verified pair, the token-level Levenshtein similarity
+    1 - dist/max(len) — the second-stage verifier fuzzy-dedup pipelines
+    run on candidate pairs (shingle Jaccard is order-blind; edit
+    similarity is not, so a pair of shuffled-paragraph mirrors scores high
+    on Jaccard and low here).
+
+    Scale shape: the pair set is ≪ corpus by the LSH guarantee, so the
+    texts reach their pairs exactly as the minhash verifier's two-regime
+    contract: ≤ _MINHASH_PUSHDOWN_MAX_IDS candidate docs -> parquet
+    predicate-pushdown read of just those rows; the large regime is the
+    same two endpoint shuffle-joins as _docs_minhash_lsh (pairs and texts
+    both stay datasets).  The DP itself is exact integer arithmetic —
+    byte-identical to the single-process oracle."""
+    import pyarrow.parquet as pq
+
+    pairs = docs_minhash_lsh(sf_dir)  # memoized pa.Table
+    cand_df = pairs.select(["doc_a", "doc_b"]).to_pandas()
+    cand_ids = sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
+
+    def _pair_sims(rows, ta_list, tb_list):
+        out_a, out_b, out_s = [], [], []
+        for (a, b), ta, tb in zip(rows, ta_list, tb_list):
+            d = _token_edit_distance(ta, tb)
+            denom = max(len(ta), len(tb))
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_s.append(1.0 - d / denom if denom else 1.0)
+        return out_a, out_b, out_s
+
+    if len(cand_ids) <= _MINHASH_PUSHDOWN_MAX_IDS:
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", [int(i) for i in cand_ids])],
+        )
+        toks = {
+            did: _tokens(text)
+            for did, text in zip(
+                docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+            )
+        }
+        rows = sorted(zip(cand_df["doc_a"], cand_df["doc_b"]))
+        out_a, out_b, out_s = _pair_sims(
+            rows,
+            [toks.get(a, []) for a, _ in rows],
+            [toks.get(b, []) for _, b in rows],
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "edit_sim": pa.array(round_col(out_s, 4), pa.float64()),
+            }
+        )
+
+    # LARGE regime (force-tested): pairs stay a dataset; each endpoint's
+    # text arrives via the same repartition-join the minhash verifier uses
+    import ray.data as rd
+
+    ensure_ctx()
+    pr = rd.from_arrow(pairs.select(["doc_a", "doc_b"]))
+    ds = read_parquet(sf_dir, "documents", columns=["doc_id", "text"])
+    with_a = shuffle_join(
+        pr,
+        ds.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_a", "text": "text_a"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        on="doc_a",
+        left_cols=["doc_a", "doc_b"],
+        right_cols=["doc_a", "text_a"],
+    )
+    with_ab = shuffle_join(
+        with_a,
+        ds.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        on="doc_b",
+        left_cols=["doc_a", "doc_b", "text_a"],
+        right_cols=["doc_b", "text_b"],
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = _pair_sims(
+            list(zip(df["doc_a"], df["doc_b"])),
+            [_tokens(t) for t in df["text_a"]],
+            [_tokens(t) for t in df["text_b"]],
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "edit_sim": round_col(out_s, 4) if out_s else np.array([]),
+            }
+        )
+
+    return collect_arrow(
+        with_ab.map_batches(verify, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("edit_sim", pa.float64()),
+            ]
+        ),
     )
 
 
@@ -2646,6 +2784,7 @@ QUERIES = {
     "docs_winnow_dups": (docs_winnow_dups, None),
     "docs_cdc_dups": (docs_cdc_dups, None),
     "docs_minhash_lsh": (docs_minhash_lsh, None),
+    "docs_edit_dups": (docs_edit_dups, None),
     "docs_simhash": (docs_simhash, None),
     "docs_simhash_dups": (docs_simhash_dups, None),
     "docs_langid": (docs_langid, None),

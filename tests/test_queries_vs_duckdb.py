@@ -187,3 +187,43 @@ def test_containment_sizes_shuffle_regime_matches_broadcast(ray_session, monkeyp
     monkeypatch.setattr(textops, "_SIZES_BROADCAST_MAX", 0)
     large = _canon(_to_df(textops.docs_containment_dups(SF_DIR)))
     pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_edit_dups_large_regime_matches_small(ray_session, monkeypatch):
+    """Force the endpoint shuffle-join verify path for the edit-distance
+    pair verifier and assert byte-identical similarities."""
+    import scrapy__ray.pipelines.textops as textops
+
+    small = _canon(_to_df(textops.docs_edit_dups(SF_DIR)))
+    monkeypatch.setattr(textops, "_MINHASH_PUSHDOWN_MAX_IDS", 0)
+    large = _canon(_to_df(textops.docs_edit_dups(SF_DIR)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False, check_exact=True)
+
+
+def test_token_edit_distance_matches_classic_dp():
+    """The row-rolling min-accumulate kernel vs the textbook full-matrix DP
+    on randomized token lists (including empty and identical lists)."""
+    import random
+
+    from scrapy__ray.pipelines.textops import _token_edit_distance
+
+    def classic(a, b):
+        n, m = len(a), len(b)
+        prev = list(range(m + 1))
+        for i in range(1, n + 1):
+            cur = [i] + [0] * m
+            for j in range(1, m + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[m]
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    cases = [([], []), ([], ["a"]), (["a", "b"], []), (["a"], ["a"])]
+    for _ in range(60):
+        a = [rng.choice(vocab) for _ in range(rng.randrange(0, 15))]
+        b = [rng.choice(vocab) for _ in range(rng.randrange(0, 15))]
+        cases.append((a, b))
+    for a, b in cases:
+        assert _token_edit_distance(a, b) == classic(a, b), (a, b)
