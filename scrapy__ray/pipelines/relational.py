@@ -573,7 +573,7 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(CAST(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS VARCHAR),
                 'ALL') AS yr,
        COUNT(*) AS order_count,
-       SUM(CAST(o_totalprice * 100 AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER))
 """

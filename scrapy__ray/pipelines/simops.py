@@ -1228,6 +1228,8 @@ def emb_sq_topk(sf_dir: str):
     def bounds(df) -> "pd.DataFrame":
         import pandas as pd
 
+        if len(df) == 0:  # empty block contributes no partial
+            return pd.DataFrame({"lo": [], "hi": []})
         emb = np.array(df["embedding"].tolist(), dtype=np.float64)
         return pd.DataFrame(
             {"lo": [emb.min(axis=0).tobytes()], "hi": [emb.max(axis=0).tobytes()]}

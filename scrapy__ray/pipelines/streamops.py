@@ -805,7 +805,7 @@ WITH x AS (
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
-       SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
 FROM x GROUP BY event_type
 """
 
@@ -1023,7 +1023,10 @@ def events_hourly_anomaly(sf_dir: str):
     # pinned float64 op order, mirrored term-for-term by the SQL text
     mean = s1.astype("float64") / n.astype("float64")
     sd = np.sqrt(var_num.astype("float64") / (n * n).astype("float64"))
-    z = (cnt.astype("float64") - mean) / sd
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # sd=0 rows are masked out by `keep` below; silence the transient
+        # divide-by-zero warnings their z would otherwise emit
+        z = (cnt.astype("float64") - mean) / sd
     res = out[keep].reset_index(drop=True)
     return pa.table(
         {

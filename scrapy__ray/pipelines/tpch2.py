@@ -523,10 +523,10 @@ SELECT CASE WHEN DATEDIFF('day', o_orderdate, l_shipdate) < 0 THEN 'early'
             WHEN DATEDIFF('day', o_orderdate, l_shipdate) < 30 THEN '<30'
             WHEN DATEDIFF('day', o_orderdate, l_shipdate) < 90 THEN '30-90'
             ELSE '>90' END AS delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY delay_bucket ORDER BY delay_bucket
 """

@@ -252,7 +252,7 @@ def test_sq_topk_recall_vs_exact(ray_session):
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    q = emb[np.searchsorted(np.sort(ids), 0)]
+    q = emb[np.nonzero(ids == 0)[0][0]]
     score = emb @ q
     mask = ids != 0
     exact = ids[mask][np.argsort(-score[mask], kind="stable")[:10]]
