@@ -130,6 +130,31 @@ def _cmd_mirror(args) -> int:
     return 0
 
 
+def _cmd_mimic(args) -> int:
+    import ray
+
+    from scrapy__ray import mimic
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        only = args.only.split(",") if args.only else None
+        records = mimic.run_sweep(args.sf, only=only)
+        if args.out:
+            mimic.write_report(args.out, args.sf, records)
+        print(json.dumps({"sf_dir": args.sf, **mimic.summarize(records)}))
+    finally:
+        if owns_ray:
+            ray.shutdown()
+    summary = mimic.summarize(records)
+    return 0 if summary["green"] == summary["total"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m scrapy__ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +188,16 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--root", required=True, help="mirror root directory")
     m.add_argument("--out", required=True, help="corpus (metadata) output dir")
     m.set_defaults(fn=_cmd_mirror)
+
+    mm = sub.add_parser(
+        "mimic",
+        help="full driver-mimic correctness sweep: every queries() entry vs "
+        "its oracle_sql() with the driver's comparator (rows/schema/hash)",
+    )
+    mm.add_argument("--sf", default="/root/testdata/sf0.01", help="sf table dir")
+    mm.add_argument("--out", default=None, help="write MIMIC_r{N}.json here")
+    mm.add_argument("--only", default=None, help="comma-separated query names")
+    mm.set_defaults(fn=_cmd_mimic)
 
     args = p.parse_args(argv)
     return args.fn(args)

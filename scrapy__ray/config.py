@@ -117,6 +117,20 @@ class CrawlConfig:
     max_pages: int | None = None  # CLOSESPIDER_PAGECOUNT
     dedup: str = "exact"  # "exact" | "cuckoo"
     num_shards: int = 8  # seen-set shard actors
+    # Push-aggregation layer for multi-node fan-in (0 = direct pushes).
+    # Direct mode costs tasks x touched-shards RPCs per round — fine on one
+    # node (26 tasks x 8 shards), quadratic trouble at the design point
+    # (3 tasks/cpu x 3,200 cpus = 9,600 tasks x 32 shards ≈ 300k RPCs per
+    # round converging on 32 actors).  With A aggregators (deploy one per
+    # node via the SPREAD scheduling the engine requests), each task sends
+    # ONE absorb RPC to its aggregator and the driver flushes A x S
+    # combined pushes per round: 9,600 + 100x32 ≈ 12.8k RPCs, and each
+    # shard receives A batched calls instead of 9,600.  Exactness is
+    # untouched: aggregators forward the per-(task-batch, shard) idempotency
+    # keys verbatim and flush BEFORE the round's checkpoint/resolve, so the
+    # shard-visible push sequence is a batched permutation of direct mode —
+    # push absorb order never affects resolve output (order-key sort).
+    push_aggregators: int = 0
     # FLOOR on rows per scheduled block emitted by resolve(): the task
     # granularity of the fetch/extract/expand stage.  The engine adapts the
     # actual chunk so each round yields ~3 tasks per cpu — fine enough that

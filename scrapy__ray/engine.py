@@ -101,13 +101,35 @@ class CrawlEngine:
             per_shard_robots[fxgen.host_hash(h) % S][h] = txt
 
         ShardActor = ray.remote(FrontierShard)
+        # per-shard CPU share: 0.1 spreads shards across nodes on a real
+        # cluster, but must shrink when S x 0.1 would exceed HALF the
+        # cluster's CPUs (64 shards on a 4-cpu test session would deadlock
+        # actor scheduling otherwise) — shards are state actors, mostly
+        # idle between resolve calls, so a smaller reservation only affects
+        # placement, not correctness
+        total_cpus = ray.cluster_resources().get("CPU", 8.0)
+        shard_cpu = min(0.1, (total_cpus / 2.0) / max(S, 1))
         self.shards = [
-            ShardActor.options(num_cpus=0.1, max_restarts=0).remote(
+            ShardActor.options(num_cpus=shard_cpu, max_restarts=0).remote(
                 i, self.cfg, per_shard_robots[i]
             )
             for i in range(S)
         ]
         self.stats = ray.remote(StatsCollector).options(num_cpus=0).remote()
+        # optional per-node push-aggregation layer (config.py docstring has
+        # the RPC arithmetic; state/push_agg.py the exactness argument).
+        # SPREAD scheduling places one per node when sized to the cluster.
+        self.aggregators = None
+        if self.cfg.push_aggregators > 0:
+            from scrapy__ray.state.push_agg import PushAggregator
+
+            Agg = ray.remote(PushAggregator)
+            self.aggregators = [
+                Agg.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
+                    self.shards
+                )
+                for _ in range(self.cfg.push_aggregators)
+            ]
         # decode-once plasma corpus cache (sources/corpus.py); threaded so
         # first-touch loads of different partitions decode in parallel
         from scrapy__ray.sources.corpus import CorpusPartRegistry
@@ -300,6 +322,7 @@ class CrawlEngine:
                         cfg=cfg,
                         shards=self.shards,
                         stats=self.stats,
+                        aggregators=self.aggregators,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,
@@ -319,6 +342,10 @@ class CrawlEngine:
                     "(expected parquet | json | csv)"
                 )
 
+            # drain the aggregation layer INSIDE the barrier: every buffered
+            # candidate lands on its shard before metrics/checkpoint/resolve
+            if self.aggregators is not None:
+                ray.get([a.flush.remote() for a in self.aggregators])
             phases["exec"] += time.monotonic() - t_ph
             t_ph = time.monotonic()
             last_done = rnd

@@ -1,0 +1,139 @@
+"""Full driver-mimic correctness sweep over the whole query registry.
+
+The external harness samples ~50 of the registered queries per round
+(CORRECTNESS_r{N}.json); this module reproduces its comparator over ALL
+of them so every round has a committed 139/139-style record
+(``MIMIC_r{N}.json``) even for queries the driver never sampled.
+
+Comparator (mirrors the driver): engine result and DuckDB-oracle result
+are both canonicalized — columns sorted by name, integer columns widened
+to int64 and float columns to float64 (the driver compares with
+``check_dtype=False``), rows sorted by all columns — then
+``rows_match`` = equal row counts, ``schema_match`` = equal sorted column
+names, ``hash_match`` = equal md5 over the canonical CSV serialization
+(17 significant digits, so float64 round-trips losslessly).
+
+Run via ``python -m scrapy__ray mimic --sf /root/testdata/sf0.01 --out
+MIMIC_r4.json``; the CLI owns the Ray session, the library stays
+init-free per the driver contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import time
+from typing import Any
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_df(result):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _canon(df):
+    import numpy as np
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="stable")
+    return df.reset_index(drop=True)
+
+
+def _value_hash(df) -> str:
+    buf = io.StringIO()
+    # float_format=%.17g makes float64 lossless; binary columns repr as
+    # python bytes which is deterministic
+    df.to_csv(buf, index=False, float_format="%.17g")
+    return hashlib.md5(buf.getvalue().encode("utf-8", "surrogateescape")).hexdigest()
+
+
+def run_sweep(
+    sf_dir: str, only: list[str] | None = None
+) -> dict[str, dict[str, Any]]:
+    """Run every queries() entry vs its oracle_sql() at ``sf_dir``; return
+    the per-query record dict (the MIMIC_r{N}.json payload)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = sorted(qs) if only is None else [n for n in sorted(qs) if n in only]
+    out: dict[str, dict[str, Any]] = {}
+    for name in names:
+        rec: dict[str, Any] = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "engine_rows": None, "oracle_rows": None, "err": None,
+            "wall_s": None,
+        }
+        t0 = time.monotonic()
+        try:
+            mine = _canon(_to_df(qs[name](sf_dir)))
+            rec["engine_rows"] = int(len(mine))
+            sql = sqls.get(name)
+            if sql is None:
+                rec["err"] = "rows-only (no oracle registered)"
+            else:
+                theirs = _canon(con.execute(sql).fetchdf())
+                rec["oracle_rows"] = int(len(theirs))
+                rec["rows_match"] = len(mine) == len(theirs)
+                rec["schema_match"] = list(mine.columns) == list(theirs.columns)
+                rec["hash_match"] = (
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and _value_hash(mine) == _value_hash(theirs)
+                )
+        except Exception as ex:  # record, keep sweeping
+            rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
+        rec["wall_s"] = round(time.monotonic() - t0, 3)
+        out[name] = rec
+    return out
+
+
+def summarize(records: dict[str, dict[str, Any]]) -> dict[str, Any]:
+    green = [n for n, r in records.items() if r["hash_match"]]
+    red = [n for n, r in records.items() if not r["hash_match"]]
+    return {
+        "total": len(records),
+        "green": len(green),
+        "red": sorted(red),
+        "wall_s": round(sum(r["wall_s"] or 0 for r in records.values()), 1),
+    }
+
+
+def write_report(path: str, sf_dir: str, records: dict[str, dict[str, Any]]) -> None:
+    payload = {
+        "sf_dir": sf_dir,
+        "summary": summarize(records),
+        "queries": records,
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=False)
+        f.write("\n")

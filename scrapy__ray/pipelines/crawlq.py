@@ -841,14 +841,24 @@ def crawl_hits(sf_dir: str):
     order-independent, the pagerank/ADC/BM25 policy), so the distributed
     result is bit-identical to the single-process oracle.
 
-    Shape (the pagerank broadcast regime — the k-means pattern): the edge
-    dataset streams twice per iteration (auth pass keyed by dst, hub pass
-    keyed by src), scores broadcast each pass, per-key partial sums merged
-    by driver reduce; the driver holds only the O(N) score vectors.  The
-    fully-distributed score-Dataset regime for N beyond driver memory is
-    the same construction crawl_pagerank ships and force-tests at
-    `_pagerank_distributed` — shared machinery, documented rather than
-    duplicated.  Oracle: independent single-process implementation
+    Two regimes on node count N (threshold _PR_BROADCAST_MAX, shared with
+    PageRank — same ≈40 B/url score-table heap bound):
+    - N <= threshold (the pagerank broadcast regime — the k-means
+      pattern): the edge dataset streams twice per iteration (auth pass
+      keyed by dst, hub pass keyed by src), scores broadcast each pass,
+      per-key partial sums merged by driver reduce; the driver holds only
+      the O(N) score vectors.
+    - N > threshold: hub/auth live as ONE score Dataset keyed by url;
+      each half-iteration is the `_pagerank_distributed` construction —
+      shuffle_join (edges x scores on the in-key, one exchange) relaying
+      the in-score across each edge, zero-partial union so every url
+      keeps a row (and carries the NOT-being-updated vector through the
+      exchange), shuffle_agg by the out-key — nothing O(N) on the
+      driver; only the renorm total (one scalar) folds there.  Forced in
+      tests via monkeypatching the threshold; both paths must agree
+      bit-for-bit.
+
+    Oracle: independent single-process implementation
     (oracle_ext.oracle_crawl_hits), materialized."""
     from scrapy__ray.pipelines.util import broadcast, driver_agg, lookup_broadcast
 
@@ -861,33 +871,38 @@ def crawl_hits(sf_dir: str):
         set(pq.read_table(corpus + "/pages", columns=["url"])["url"].to_pylist())
     )
     n = len(urls)
-    hub = {u: _HITS_FIX // n for u in urls}
-    auth = {u: 0 for u in urls}
 
-    def propagate(score_ref, key_in: str, key_out: str):
-        """One half-iteration: sum broadcast scores over edges grouped by
-        key_out (auth pass: in=src, out=dst; hub pass: in=dst, out=src)."""
+    if n > _PR_BROADCAST_MAX:
+        auth, hub = _hits_distributed(edges, urls)
+    else:
+        hub = {u: _HITS_FIX // n for u in urls}
+        auth = {u: 0 for u in urls}
 
-        def contrib(df: pd.DataFrame) -> pd.DataFrame:
-            sc = lookup_broadcast(score_ref)
-            c = df[key_in].map(sc).fillna(0).astype("int64")
-            g = pd.DataFrame({"u": df[key_out].values, "c": c.values})
-            return g.groupby("u", as_index=False).sum()
+        def propagate(score_ref, key_in: str, key_out: str):
+            """One half-iteration: sum broadcast scores over edges grouped
+            by key_out (auth pass: in=src, out=dst; hub pass: in=dst,
+            out=src)."""
 
-        inc = driver_agg(
-            edges, contrib, lambda df: df.groupby("u", as_index=False)["c"].sum()
-        )
-        return dict(zip(inc["u"], inc["c"].astype("int64")))
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                sc = lookup_broadcast(score_ref)
+                c = df[key_in].map(sc).fillna(0).astype("int64")
+                g = pd.DataFrame({"u": df[key_out].values, "c": c.values})
+                return g.groupby("u", as_index=False).sum()
 
-    def renorm(raw: dict) -> dict:
-        total = sum(raw.values())
-        if total == 0:
-            return {u: 0 for u in urls}
-        return {u: raw.get(u, 0) * _HITS_FIX // total for u in urls}
+            inc = driver_agg(
+                edges, contrib, lambda df: df.groupby("u", as_index=False)["c"].sum()
+            )
+            return dict(zip(inc["u"], inc["c"].astype("int64")))
 
-    for _ in range(_HITS_ITERS):
-        auth = renorm(propagate(broadcast(hub), "src", "dst"))
-        hub = renorm(propagate(broadcast(auth), "dst", "src"))
+        def renorm(raw: dict) -> dict:
+            total = sum(raw.values())
+            if total == 0:
+                return {u: 0 for u in urls}
+            return {u: raw.get(u, 0) * _HITS_FIX // total for u in urls}
+
+        for _ in range(_HITS_ITERS):
+            auth = renorm(propagate(broadcast(hub), "src", "dst"))
+            hub = renorm(propagate(broadcast(auth), "dst", "src"))
 
     top = sorted(urls, key=lambda u: (-auth[u], u))[:_HITS_TOPK]
     return pa.table(
@@ -896,6 +911,108 @@ def crawl_hits(sf_dir: str):
             "auth_fix": pa.array([auth[u] for u in top], pa.int64()),
             "hub_fix": pa.array([hub[u] for u in top], pa.int64()),
         }
+    )
+
+
+def _hits_distributed(edges, urls):
+    """The >threshold HITS regime: hub/auth live as one Dataset keyed by
+    url; each half-iteration costs one shuffle_join (edges x scores on the
+    in-key) plus one shuffle_agg by the out-key, with the zero-partial
+    union keeping a row per url (pages receiving no mass renorm to 0, and
+    the vector NOT being updated rides the exchange as the zero rows'
+    ``keep`` column — exactly one zero row per url, so a plain group sum
+    reconstructs it).  The driver holds only the renorm total per
+    half-iteration.  Renorm is ``raw * _HITS_FIX // total`` in Python-int
+    arithmetic (the product overflows int64 — same policy as the
+    broadcast regime and the oracle), run INSIDE the distributed map over
+    score partitions, ~O(N/partitions) ints per task.  Returns (auth,
+    hub) dicts — collected ONCE at the end for the caller's top-k; at
+    true scale the top-k would stay distributed (per-partition head +
+    driver merge, the top_revenue shape)."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import driver_agg, shuffle_agg, shuffle_join
+
+    n = len(urls)
+    scores = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(urls, pa.string()),
+                "hub": pa.array([_HITS_FIX // n] * n, pa.int64()),
+                "auth": pa.array([0] * n, pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def half(scores_ds, key_in: str, key_out: str, in_col: str, out_col: str):
+        """auth pass: key_in=src, key_out=dst, in_col=hub, out_col=auth;
+        hub pass is the mirror image."""
+
+        def relay_rows(t: pa.Table) -> pa.Table:
+            return pa.table({key_in: t["u"], "s": t[in_col]})
+
+        joined = shuffle_join(
+            edges,
+            scores_ds.map_batches(relay_rows, batch_format="pyarrow"),
+            on=key_in,
+            left_cols=[key_in, key_out],
+            right_cols=[key_in, "s"],
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    "u": t[key_out],
+                    "c": t["s"].cast(pa.int64()),
+                    "keep": pa.array(z, pa.int64()),
+                }
+            )
+
+        def zero_rows(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, dtype=np.int64)
+            return pa.table(
+                {"u": t["u"], "c": pa.array(z, pa.int64()), "keep": t[in_col]}
+            )
+
+        unioned = joined.map_batches(contrib, batch_format="pyarrow").union(
+            scores_ds.map_batches(zero_rows, batch_format="pyarrow")
+        )
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("u", as_index=False).agg(
+                c=("c", "sum"), keep=("keep", "sum")
+            )
+
+        raw = shuffle_agg(unioned, ["u"], agg, agg).materialize()
+
+        def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"t": [int(df["c"].sum())]})
+
+        total = int(
+            driver_agg(raw, tot_partial, lambda df: df.sum().to_frame().T)["t"].iloc[0]
+        )
+
+        def renorm(df: pd.DataFrame) -> pd.DataFrame:
+            new = (
+                [int(r) * _HITS_FIX // total for r in df["c"]]
+                if total
+                else [0] * len(df)
+            )
+            out = {"u": df["u"].values, in_col: df["keep"].astype("int64").values}
+            out[out_col] = np.array(new, dtype=np.int64)
+            return pd.DataFrame(out)[["u", "hub", "auth"]]
+
+        return raw.map_batches(renorm, batch_format="pandas").materialize()
+
+    for _ in range(_HITS_ITERS):
+        scores = half(scores, "src", "dst", "hub", "auth")
+        scores = half(scores, "dst", "src", "auth", "hub")
+
+    final = driver_agg(scores, lambda df: df, lambda df: df)
+    return (
+        dict(zip(final["u"], final["auth"].astype("int64"))),
+        dict(zip(final["u"], final["hub"].astype("int64"))),
     )
 
 
@@ -919,12 +1036,15 @@ def crawl_triangles(sf_dir: str):
     Exchanges: (1) canonical-pair hash dedup of the directed edges;
     (2) wedge generation grouped by wedge center; (3) tag/union hash join
     of wedges with edges on the closing pair; (4) per-vertex count fold.
-    The rank map (url -> undirected degree) broadcasts — one int per
-    vertex, the k-means/pagerank small-side posture; beyond driver memory
-    the documented alternative is a rank shuffle_join attaching ranks to
-    both edge endpoints (same exchanges, no broadcast).  Oracle:
-    independent naive neighbor-set-intersection implementation
-    (oracle_ext.oracle_crawl_triangles), materialized."""
+    Two regimes on vertex count (threshold _PR_BROADCAST_MAX): at or
+    below, the rank map (url -> undirected degree) broadcasts — one int
+    per vertex, the k-means/pagerank small-side posture; above it the
+    ranks attach to both edge endpoints via two shuffle_joins against the
+    degree Dataset (same downstream exchanges, no O(N) broadcast), forced
+    + bit-compared in tests.  Both regimes carry the higher endpoint's
+    degree on each oriented edge so wedge generation never needs the
+    global map.  Oracle: independent naive neighbor-set-intersection
+    implementation (oracle_ext.oracle_crawl_triangles), materialized."""
     from scrapy__ray.pipelines.util import collect_arrow
 
     corpus = _corpus()
@@ -947,8 +1067,8 @@ def _per_vertex_triangles(corpus: str):
     """Shared triangle-count kernel (algorithm + exchange plan pinned in
     the crawl_triangles docstring): returns (counts Dataset [(url, c)] —
     one row per triangle-participating vertex, undirected-degree DataFrame
-    [(u, d)] — driver-resident, one int per vertex, the broadcast rank-map
-    side)."""
+    [(u, d)] — driver-resident for the clustering-coefficient consumer's
+    final report; at true scale that consumer would keep it a Dataset)."""
     from scrapy__ray.pipelines.util import (
         broadcast,
         driver_agg,
@@ -976,41 +1096,104 @@ def _per_vertex_triangles(corpus: str):
         lambda df: df.drop_duplicates(["a", "b"]),
     ).materialize()  # consumed by degree pass, wedge pass and closing join
 
-    # undirected degrees -> broadcast rank map (deg, url) totally ordered
+    # undirected degrees, aggregated distributed (one narrow exchange);
+    # collected to a driver frame only for the regime probe + the
+    # clustering-coefficient consumer's final report
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = pd.concat([df["a"].rename("u"), df["b"].rename("u")]).to_frame()
         return g.groupby("u", as_index=False).size().rename(columns={"size": "d"})
 
-    deg = driver_agg(
-        und, deg_partial, lambda df: df.groupby("u", as_index=False)["d"].sum()
-    )
-    rank_ref = broadcast(dict(zip(deg["u"], deg["d"].astype("int64"))))
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("u", as_index=False)["d"].sum()
 
-    # exchange 2: orient lo->hi by rank, wedges at each lo's out-neighbors
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        rk = lookup_broadcast(rank_ref)
-        lo, hi = [], []
-        for a, b in zip(df["a"], df["b"]):
-            if (rk[a], a) < (rk[b], b):
-                lo.append(a)
-                hi.append(b)
-            else:
-                lo.append(b)
-                hi.append(a)
-        return pd.DataFrame({"lo": lo, "hi": hi})
+    deg_ds = shuffle_agg(und, ["u"], deg_partial, deg_final).materialize()
+    n_vertices = deg_ds.count()
 
-    oriented = und.map_batches(orient, batch_format="pandas").materialize()
+    if n_vertices <= _PR_BROADCAST_MAX:
+        deg = driver_agg(deg_ds, lambda df: df, deg_final)
+        rank_ref = broadcast(dict(zip(deg["u"], deg["d"].astype("int64"))))
+
+        # orient lo->hi by (degree, url) rank; carry the HIGHER endpoint's
+        # degree so downstream wedge sorting never needs the global map
+        def orient(df: pd.DataFrame) -> pd.DataFrame:
+            rk = lookup_broadcast(rank_ref)
+            lo, hi, dhi = [], [], []
+            for a, b in zip(df["a"], df["b"]):
+                if (rk[a], a) < (rk[b], b):
+                    lo.append(a)
+                    hi.append(b)
+                    dhi.append(rk[b])
+                else:
+                    lo.append(b)
+                    hi.append(a)
+                    dhi.append(rk[a])
+            return pd.DataFrame(
+                {"lo": lo, "hi": hi, "dhi": np.asarray(dhi, dtype=np.int64)}
+            )
+
+        oriented = und.map_batches(orient, batch_format="pandas").materialize()
+    else:
+        # >threshold regime: attach each endpoint's degree via two
+        # shuffle_joins against the degree Dataset — no O(N) broadcast
+        def as_a(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"a": df["u"].values, "da": df["d"].astype("int64").values}
+            )
+
+        def as_b(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"b": df["u"].values, "db": df["d"].astype("int64").values}
+            )
+
+        j1 = shuffle_join(
+            und,
+            deg_ds.map_batches(as_a, batch_format="pandas"),
+            on="a",
+            left_cols=["a", "b"],
+            right_cols=["a", "da"],
+        )
+        j2 = shuffle_join(
+            j1,
+            deg_ds.map_batches(as_b, batch_format="pandas"),
+            on="b",
+            left_cols=["a", "b", "da"],
+            right_cols=["b", "db"],
+        )
+
+        def orient2(df: pd.DataFrame):
+            if not len(df):
+                return pa.table(
+                    {
+                        "lo": pa.array([], pa.string()),
+                        "hi": pa.array([], pa.string()),
+                        "dhi": pa.array([], pa.int64()),
+                    }
+                )
+            a = df["a"].to_numpy(dtype=object)
+            b = df["b"].to_numpy(dtype=object)
+            da = df["da"].to_numpy(dtype=np.int64)
+            db = df["db"].to_numpy(dtype=np.int64)
+            first = (da < db) | ((da == db) & (a < b))
+            return pa.table(
+                {
+                    "lo": pa.array(np.where(first, a, b), pa.string()),
+                    "hi": pa.array(np.where(first, b, a), pa.string()),
+                    "dhi": pa.array(np.where(first, db, da), pa.int64()),
+                }
+            )
+
+        oriented = j2.map_batches(orient2, batch_format="pandas").materialize()
+        deg = driver_agg(deg_ds, lambda df: df, deg_final)
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        rk = lookup_broadcast(rank_ref)
         ctr, u, w = [], [], []
-        for v, grp in df.groupby("lo")["hi"]:
-            ns = sorted(grp, key=lambda x: (rk[x], x))
+        for v, grp in df.groupby("lo")[["hi", "dhi"]]:
+            ns = sorted(zip(grp["hi"], grp["dhi"]), key=lambda x: (x[1], x[0]))
             for i in range(len(ns)):
                 for j in range(i + 1, len(ns)):
                     ctr.append(v)
-                    u.append(ns[i])
-                    w.append(ns[j])
+                    u.append(ns[i][0])
+                    w.append(ns[j][0])
         return pd.DataFrame({"v": ctr, "k": [f"{x}\x00{y}" for x, y in zip(u, w)]})
 
     wedge_ds = hash_partition_map(oriented, ["lo"], wedges)

@@ -406,6 +406,7 @@ def expand_push_batch(
     cfg: CrawlConfig,
     shards: list,
     stats,
+    aggregators: list | None = None,
 ) -> pa.Table:
     """Build next-round candidates, push them to FrontierShards (idempotent),
     emit the results rows.  Semantics: config.py steps 4-6."""
@@ -564,6 +565,7 @@ def expand_push_batch(
     if own_shard is not None:
         by_shard.setdefault(own_shard, [])
     push_refs = []
+    agg_items = []  # aggregated mode: whole payload in ONE absorb RPC
     for sh, rows in by_shard.items():
         tcols = list(zip(*rows)) if rows else [[] for _ in FRONTIER_SCHEMA.names]
         tbl = pa.Table.from_arrays(
@@ -573,15 +575,23 @@ def expand_push_batch(
             ],
             schema=FRONTIER_SCHEMA,
         )
-        push_refs.append(
-            shards[sh].push.remote(
-                f"{batch_sig}:{sh}",
-                tbl,
-                early_dedup.get(sh, 0),
-                lat_acc if sh == own_shard else None,
-                cookie_acc if sh == own_shard else None,
-            )
+        item = (
+            f"{batch_sig}:{sh}",
+            tbl,
+            early_dedup.get(sh, 0),
+            lat_acc if sh == own_shard else None,
+            cookie_acc if sh == own_shard else None,
         )
+        if aggregators:
+            agg_items.append((item[0], sh) + item[1:])
+        else:
+            push_refs.append(shards[sh].push.remote(*item))
+    if aggregators and agg_items:
+        # deterministic aggregator choice by batch signature; the ack only
+        # guarantees BUFFERED — the driver's flush (inside the round
+        # barrier) guarantees landed-on-shard before resolve/checkpoint
+        agg = aggregators[int(batch_sig[:8], 16) % len(aggregators)]
+        push_refs.append(agg.absorb.remote(agg_items))
     if stats is not None:
         shard_id = int(cols["host_hash"][0] % S) if n else -1
         push_refs.append(stats.inc.remote(rnd, shard_id, batch_sig, m))

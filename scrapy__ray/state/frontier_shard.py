@@ -171,6 +171,14 @@ class FrontierShard:
             self._pushed.append(table.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA))
         return table.num_rows
 
+    def push_many(self, items: list[tuple]) -> int:
+        """Batched pushes from a PushAggregator (state/push_agg.py): each
+        item carries its ORIGINAL per-(task-batch, shard) idempotency key,
+        so absorbing a batch is exactly absorbing its items in sequence —
+        replays dedup per item, and push order never affects resolve output
+        (candidates are re-sorted by order key there)."""
+        return sum(self.push(*item) for item in items)
+
     # ---------------------------------------------------------------- robots
     def _allowed(self, host: str, url: str) -> bool:
         rp = self._robots.get(host, False)

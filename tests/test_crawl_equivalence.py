@@ -94,6 +94,13 @@ def _assert_equivalent(corpus, out_dir, summary, oracle_res):
         # oracle (round count + deduped totals); regression for the
         # n_sched==0 early-break bug
         ("unlimited-depth", CrawlConfig(depth_limit=0)),
+        # many-shard + push-aggregation layer (multi-node realism): 64
+        # frontier shards with every expand push routed through 4
+        # PushAggregator actors and flushed at the round barrier — the
+        # shard-visible push sequence must stay an exact permutation of
+        # direct mode, so the whole crawl (seen set, order, metrics) must
+        # still equal the shard-agnostic oracle
+        ("manyshard-agg", CrawlConfig(num_shards=64, push_aggregators=4)),
     ],
 )
 def test_engine_matches_oracle(ray_session, small_corpus, name, cfg):

@@ -31,6 +31,42 @@ def test_pagerank_distributed_regime_matches_oracle(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
 
 
+def test_hits_distributed_regime_matches_oracle(ray_session, monkeypatch):
+    """Force the >threshold HITS regime (score Dataset, shuffle_join relay
+    per half-iteration, zero-partial union carrying the idle vector) and
+    assert it is bit-identical to the independent single-process oracle —
+    which the broadcast regime already matches via the driver-mimic suite,
+    so transitively both engine regimes agree."""
+    import fixtures.gen as fxgen
+    import scrapy__ray.pipelines.crawlq as cq
+    from scrapy__ray.oracle_ext import oracle_crawl_hits
+
+    monkeypatch.setattr(cq, "_PR_BROADCAST_MAX", 0)
+    r = cq.crawl_hits("unused")
+    mine = _canon(r.to_pandas() if not isinstance(r, pd.DataFrame) else r)
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    theirs = _canon(oracle_crawl_hits(corpus))
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
+
+
+def test_triangles_distributed_regime_matches_oracle(ray_session, monkeypatch):
+    """Force the >threshold triangles regime (degree attached to both edge
+    endpoints via two shuffle_joins — no O(N) rank-map broadcast) and
+    assert bit-identity to the independent neighbor-set-intersection
+    oracle; the broadcast regime matches it via the driver-mimic suite,
+    so transitively both engine regimes agree."""
+    import fixtures.gen as fxgen
+    import scrapy__ray.pipelines.crawlq as cq
+    from scrapy__ray.oracle_ext import oracle_crawl_triangles
+
+    monkeypatch.setattr(cq, "_PR_BROADCAST_MAX", 0)
+    r = cq.crawl_triangles("unused")
+    mine = _canon(r.to_pandas() if not isinstance(r, pd.DataFrame) else r)
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    theirs = _canon(oracle_crawl_triangles(corpus))
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
+
+
 def test_components_both_regimes_match_oracle(ray_session, monkeypatch):
     """crawl_components through BOTH pairs_to_clusters regimes (driver
     union-find and forced min-label propagation) must equal the independent
