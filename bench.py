@@ -98,7 +98,7 @@ def _bench_crawl(scale: str, num_cpus: int) -> dict:
     }
 
 
-def _bench_queries(sf_dir: str) -> dict[str, float]:
+def _bench_queries(sf_dir: str, only: list[str] | None = None) -> dict[str, float]:
     import __ray_entry__ as e
 
     # Warm the hash-shuffle aggregator pool once so per-query timings
@@ -115,6 +115,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     for name, fn in e.queries().items():
         if name.startswith("crawl_"):
             continue  # crawl is benched separately (corpus input, not sf_dir)
+        if only is not None and name not in only:
+            continue
         t0 = time.monotonic()
         res = fn(sf_dir)
         if hasattr(res, "materialize"):  # ray.data.Dataset — force execution
@@ -123,10 +125,86 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _query_groups() -> dict[str, list[str]]:
+    """Non-crawl queries grouped by their defining pipeline module — the
+    isolation unit of --isolate mode (one fresh Ray session per group)."""
+    import __ray_entry__ as e
+
+    groups: dict[str, list[str]] = {}
+    for name, fn in e.queries().items():
+        if name.startswith("crawl_"):
+            continue
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        groups.setdefault(mod, []).append(name)
+    return groups
+
+
+def _run_isolated(args, num_cpus: int, sf_dir: str, sf: str) -> None:
+    """--isolate: fork ONE subprocess (fresh ray.init, fresh object store,
+    fresh aggregator/actor pools) per pipeline-module query group, plus one
+    for the crawl.  Kills the single-pass straggler band: a full in-session
+    pass accumulates object-store pages and long-lived actor state across
+    ~120 pipelines and sporadically throws 5-20 s outliers on queries that
+    run in ~1.5 s isolated; per-group teardown bounds the blast radius at
+    one module.  Costs ~5 s ray.init + pool warm per group (10 groups).
+    Output line is the same shape as default mode plus "isolate": true."""
+    qtimes: dict[str, float] = {}
+    for mod, names in sorted(_query_groups().items()):
+        out = subprocess.run(
+            [
+                sys.executable, __file__,
+                "--queries-only", ",".join(sorted(names)),
+            ],
+            capture_output=True, text=True, cwd=REPO,
+            env=dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus)),
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"--isolate group {mod} failed")
+        qtimes.update(json.loads(out.stdout.strip().splitlines()[-1]))
+    crawl = subprocess.run(
+        [sys.executable, __file__, "--crawl-only", "--scale", args.scale],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus)),
+    )
+    if crawl.returncode != 0:
+        sys.stderr.write(crawl.stderr[-4000:])
+        raise SystemExit("--isolate crawl leg failed")
+    crawl_res = json.loads(crawl.stdout.strip().splitlines()[-1])
+    qtimes["crawl_" + args.scale] = crawl_res["wall_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+query pipeline wall time",
+                "value": round(sum(qtimes.values()), 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "crawl": crawl_res,
+                "isolate": True,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="fresh Ray session per pipeline-module query group (straggler "
+        "isolation; see _run_isolated)",
+    )
+    ap.add_argument(
+        "--queries-only",
+        default=None,
+        metavar="NAMES",
+        help="internal --isolate child: run only these comma-separated "
+        "queries and print their {name: sec} JSON",
+    )
     # sf-bench (64 links/page) is the throughput corpus; fanout-3 scales
     # are graph-diameter-bound and under-report the engine (BASELINE.md)
     ap.add_argument("--scale", default="sf-bench")
@@ -138,6 +216,16 @@ def main() -> None:
 
     if args.scaling:
         _run_scaling()
+        return
+
+    if args.queries_only is not None:
+        _init_ray(num_cpus)
+        print(json.dumps(_bench_queries(sf_dir, only=args.queries_only.split(","))))
+        _shutdown()
+        return
+
+    if args.isolate:
+        _run_isolated(args, num_cpus, sf_dir, sf)
         return
 
     _init_ray(num_cpus)

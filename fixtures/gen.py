@@ -60,6 +60,15 @@ SCALES = {
     # variant wired in — pages whose url byte is 96 store gzip'd html and a
     # content_encoding sidecar column (M6 HttpCompressionMiddleware gate).
     "sf-gzip": dict(hosts=20, cap=1500, seeds=5, n_parts=4, fanout=3, gzip=True),
+    # sf-ajax: sf-small shape with the M15 AJAX-crawling-scheme variant —
+    # pages with j % 5 == 2 serve a stub body carrying
+    # <meta name="fragment" content="!"> (no links), and the corpus also
+    # holds their ?_escaped_fragment_= variant with the REAL content.  A
+    # crawler with ajaxcrawl_enabled must fetch the stub, surface nothing,
+    # and re-request the escaped variant; with it disabled the stub is
+    # terminal (its text column is the stub text — byte-identity holds in
+    # both modes).
+    "sf-ajax": dict(hosts=20, cap=1500, seeds=5, n_parts=4, fanout=3, ajax=True),
 }
 
 PAGES_SCHEMA = pa.schema(
@@ -123,16 +132,20 @@ def _href_for(rng: random.Random, target_j: int, has_base: bool) -> str:
 
 def gen_host(args) -> dict:
     """Build all pages of one host. Pure function of
-    (host_index, counts[, fanout[, gzip_variant]])."""
+    (host_index, counts[, fanout[, gzip_variant[, ajax_variant]]])."""
     i, counts = args[0], args[1]
     fanout = args[2] if len(args) > 2 else 3
     gzip_variant = args[3] if len(args) > 3 else False
+    ajax_variant = args[4] if len(args) > 4 else False
     host = host_name(i)
     n_i = int(counts[i])
     hosts_total = len(counts)
     rng = random.Random(_child_seed("pages", host))
 
     urls, htmls, texts, langs, encs = [], [], [], [], []
+    # M15 variant: escaped-fragment pages appended AFTER the regular range
+    # so intra-host link indexing by j stays untouched
+    ajax_extras: list[tuple] = []
     for j in range(n_i):
         url = page_url(host, j)
         has_base = rng.random() < 0.10
@@ -205,11 +218,34 @@ def gen_host(args) -> dict:
             html = _gzip.compress(html, compresslevel=6, mtime=0)
             enc = "gzip"
 
+        if ajax_variant and j % 5 == 2:
+            # M15: the plain url serves a stub carrying the AJAX-crawlable
+            # meta tag (no links); the real content moves to the
+            # ?_escaped_fragment_= variant (Google AJAX-crawling scheme)
+            esc_url = url + ("&" if "?" in url else "?") + "_escaped_fragment_="
+            ajax_extras.append((esc_url, html, text, lang, enc))
+            stub_str = (
+                f"<html><head><title>{title}</title>"
+                '<meta name="fragment" content="!"></head>\n'
+                f"<body><h1>{title}</h1>\n<p>Loading via AJAX.</p>\n"
+                f"</body></html>"
+            )
+            html = stub_str.encode("utf-8")
+            text = extract_text(html)
+            enc = ""
+
         urls.append(url)
         htmls.append(html)
         texts.append(text)
         langs.append(lang)
         encs.append(enc)
+
+    for esc_url, e_html, e_text, e_lang, e_enc in ajax_extras:
+        urls.append(esc_url)
+        htmls.append(e_html)
+        texts.append(e_text)
+        langs.append(e_lang)
+        encs.append(e_enc)
 
     return {
         "host_index": i,
@@ -253,7 +289,10 @@ def generate(scale: str, out_dir: str, force: bool = False, processes: int | Non
 
     procs = processes or min(mp.cpu_count(), 32)
     work = [
-        (i, counts, params.get("fanout", 3), params.get("gzip", False))
+        (
+            i, counts, params.get("fanout", 3), params.get("gzip", False),
+            params.get("ajax", False),
+        )
         for i in range(hosts_n)
     ]
     if procs > 1 and hosts_n > 4:

@@ -94,6 +94,33 @@ class CrawlConfig:
     # followed, and the fetch-log row keeps status 200 with null text.
     metarefresh_enabled: bool = True  # METAREFRESH_ENABLED
     metarefresh_maxdelay: float = 100.0  # METAREFRESH_MAXDELAY
+    # M15 AjaxCrawlMiddleware (scrapy/downloadermiddlewares/ajaxcrawl.py,
+    # AJAXCRAWL_ENABLED — off by default upstream too): a 200 HTML page
+    # whose first 4096 bytes contain <meta name="fragment" content="!"> is
+    # AJAX-crawlable; its body is not surfaced (null text, no links, the
+    # fetch-log row keeps status 200) and the engine re-requests the
+    # escaped-fragment variant (functions/url.py::escaped_fragment_url)
+    # with unchanged priority/depth, counted in the redirects metric like
+    # M5 hops.  Pages already carrying _escaped_fragment_ never re-expand
+    # (the meta['ajax_crawlable'] loop guard).  Pinned order vs M5: the
+    # meta-refresh check runs FIRST (response middlewares run highest
+    # priority first: MetaRefresh 580 before AjaxCrawl 560).
+    ajaxcrawl_enabled: bool = False  # AJAXCRAWL_ENABLED
+    # M10 HttpProxyMiddleware (scrapy/downloadermiddlewares/httpproxy.py):
+    # upstream reads urllib.request.getproxies() once at init (http_proxy /
+    # no_proxy env convention) and stamps request.meta['proxy'] unless the
+    # host is bypassed.  Offline analogue: ``http_proxy`` is the proxy URL
+    # for the corpus's http scheme; ``no_proxy`` is the comma-separated
+    # bypass list ('*' = bypass all; an entry matches the exact hostname or
+    # any dot-suffix, urllib.request.proxy_bypass_environment semantics).
+    # The effective proxy per request is stamped on every results row
+    # (``proxy`` column — the meta['proxy'] analogue); the downloader slot
+    # key stays the HOST (upstream _get_slot_key ignores the proxy), so
+    # politeness/budgeting are untouched.  Per-request meta['proxy']
+    # overrides have no analogue (no per-request meta in the row model;
+    # documented out).
+    http_proxy: str = ""
+    no_proxy: str = ""
     # AutoThrottle (T2, scrapy/extensions/throttle.py): per-host adaptive
     # delay.  Law (frozen; engine and oracle implement identically): only
     # status-200 responses update; per round, observed = mean latency of the

@@ -315,7 +315,11 @@ class CrawlEngine:
                     batch_format="pyarrow",
                     batch_size=None,
                 )
-                .map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
+                .map_batches(
+                    partial(extract_batch, ajax_detect=cfg.ajaxcrawl_enabled),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
                 .map_batches(
                     partial(
                         expand_push_batch,

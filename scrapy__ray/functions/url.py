@@ -123,3 +123,36 @@ def urljoin_with_base(page_url: str, base_href: str | None, href: str) -> str:
     """
     base = urljoin(page_url, base_href.strip()) if base_href else page_url
     return urljoin(base, href.strip())
+
+
+def effective_proxy(url: str, http_proxy: str, no_proxy: str) -> str:
+    """The proxy a request for *url* would carry (M10,
+    ``scrapy/downloadermiddlewares/httpproxy.py::HttpProxyMiddleware``):
+    ``http_proxy`` unless the url's hostname is bypassed by ``no_proxy``
+    (comma-separated; ``*`` bypasses everything; an entry matches the
+    exact hostname or any dot-suffix — the
+    ``urllib.request.proxy_bypass_environment`` convention, leading dots
+    ignored).  Returns '' for no proxy."""
+    if not http_proxy:
+        return ""
+    host = host_of(url)
+    for entry in no_proxy.split(","):
+        entry = entry.strip().lower()
+        if not entry:
+            continue
+        if entry == "*":
+            return ""
+        entry = entry.lstrip(".")
+        if host == entry or host.endswith("." + entry):
+            return ""
+    return http_proxy
+
+
+def escaped_fragment_url(url: str) -> str:
+    """The AJAX-crawling-scheme variant URL (M15,
+    ``scrapy/downloadermiddlewares/ajaxcrawl.py::AjaxCrawlMiddleware``):
+    an AJAX-crawlable page (``<meta name="fragment" content="!">``) is
+    re-requested with an empty ``_escaped_fragment_`` query parameter —
+    the w3lib ``add_or_replace_parameter(url, '_escaped_fragment_', '')``
+    contract for a URL that does not already carry the parameter."""
+    return url + ("&" if "?" in url else "?") + "_escaped_fragment_="

@@ -45,8 +45,9 @@ Supported surface:
   result types  node-sets (elements / text nodes / attributes) and, at the
                 top level, scalars (``count(//a)`` etc.)
 
-Out of scope (documented): the namespace axis, ``id()``/``lang()``,
-namespaced names.  Variables (``$x``) bind via keyword arguments on the
+Out of scope (documented): the namespace axis, ``lang()`` (no xml:lang in
+this DOM), namespaced names.  ``id()`` is supported (round 4) under the
+HTML convention pinned in ``_Env.id_map``.  Variables (``$x``) bind via keyword arguments on the
 public API, the parsel kwargs surface.  ``xpath_extract`` maps element results to their
 recursive text (same pragmatic divergence as css_extract — parsel returns
 outer HTML; re-serialization is out of scope, noted in the docstring
@@ -122,6 +123,28 @@ class _Env:
         walk(root)
         self._texts: dict = {}
         self._attrs: dict = {}
+
+    def id_map(self) -> dict:
+        """§4.1 id(): unique-ID map, built lazily on first use.  This DOM
+        has no DTD, so the pinned contract is the HTML convention (what
+        lxml does over HTML too): an element's ``id`` attribute is its
+        unique ID, and of duplicated IDs the FIRST element in document
+        order wins."""
+        m = getattr(self, "_idmap", None)
+        if m is None:
+            m = {}
+
+            def walk(n: Node) -> None:
+                v = n.attrs.get("id")
+                if v is not None and v not in m:
+                    m[v] = n
+                for item in n.content:
+                    if isinstance(item, Node):
+                        walk(item)
+
+            walk(self.root)
+            self._idmap = m
+        return m
 
     def text_item(self, parent: Node, index: int) -> TextItem:
         key = (id(parent), index)
@@ -293,6 +316,7 @@ _FUNCS = {
     "floor": (1, 1),
     "ceiling": (1, 1),
     "round": (1, 1),
+    "id": (1, 1),
 }
 
 
@@ -347,7 +371,7 @@ class _Parser:
             return Lit(tok[1:-1])
         if tok is not None and tok.startswith("$"):
             self.next()
-            return Var(tok[1:])
+            return self._filter_tail(Var(tok[1:]))
         if (
             tok is not None
             and re.fullmatch(r"[A-Za-z_][\w-]*", tok)
@@ -366,8 +390,22 @@ class _Parser:
             lo, hi = _FUNCS[name]
             if not lo <= len(args) <= hi:
                 raise XPathError(f"{name}() takes {lo}..{hi} args: {self.expr!r}")
-            return Func(name, args)
+            return self._filter_tail(Func(name, args))
         return self.parse_path()
+
+    def _filter_tail(self, inner):
+        """Grammar §3.3: ANY FilterExpr (function call, variable) may carry
+        predicates and continue as a path — ``id('b')/span``,
+        ``$nodes[1]/@href``.  Without a tail the expression is returned
+        bare so scalar uses (``string-length(x) div 2``) stay scalars."""
+        if self.peek() == "[" or self.peek() in ("/", "//"):
+            preds = self.parse_preds()
+            steps = []
+            while self.peek() in ("/", "//"):
+                dslash = self.next() == "//"
+                steps.append((dslash, self.parse_step()))
+            return Filter(inner, preds, steps)
+        return inner
 
     def parse_path(self) -> Path:
         absolute = False
@@ -934,6 +972,22 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
             return v if math.isnan(v) or math.isinf(v) else float(math.ceil(v))
         if n == "round":
             return _xpath_round(_to_number(args[0]))
+        if n == "id":
+            # §4.1: node-set arg -> tokens from each node's STRING-VALUE;
+            # other args -> string split on whitespace; result = the
+            # elements those unique IDs name, doc order, deduped
+            a = args[0]
+            if isinstance(a, list):
+                tokens = [tok for t in a for tok in _string_value(t).split()]
+            else:
+                tokens = _to_string(a).split()
+            idmap = env.id_map()
+            hits: dict[int, Node] = {}
+            for tok in tokens:
+                nd = idmap.get(tok)
+                if nd is not None:
+                    hits[id(nd)] = nd
+            return sorted(hits.values(), key=env.sort_key)
         if n == "true":
             return True
         return False  # false()

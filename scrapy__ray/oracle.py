@@ -10,6 +10,7 @@ correctness gate for every fixture corpus.
 
 from __future__ import annotations
 
+import re
 import urllib.robotparser
 from dataclasses import dataclass, field
 
@@ -25,7 +26,33 @@ from scrapy__ray.functions.linkextract import (
     resolve_redirect,
 )
 from scrapy__ray.functions.textextract import extract_page_full
-from scrapy__ray.functions.url import host_of, url_is_from_any_domain
+from scrapy__ray.functions.url import (
+    escaped_fragment_url,
+    host_of,
+    url_is_from_any_domain,
+)
+
+# M15 detection, written independently of the engine's copy in
+# stages/crawl_stages.py (same pinned contract: ASCII meta-fragment tag,
+# bytes regex over the first 4096 raw bytes)
+_AJAX_META_RE = re.compile(
+    rb"<meta\s+name=[\"']fragment[\"']\s+content=[\"']![\"']\s*/?>",
+    re.IGNORECASE,
+)
+
+
+def _oracle_proxy(host: str, http_proxy: str, no_proxy: str) -> str:
+    """Independent M10 mirror of functions/url.py::effective_proxy (same
+    pinned urllib no_proxy convention, separately written)."""
+    entries = [e.strip().lower() for e in no_proxy.split(",") if e.strip()]
+    if "*" in entries:
+        return ""
+    for e in entries:
+        while e.startswith("."):
+            e = e[1:]
+        if e and (host == e or host.endswith("." + e)):
+            return ""
+    return http_proxy
 
 
 @dataclass
@@ -57,6 +84,8 @@ class OracleResult:
     seen_urls: set[str] = field(default_factory=set)
     metrics: list[dict] = field(default_factory=list)
     rounds: int = 0
+    # url -> effective proxy stamped on its requests (M10; '' = direct)
+    proxies: dict[str, str] = field(default_factory=dict)
 
     def totals(self) -> dict:
         keys = [
@@ -228,6 +257,10 @@ class OracleCrawl:
                 elif len(self.page_html[url]) > cfg.download_maxsize:
                     status = faults.STATUS_TOOBIG
                 res.fetch_log.append((url, rnd, c.host, rank, status, c.depth))
+                if cfg.http_proxy:
+                    res.proxies[url] = _oracle_proxy(
+                        c.host, cfg.http_proxy, cfg.no_proxy
+                    )
                 if cfg.cookies_enabled:
                     res.cookies_sent[(url, rnd)] = "; ".join(
                         f"{k}={v}" for k, v in sorted(jar.get(c.host, {}).items())
@@ -294,6 +327,25 @@ class OracleCrawl:
                         m["redirects"] += 1
                     else:
                         m["errors"] += 1
+                    continue
+                if (
+                    cfg.ajaxcrawl_enabled
+                    and "_escaped_fragment_" not in url
+                    and _AJAX_META_RE.search(html[:4096])
+                ):
+                    # M15 (checked AFTER M5, the pinned middleware order):
+                    # body never surfaced; re-request the escaped-fragment
+                    # variant with unchanged priority/depth/redirect-count;
+                    # counted as a redirect hop (config.py docstring)
+                    nxt.append(
+                        Candidate(
+                            url=escaped_fragment_url(url), host=c.host,
+                            priority=c.priority, depth=c.depth,
+                            disc_round=rnd, parent_url=url, link_idx=-1,
+                            redirect_count=c.redirect_count,
+                        )
+                    )
+                    m["redirects"] += 1
                     continue
                 m["fetched"] += 1
                 total_fetched += 1

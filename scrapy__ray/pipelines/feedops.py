@@ -100,10 +100,36 @@ def docs_jsonl_source(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def docs_ipc_source(sf_dir: str):
+    """Arrow IPC (Feather v2) as a SOURCE format (sources/ipc.py): the
+    documents table is mirrored once to a sharded .arrow directory (one
+    file per parquet row-group — multi-node reads parallelize like the
+    parquet read), read back as memory-mapped IPC with column pruning in
+    the read task, and every row must equal a plain SELECT of the parquet
+    original.  Unlike the JSONL gate this roundtrip is type-exact by
+    construction; the gate proves the shard/mirror/zero-copy plumbing."""
+    from scrapy__ray.sources.ipc import read_ipc
+
+    ds = read_ipc(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"].cast(pa.string()),
+                "source": t["source"].cast(pa.string()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 _FEED_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
 
 QUERIES = {
     "docs_xmlfeed": (docs_xmlfeed, _FEED_SQL),
     "docs_csvfeed": (docs_csvfeed, _FEED_SQL),
     "docs_jsonl_source": (docs_jsonl_source, _FEED_SQL),
+    "docs_ipc_source": (docs_ipc_source, _FEED_SQL),
 }

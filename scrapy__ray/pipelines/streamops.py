@@ -1057,8 +1057,116 @@ WHERE n >= 2 AND n * s2 - s1 * s1 > 0
 """
 
 
+# ------------------------------------------- bottom-k quantile sample (KMV)
+#: sample size per event_type (the k of the bottom-k/KMV construction);
+#: rank-error of a quantile from a k-sample is O(1/sqrt(k)) w.h.p.
+_BOTTOMK_K = 512
+_BOTTOMK_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def events_value_bottomk_quantiles(sf_dir: str):
+    """Approximate per-type value quantiles from a DETERMINISTIC bottom-k
+    (KMV) sample — the order-independent quantile sketch: rank every event
+    by md5(event_id) and keep the k hash-smallest per event_type, so the
+    sample is a pure function of the data MULTISET (merge order, block
+    boundaries and partitioning cannot change it — unlike KLL/t-digest,
+    whose compactions are order-sensitive and can never be bit-reproduced
+    by an independent oracle).  Quantile rule (pinned): for q in
+    {.25,.5,.75,.9}, the sorted sample's element at floor(q*(m-1)) —
+    an order STATISTIC, no interpolation arithmetic, so engine and SQL
+    return the identical double bit-for-bit.
+
+    Scale shape: per-block partial bottom-k caps the exchange at k rows
+    per (block, type); ONE hash exchange by event_type; the final
+    per-partition bottom-k + order stats are vectorized.  At 10^10 events
+    the full per-type value column never exists anywhere — exactly what
+    the exact grouped-quantile op (lineitem_price_quantiles) cannot do.
+    Oracle: inline SQL (DuckDB md5 of the same decimal string mirrors the
+    rank), the strongest gate class."""
+    import math
+
+    ds = read_parquet(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {"event_type": [], "value": [], "h": [], "event_id": []}
+            )
+        h = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()
+            for i in df["event_id"]
+        ]
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].values,
+                "value": df["value"].values,
+                "h": h,
+                "event_id": df["event_id"].astype("int64").values,
+            }
+        )
+        g = g.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+        return g.groupby("event_type", sort=False).head(_BOTTOMK_K)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "event_type": [], "n_sample": [],
+            **{f"q{int(q * 100)}": [] for q in _BOTTOMK_QS},
+        }
+        if len(df):
+            g = df.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+            samp = g.groupby("event_type", sort=False).head(_BOTTOMK_K)
+            for et, grp in samp.groupby("event_type"):
+                vals = np.sort(grp["value"].to_numpy(dtype=np.float64))
+                m = len(vals)
+                cols["event_type"].append(et)
+                cols["n_sample"].append(m)
+                for q in _BOTTOMK_QS:
+                    cols[f"q{int(q * 100)}"].append(
+                        float(vals[int(math.floor(q * (m - 1)))])
+                    )
+        return pd.DataFrame(cols)
+
+    out = shuffle_agg(ds, ["event_type"], partial, final)
+    schema = pa.schema(
+        [("event_type", pa.string()), ("n_sample", pa.int64())]
+        + [(f"q{int(q * 100)}", pa.float64()) for q in _BOTTOMK_QS]
+    )
+    return collect_arrow(out, schema)
+
+
+EVENTS_BOTTOMK_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events WHERE value IS NOT NULL
+), ordered AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM ranked WHERE rn <= {_BOTTOMK_K}
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_sample,
+       MAX(CASE WHEN vr = CAST(FLOOR(0.25*(m-1)) AS BIGINT)+1 THEN value END) AS q25,
+       MAX(CASE WHEN vr = CAST(FLOOR(0.5*(m-1))  AS BIGINT)+1 THEN value END) AS q50,
+       MAX(CASE WHEN vr = CAST(FLOOR(0.75*(m-1)) AS BIGINT)+1 THEN value END) AS q75,
+       MAX(CASE WHEN vr = CAST(FLOOR(0.9*(m-1))  AS BIGINT)+1 THEN value END) AS q90
+FROM ordered GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
+    "events_value_bottomk_quantiles": (
+        events_value_bottomk_quantiles,
+        EVENTS_BOTTOMK_SQL,
+    ),
     "events_approx_users": (events_approx_users, None),
     "events_approx_users_by_type": (events_approx_users_by_type, None),
     "lineitem_price_quantiles": (lineitem_price_quantiles, LINEITEM_QUANTILES_SQL),

@@ -290,12 +290,20 @@ def shuffle_join(
     ]
 
     def tag(side: int, own: list[str]):
-        def _t(df: pd.DataFrame) -> pa.Table:
-            n = len(df)
+        # native-format stage: Arrow blocks pass through with ZERO
+        # conversion (column select + null-pad + one int32 literal column);
+        # pandas blocks convert once.  The previous batch_format="pandas"
+        # formulation forced Arrow->pandas->Arrow per block on every
+        # exchange input — pure conversion overhead on the hottest helper
+        # in the repo (round-3 review item).
+        def _t(block) -> pa.Table:
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            n = block.num_rows
             cols = {}
             for c in union_cols:
                 if c in own:
-                    arr = pa.Array.from_pandas(df[c])
+                    arr = block[c]
                     if c == on and pa.types.is_floating(arr.type):
                         vals = arr.to_numpy(zero_copy_only=False)
                         if not np.all(vals == np.floor(vals)):
@@ -309,14 +317,14 @@ def shuffle_join(
                 else:
                     cols[c] = pa.nulls(n)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int32))
-            return pa.table(cols)
+            return pa.table(cols).replace_schema_metadata(None)
 
         return _t
 
     both = left.map_batches(
-        tag(0, left_cols), batch_format="pandas", batch_size=None
+        tag(0, left_cols), batch_format=None, batch_size=None
     ).union(
-        right.map_batches(tag(1, right_cols), batch_format="pandas", batch_size=None)
+        right.map_batches(tag(1, right_cols), batch_format=None, batch_size=None)
     )
 
     def merge(block) -> pa.Table:

@@ -72,6 +72,7 @@ RESULTS_SCHEMA = pa.schema(
         ("cookies_sent", pa.string()),
         ("extracted_text", pa.string()),
         ("n_links", pa.int32()),
+        ("proxy", pa.string()),  # M10: effective proxy (meta['proxy'] analogue)
     ]
 )
 

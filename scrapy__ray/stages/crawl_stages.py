@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os as _os
+import re
 import time as _time
 
 import pyarrow as pa
@@ -31,7 +32,12 @@ from scrapy__ray.functions.linkextract import (
     resolve_redirect,
 )
 from scrapy__ray.functions.textextract import extract_page_full
-from scrapy__ray.functions.url import host_of, url_is_from_any_domain
+from scrapy__ray.functions.url import (
+    effective_proxy,
+    escaped_fragment_url,
+    host_of,
+    url_is_from_any_domain,
+)
 from scrapy__ray.schema import RESULTS_SCHEMA, FRONTIER_SCHEMA, FRONTIER_COLS
 from scrapy__ray.sources.corpus import host_page_counts, lookup_html
 
@@ -345,11 +351,24 @@ def _fetch_batch_rowwise(
 
 
 # ----------------------------------------------------------------- extract
+#: M15 detection (scrapy/utils/response.py::_has_ajaxcrawlable_variant):
+#: <meta name="fragment" content="!"> scanned over the first 4096 raw
+#: bytes — a bytes regex, encoding-agnostic for the ASCII tag (pinned
+#: contract, mirrored by the oracle)
+_AJAX_META_RE = re.compile(
+    rb"<meta\s+name=[\"']fragment[\"']\s+content=[\"']![\"']\s*/?>",
+    re.IGNORECASE,
+)
+
+
 @_stage_timed("extract")
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """html -> (byte-exact text, canonical out_links, meta-refresh target);
-    drops html.  The meta-refresh cfg gates (enabled, maxdelay) are applied
-    downstream in expand, which owns the config."""
+def extract_batch(batch: pa.Table, *, ajax_detect: bool = False) -> pa.Table:
+    """html -> (byte-exact text, canonical out_links, meta-refresh target,
+    ajax-crawlable flag); drops html.  The cfg gates (metarefresh enabled /
+    maxdelay, ajaxcrawl enabled) are applied downstream in expand, which
+    owns the config; ``ajax_detect`` is passed by the engine from
+    cfg.ajaxcrawl_enabled so the per-page prefix regex costs nothing in
+    the (default) disabled mode."""
     statuses = batch["status"].to_pylist()
     htmls = batch["html"].to_pylist()
     urls = batch["url"].to_pylist()
@@ -357,6 +376,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     links: list[list[str]] = []
     mr_urls: list[str] = []
     mr_delays: list[float] = []
+    ajax_flags: list[bool] = []
     memo: dict = {}  # per-batch href-resolution cache (pages share hosts)
     for st, html, url in zip(statuses, htmls, urls):
         if st == faults.STATUS_OK and html is not None:
@@ -369,17 +389,22 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             else:
                 mr_urls.append("")
                 mr_delays.append(-1.0)
+            ajax_flags.append(
+                bool(ajax_detect and _AJAX_META_RE.search(html[:4096]))
+            )
         else:
             texts.append(None)
             links.append([])
             mr_urls.append("")
             mr_delays.append(-1.0)
+            ajax_flags.append(False)
     batch = batch.drop_columns(["html"])
     return (
         batch.append_column("extracted_text", pa.array(texts, pa.string()))
         .append_column("out_links", pa.array(links, pa.list_(pa.string())))
         .append_column("meta_refresh_url", pa.array(mr_urls, pa.string()))
         .append_column("meta_refresh_delay", pa.array(mr_delays, pa.float64()))
+        .append_column("ajax_crawlable", pa.array(ajax_flags, pa.bool_()))
     )
 
 
@@ -493,6 +518,26 @@ def expand_push_batch(
                 )
             else:
                 m["errors"] += 1
+        elif (
+            cfg.ajaxcrawl_enabled
+            and cols["ajax_crawlable"][i]
+            and "_escaped_fragment_" not in url
+        ):
+            # M15: AJAX-crawlable page — body never surfaced; re-request
+            # the escaped-fragment variant with UNCHANGED priority/depth/
+            # redirect-count (AjaxCrawlMiddleware request.replace keeps
+            # them; the _escaped_fragment_ guard is the loop bound, the
+            # meta['ajax_crawlable'] analogue).  Counted as a redirect hop.
+            n_links_col.append(0)
+            mr_rows.append(i)
+            m["redirects"] += 1
+            cands.append(
+                _candidate(
+                    escaped_fragment_url(url), cols["priority"][i],
+                    cols["depth"][i], rnd, url, -1, 0,
+                    cols["redirect_count"][i], False, _hc=host_cache,
+                )
+            )
         else:
             m["fetched"] += 1
             out_links = cols["out_links"][i]
@@ -617,10 +662,21 @@ def expand_push_batch(
         "depth", "priority", "parent_url", "retry_count", "redirect_count",
         "latency_ms", "cookies",
     ]
+    # M10: effective proxy per request row (pure function of host + cfg;
+    # host-memoized — '' when unset/bypassed)
+    proxy_memo: dict[str, str] = {}
+    proxies = []
+    for h, u in zip(cols["host"], cols["url"]):
+        p = proxy_memo.get(h)
+        if p is None:
+            p = effective_proxy(u, cfg.http_proxy, cfg.no_proxy)
+            proxy_memo[h] = p
+        proxies.append(p)
     out = (
         batch.select(keep + ["extracted_text"])
         .rename_columns(keep[:-1] + ["cookies_sent", "extracted_text"])
         .append_column("n_links", pa.array(n_links_col, pa.int32()))
+        .append_column("proxy", pa.array(proxies, pa.string()))
     )
     if mr_rows:
         texts = cols["extracted_text"]

@@ -52,12 +52,16 @@ def _assert_equivalent(corpus, out_dir, summary, oracle_res):
     # byte-identical text per url vs the corpus oracle column
     pages = pq.read_table(os.path.join(corpus, "pages"), columns=["url", "text"])
     expect = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    # status-200 rows whose body was never surfaced (M5 meta-refresh hops,
+    # M15 ajax stubs) carry null text and are NOT counted fetched by the
+    # oracle; every surfaced text must match the corpus column byte-exactly
+    # and the surfaced count must equal the oracle's fetched total
     n200 = 0
     for url, st, text in zip(
         res["url"].to_pylist(), res["status"].to_pylist(),
         res["extracted_text"].to_pylist(),
     ):
-        if st == 200:
+        if st == 200 and text is not None:
             n200 += 1
             assert text == expect[url], url
     assert n200 == ot["fetched"]
@@ -116,6 +120,64 @@ def test_engine_matches_oracle(ray_session, small_corpus, name, cfg):
         assert eng.seen_fingerprints() == oracle_res.seen
     finally:
         eng.shutdown()
+
+
+def test_ajaxcrawl_equivalence(ray_session):
+    """M15 AjaxCrawlMiddleware: on the sf-ajax corpus (stub pages carrying
+    <meta name="fragment" content="!">, real content at the
+    ?_escaped_fragment_= variant), the engine must match the oracle with
+    the middleware ON (stubs surface nothing, escaped variants fetched)
+    AND OFF (stubs are terminal pages, byte-identical stub text)."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    corpus = fxgen.generate("sf-ajax", fxgen.default_dir("sf-ajax"))
+    for name, cfg in [
+        ("on", CrawlConfig(ajaxcrawl_enabled=True)),
+        ("off", CrawlConfig()),
+    ]:
+        out = f"/tmp/crawl_out/ajax-{name}"
+        summary, eng = crawl(corpus, out, cfg=cfg, keep_engine=True)
+        oracle_res = run_oracle(corpus, cfg)
+        try:
+            _assert_equivalent(corpus, out, summary, oracle_res)
+            assert eng.seen_fingerprints() == oracle_res.seen
+        finally:
+            eng.shutdown()
+        fetched_urls = _engine_results(out)["url"].to_pylist()
+        n_esc = sum("_escaped_fragment_" in u for u in fetched_urls)
+        if name == "on":
+            assert n_esc > 0, "enabled run never exercised the ajax hop"
+        else:
+            assert n_esc == 0, "disabled run must never request variants"
+
+
+def test_proxy_stamping_equivalence(ray_session, small_corpus):
+    """M10 HttpProxyMiddleware: the crawl is byte-identical with a proxy
+    configured (the slot key stays the host, so nothing about ordering or
+    politeness may change), and the per-request effective-proxy stamping
+    (proxy column vs the oracle's independently-written bypass logic)
+    agrees url-for-url, with both proxied and no_proxy-bypassed hosts
+    exercised."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    purl = "http://proxy.example:8080"
+    cfg = CrawlConfig(http_proxy=purl, no_proxy="h3.example, .h7.example")
+    out = "/tmp/crawl_out/proxy"
+    summary, eng = crawl(small_corpus, out, cfg=cfg, keep_engine=True)
+    oracle_res = run_oracle(small_corpus, cfg)
+    try:
+        _assert_equivalent(small_corpus, out, summary, oracle_res)
+        assert eng.seen_fingerprints() == oracle_res.seen
+    finally:
+        eng.shutdown()
+    res = _engine_results(out)
+    got = dict(zip(res["url"].to_pylist(), res["proxy"].to_pylist()))
+    assert set(got) == set(oracle_res.proxies)
+    assert not {u for u in got if got[u] != oracle_res.proxies[u]}
+    vals = set(got.values())
+    assert "" in vals and purl in vals
 
 
 def test_resume_from_checkpoint(ray_session, small_corpus):

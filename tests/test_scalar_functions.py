@@ -140,3 +140,45 @@ def test_gzip_roundtrip_helper():
     # compression-middleware analogue (SURVEY.md M6): gzipped body variant
     raw = b"<p>zipped</p>"
     assert extract_text(gzip.decompress(gzip.compress(raw))) == "zipped"
+
+
+# ------------------------------------------------------- M10 / M15 scalars
+
+
+@pytest.mark.parametrize(
+    "url,http_proxy,no_proxy,expect",
+    [
+        ("http://h1.example/p/0", "", "", ""),
+        ("http://h1.example/p/0", "http://px.example:3128", "", "http://px.example:3128"),
+        ("http://h1.example/p/0", "http://px.example:3128", "*", ""),
+        ("http://h3.example/p/0", "http://px.example:3128", "h3.example", ""),
+        # dot-suffix entry matches subdomains, not the bare parent
+        ("http://a.h3.example/p/0", "http://px.example:3128", ".h3.example", ""),
+        ("http://h3.example/p/0", "http://px.example:3128", ".h3.example", ""),
+        ("http://xh3.example/p/0", "http://px.example:3128", "h3.example", "http://px.example:3128"),
+        # comma list, whitespace, case-insensitive hosts
+        ("http://H5.example/p/0", "http://px.example:3128", " h4.example , h5.example ", ""),
+    ],
+    ids=["unset", "proxied", "star", "exact", "dotsub", "dotexact", "nosuffixtrick", "list"],
+)
+def test_effective_proxy_vectors(url, http_proxy, no_proxy, expect):
+    from scrapy__ray.functions.url import effective_proxy
+
+    assert effective_proxy(url, http_proxy, no_proxy) == expect
+    # the oracle's independently-written mirror must agree on every vector
+    from scrapy__ray.oracle import _oracle_proxy
+
+    assert _oracle_proxy(host_of(url), http_proxy, no_proxy) == expect
+
+
+def test_escaped_fragment_url():
+    from scrapy__ray.functions.url import escaped_fragment_url
+
+    assert (
+        escaped_fragment_url("http://h0.example/p/2")
+        == "http://h0.example/p/2?_escaped_fragment_="
+    )
+    assert (
+        escaped_fragment_url("http://h0.example/p/9?a=1&b=2")
+        == "http://h0.example/p/9?a=1&b=2&_escaped_fragment_="
+    )

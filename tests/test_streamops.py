@@ -271,3 +271,38 @@ def test_hourly_anomaly_zscore_law(ray_session):
     psd = st["std"].values * np.sqrt((st["count"].values - 1) / st["count"].values)
     want = (merged["cnt"].values - st["mean"].values) / psd
     assert np.allclose(merged["z"].values, want, atol=2e-6)
+
+
+def test_bottomk_quantile_rank_error(ray_session):
+    """Bottom-k (KMV) quantile-sample accuracy law: every reported qXX must
+    sit within rank distance ~5*sqrt(q(1-q)/k) of the true quantile of the
+    FULL per-type value distribution (Chernoff bound on a uniform
+    k-sample; k=512 -> worst-case tolerance ~0.111 at q=0.5), and the
+    sample-size column must equal min(k, type count)."""
+    import duckdb
+
+    from scrapy__ray.pipelines.streamops import (
+        _BOTTOMK_K,
+        _BOTTOMK_QS,
+        events_value_bottomk_quantiles,
+    )
+
+    got = events_value_bottomk_quantiles(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    full = con.execute(
+        f"SELECT event_type, value FROM read_parquet('{SF_DIR}/events.parquet') "
+        "WHERE value IS NOT NULL"
+    ).fetchdf()
+    assert len(got) == full["event_type"].nunique()
+    for _, row in got.iterrows():
+        vals = np.sort(
+            full.loc[full["event_type"] == row["event_type"], "value"].to_numpy()
+        )
+        n = len(vals)
+        assert row["n_sample"] == min(_BOTTOMK_K, n)
+        for q in _BOTTOMK_QS:
+            v = row[f"q{int(q * 100)}"]
+            # rank of the reported value in the FULL distribution
+            rank = np.searchsorted(vals, v, side="left") / max(n - 1, 1)
+            tol = 5.0 * (q * (1 - q) / _BOTTOMK_K) ** 0.5
+            assert abs(rank - q) <= tol, (row["event_type"], q, rank, tol)

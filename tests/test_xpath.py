@@ -417,3 +417,33 @@ def test_variables_accept_numpy_scalars():
     root = parse_dom(DOC)
     assert xpath_select(root, "count(//li) = $n", n=np.int64(3)) is True
     assert xpath_select(root, "$x + 1", x=np.float64(1.5)) == 2.5
+
+
+def test_id_function():
+    """§4.1 id(): string arg splits on whitespace; node-set arg takes each
+    node's string-value; results in doc order, deduped; duplicate IDs
+    resolve to the FIRST element in doc order (the pinned HTML
+    convention, _Env.id_map)."""
+    from scrapy__ray.functions.cssselect import parse_dom
+    from scrapy__ray.functions.xpath import xpath_select
+
+    html = (
+        '<html><body><p id="a">one</p><div id="b"><span id="c">x</span>'
+        '</div><p id="a">dup</p><ul><li data-ref="b c">r</li>'
+        '<li data-ref="c">s</li></ul></body></html>'
+    )
+    dom = parse_dom(html)
+    assert [n.attrs.get("id") for n in xpath_select(dom, "id('a')")] == ["a"]
+    # first-in-doc-order wins for the duplicated id
+    assert xpath_select(dom, "string(id('a'))") == "one"
+    assert [n.tag for n in xpath_select(dom, "id('b c')")] == ["div", "span"]
+    # doc order regardless of token order; dedup across tokens
+    assert [n.tag for n in xpath_select(dom, "id('c b c')")] == ["div", "span"]
+    # node-set argument: string-values of BOTH li/@data-ref attrs
+    assert [n.tag for n in xpath_select(dom, "id(//li/@data-ref)")] == [
+        "div", "span",
+    ]
+    assert xpath_select(dom, "id('zzz')") == []
+    assert xpath_select(dom, "count(id(//li/@data-ref))") == 2.0
+    # composes with paths
+    assert xpath_select(dom, "id('b')/span/text()") != []
