@@ -44,6 +44,7 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         crawlq,
         dedup,
         feedops,
+        mediaops,
         qualityops,
         relational,
         simops,
@@ -56,7 +57,7 @@ def _all_queries() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     out: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     for mod in (
         relational, tpch2, tpch3, textops, qualityops, dedup, feedops, simops,
-        streamops, crawlq,
+        streamops, mediaops, crawlq,
     ):
         out.update(mod.QUERIES)
     return out

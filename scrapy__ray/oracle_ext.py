@@ -1801,7 +1801,125 @@ def oracle_crawl_url_templates(corpus: str) -> pd.DataFrame:
     )
 
 
+# ----------------------------------------------------- media (BMP) family
+# Independent byte-level mirrors of pipelines/mediaops.py: struct/bytes
+# parsing with Python-int arithmetic (the engine decodes with numpy), the
+# same pinned contracts (floor-rule NN resize, *10^4 int-fixed means,
+# gray*64 >= sum ahash threshold, blake2b projection stream).  The BMP
+# mirror parquet itself is shared INPUT (sources/media.py), not an oracle
+# surface.
+
+
+def _odecode_bmp(data: bytes) -> list[list[tuple[int, int, int]]]:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    if bpp != 24 or h <= 0:
+        raise ValueError("unsupported BMP")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    px: list[list[tuple[int, int, int]]] = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage -> top-first rows
+        base = off + y * stride
+        px.append(
+            [
+                (data[base + 3 * x + 2], data[base + 3 * x + 1], data[base + 3 * x])
+                for x in range(w)
+            ]
+        )
+    return px
+
+
+def _onn_resize(px: list, side: int) -> list:
+    h, w = len(px), len(px[0])
+    return [
+        [px[(i * h) // side][(j * w) // side] for j in range(side)]
+        for i in range(side)
+    ]
+
+
+def _omedia_rows(sf_dir: str):
+    from scrapy__ray.sources.media import media_mirror
+
+    t = pq.read_table(media_mirror(sf_dir), columns=["doc_id", "image"])
+    return list(zip(t["doc_id"].to_pylist(), t["image"].to_pylist()))
+
+
+def oracle_media_bmp_stats(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for did, data in _omedia_rows(sf_dir):
+        px = _odecode_bmp(data)
+        h, w = len(px), len(px[0])
+        n = h * w
+        rs = sum(p[0] for r in px for p in r)
+        gs = sum(p[1] for r in px for p in r)
+        bs = sum(p[2] for r in px for p in r)
+        rows.append(
+            (did, w, h, rs * 10**4 // n, gs * 10**4 // n, bs * 10**4 // n)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "width", "height", "r_mean_fix", "g_mean_fix", "b_mean_fix"],
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def _oproj_matrix() -> list[list[int]]:
+    import hashlib as _hl
+
+    n = 16 * 16 * 3
+    cols = []
+    for c in range(8):
+        buf = b""
+        while len(buf) < n:
+            buf += _hl.blake2b(
+                f"mediaproj-{c}-{len(buf)}".encode(), digest_size=64
+            ).digest()
+        cols.append([buf[i] % 7 - 3 for i in range(n)])
+    return cols  # 8 columns of length 768
+
+
+def oracle_media_resize_embed(sf_dir: str) -> pd.DataFrame:
+    P = _oproj_matrix()
+    rows = []
+    for did, data in _omedia_rows(sf_dir):
+        small = _onn_resize(_odecode_bmp(data), 16)
+        flat = [v for r in small for p in r for v in p]  # row-major RGB
+        rows.append([did] + [sum(f * pc for f, pc in zip(flat, P[c])) for c in range(8)])
+    return pd.DataFrame(
+        rows, columns=["doc_id"] + [f"e{c}" for c in range(8)]
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def oracle_media_ahash_dups(sf_dir: str) -> pd.DataFrame:
+    groups: dict[str, list[int]] = {}
+    for did, data in _omedia_rows(sf_dir):
+        small = _onn_resize(_odecode_bmp(data), 8)
+        gray = [p[0] * 299 + p[1] * 587 + p[2] * 114 for r in small for p in r]
+        total = sum(gray)
+        bits = 0
+        for g in gray:
+            bits = (bits << 1) | (1 if g * 64 >= total else 0)
+        groups.setdefault(f"{bits:016x}", []).append(did)
+    rows = []
+    for hx, ids in groups.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i], ids[j], hx))
+    return (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "ahash"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 _SF_ORACLES = {
+    "media_bmp_stats": oracle_media_bmp_stats,
+    "media_resize_embed": oracle_media_resize_embed,
+    "media_ahash_dups": oracle_media_ahash_dups,
     "docs_simhash": oracle_docs_simhash,
     "docs_simhash_dups": oracle_docs_simhash_dups,
     "docs_langid": oracle_docs_langid,

@@ -1,0 +1,216 @@
+"""Multimodal image operators over the BMP mirror (sources/media.py) —
+the REAL media family (decode, channel stats, resize, linear embed,
+perceptual-hash dedup), complementing the declared stubs in textops.py
+whose libraries don't exist in this sandbox.
+
+Every op is an actor-pool map_batches stage over the opaque ``image``
+binary column: per-actor state (the embed projection matrix) is built in
+``__init__`` once, batches decode vectorized with numpy, and all outputs
+are integer-exact so the independent struct-based byte-level oracles in
+oracle_ext.py compare bit-for-bit (materialized parquet oracles — pixels
+are not SQL-expressible).
+
+Pinned numeric contracts (mirrored by the oracles):
+  * nearest-neighbor resize, floor rule: source index for output cell i
+    of N over dimension D is ``(i * D) // N``
+  * channel means int-fixed: ``channel_sum * 10**4 // n_pixels``
+  * average-hash: resize to 8x8, gray_fix = r*299 + g*587 + b*114
+    (int64, no division), bit j set iff ``gray_j * 64 >= sum(gray)``
+    (>= mean in exact integers), bits packed row-major MSB-first
+  * embed: resize to 16x16, flatten RGB row-major to 768 ints, multiply
+    by the P matrix (768x8 int entries in [-3, 3] from
+    blake2b(b"mediaproj-<col>") byte stream: ``b % 7 - 3``)
+
+Scale shape: decode/stats/embed are pure map_batches — ZERO exchanges;
+ahash dedup adds ONE narrow hash exchange (16-byte hash + doc_id per
+image) and per-partition a<b pair emission, the exact-dedup pattern.
+At 10^10 images the binary column never moves — only hashes do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from scrapy__ray.sources.media import bmp_decode, read_images
+from scrapy__ray.pipelines.util import collect_arrow, hash_partition_map
+
+_MEAN_FIX = 10**4
+_EMBED_SIDE = 16
+_EMBED_DIM = 8
+_AHASH_SIDE = 8
+
+
+def _nn_resize(px: np.ndarray, side: int) -> np.ndarray:
+    h, w, _ = px.shape
+    yi = (np.arange(side) * h) // side
+    xi = (np.arange(side) * w) // side
+    return px[yi][:, xi]
+
+
+def _proj_matrix() -> np.ndarray:
+    """Deterministic 768x8 int projection, entries in [-3, 3]."""
+    n = _EMBED_SIDE * _EMBED_SIDE * 3
+    cols = []
+    for c in range(_EMBED_DIM):
+        buf = b""
+        while len(buf) < n:
+            buf += hashlib.blake2b(
+                f"mediaproj-{c}-{len(buf)}".encode(), digest_size=64
+            ).digest()
+        col = np.frombuffer(buf[:n], dtype=np.uint8).astype(np.int64) % 7 - 3
+        cols.append(col)
+    return np.stack(cols, axis=1)  # (768, 8)
+
+
+class _DecodeStats:
+    """Actor-pool stage: decode + per-image channel statistics."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = {
+            "doc_id": ids, "width": [], "height": [],
+            "r_mean_fix": [], "g_mean_fix": [], "b_mean_fix": [],
+        }
+        for data in t["image"].to_pylist():
+            px = bmp_decode(data)
+            h, w, _ = px.shape
+            n = h * w
+            sums = px.reshape(n, 3).astype(np.int64).sum(axis=0)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["r_mean_fix"].append(int(sums[0]) * _MEAN_FIX // n)
+            out["g_mean_fix"].append(int(sums[1]) * _MEAN_FIX // n)
+            out["b_mean_fix"].append(int(sums[2]) * _MEAN_FIX // n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "r_mean_fix": pa.array(out["r_mean_fix"], pa.int64()),
+                "g_mean_fix": pa.array(out["g_mean_fix"], pa.int64()),
+                "b_mean_fix": pa.array(out["b_mean_fix"], pa.int64()),
+            }
+        )
+
+
+def media_bmp_stats(sf_dir: str):
+    """Decode every BMP and report (width, height, int-fixed channel
+    means) per image — the metadata-extraction stage of an image-curation
+    pipeline, on real pixels.  Pure map_batches over the pruned
+    (doc_id, image) read; actor pool sized small (stateless decode, the
+    pool exists for the pattern and for fair scheduling vs wider ops)."""
+    ds = read_images(sf_dir, columns=["doc_id", "image"])
+    out = ds.map_batches(
+        _DecodeStats, concurrency=2, batch_size=128, batch_format="pyarrow"
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()), ("width", pa.int64()),
+                ("height", pa.int64()), ("r_mean_fix", pa.int64()),
+                ("g_mean_fix", pa.int64()), ("b_mean_fix", pa.int64()),
+            ]
+        ),
+    )
+
+
+class _ResizeEmbed:
+    """Actor-pool stage: the projection matrix is built ONCE per actor in
+    __init__ (the model-load pattern), batches multiply vectorized."""
+
+    def __init__(self) -> None:
+        self.P = _proj_matrix()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        vecs = np.empty((len(ids), _EMBED_DIM), dtype=np.int64)
+        for i, data in enumerate(t["image"].to_pylist()):
+            px = _nn_resize(bmp_decode(data), _EMBED_SIDE)
+            flat = px.reshape(-1).astype(np.int64)
+            vecs[i] = flat @ self.P
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for c in range(_EMBED_DIM):
+            cols[f"e{c}"] = pa.array(vecs[:, c], pa.int64())
+        return pa.table(cols)
+
+
+def media_resize_embed(sf_dir: str):
+    """Resize every image to 16x16 (nearest-neighbor, floor rule) and
+    project to an 8-dim integer embedding — the image-featurization stage
+    (decode -> resize -> batched matmul) with the matrix held per actor.
+    Integer-exact end to end, so the struct-based oracle is bit-equal."""
+    ds = read_images(sf_dir, columns=["doc_id", "image"])
+    out = ds.map_batches(
+        _ResizeEmbed, concurrency=2, batch_size=128, batch_format="pyarrow"
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("doc_id", pa.int64())]
+            + [(f"e{c}", pa.int64()) for c in range(_EMBED_DIM)]
+        ),
+    )
+
+
+def _ahash64(px: np.ndarray) -> int:
+    small = _nn_resize(px, _AHASH_SIDE).astype(np.int64)
+    gray = small[:, :, 0] * 299 + small[:, :, 1] * 587 + small[:, :, 2] * 114
+    flat = gray.reshape(-1)
+    total = int(flat.sum())
+    bits = (flat * (_AHASH_SIDE * _AHASH_SIDE) >= total).astype(np.uint64)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def media_ahash_dups(sf_dir: str):
+    """Perceptual near-duplicate pairs by average-hash: images whose
+    8x8 luminance sketch is bit-identical — catches the mirror's planted
+    one-bit-perturbed copies that exact byte dedup cannot (the image
+    analogue of SimHash text dedup).  Shape: per-batch hashing (map
+    only), ONE hash exchange of (ahash, doc_id), per-partition a<b pair
+    emission — the exact-dedup pattern; pixels never shuffle."""
+    ds = read_images(sf_dir, columns=["doc_id", "image"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hs = [
+            f"{_ahash64(bmp_decode(d)):016x}" for d in t["image"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, h_out = [], [], []
+        for h, grp in df.groupby("h"):
+            ids = sorted(grp["doc_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    h_out.append(h)
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "ahash": h_out})
+
+    out = hash_partition_map(hashed, ["h"], pairs)
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("ahash", pa.string())]
+        ),
+    )
+
+
+QUERIES = {
+    "media_bmp_stats": (media_bmp_stats, None),
+    "media_resize_embed": (media_resize_embed, None),
+    "media_ahash_dups": (media_ahash_dups, None),
+}

@@ -1,0 +1,79 @@
+"""Media (BMP) family gates: codec roundtrip, planted near-dup recovery,
+pinned numeric contracts.  Engine-vs-oracle bit-equality itself is covered
+by the driver-mimic suite (materialized struct-based oracles)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_bmp_codec_roundtrip():
+    """encode->decode is the identity for arbitrary sizes, including the
+    widths whose 3-byte rows need 4-byte padding (w % 4 != 0)."""
+    from scrapy__ray.sources.media import bmp_decode, bmp_encode
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for h, w in [(1, 1), (3, 5), (16, 16), (17, 23), (24, 32), (8, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = bmp_decode(bmp_encode(px))
+        assert out.shape == (h, w, 3)
+        assert (out == px).all(), (h, w)
+
+
+def test_oracle_decoder_agrees_with_engine_decoder():
+    """The independent struct/bytes parser (oracle_ext) and the numpy
+    decoder must agree pixel-for-pixel — two implementations, one format."""
+    from scrapy__ray.oracle_ext import _odecode_bmp
+    from scrapy__ray.sources.media import bmp_decode, bmp_encode
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    data = bmp_encode(px)
+    eng = bmp_decode(data)
+    orc = np.array(_odecode_bmp(data), dtype=np.uint8)
+    assert (eng == orc).all()
+
+
+def test_nn_resize_floor_rule():
+    """Pinned rule: source index for output cell i of N over dimension D
+    is (i*D)//N — spot-checked against a hand computation."""
+    from scrapy__ray.pipelines.mediaops import _nn_resize
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    small = _nn_resize(px, 2)
+    # rows 0 and 3 ((0*6)//2, (1*6)//2), cols 0 and 2
+    assert (small[0, 0] == px[0, 0]).all()
+    assert (small[1, 1] == px[3, 2]).all()
+
+
+def test_ahash_dups_recover_planted_pairs(ray_session):
+    """The mirror plants a one-low-bit-perturbed copy of doc_id-1 at every
+    doc_id % 10 == 9; average-hash must pair almost all of them (a plant
+    is missed only when the single +-1 luminance nudge crosses a cell's
+    exact mean threshold), and every reported pair must share a hash."""
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.mediaops import media_ahash_dups
+    from scrapy__ray.sources.media import media_mirror
+
+    got = media_ahash_dups(SF_DIR).to_pandas()
+    assert (got["doc_a"] < got["doc_b"]).all()
+    ids = set(
+        pq.read_table(media_mirror(SF_DIR), columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    planted = {(d - 1, d) for d in ids if d % 10 == 9 and (d - 1) in ids}
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    assert planted, "fixture must plant pairs"
+    recovered = len(planted & found) / len(planted)
+    assert recovered >= 0.8, (recovered, len(planted))
+
+
+def test_embed_projection_is_deterministic_and_bounded():
+    from scrapy__ray.pipelines.mediaops import _proj_matrix
+
+    P = _proj_matrix()
+    assert P.shape == (16 * 16 * 3, 8)
+    assert P.min() >= -3 and P.max() <= 3
+    assert (P == _proj_matrix()).all()
