@@ -222,7 +222,9 @@ def gen_host(args) -> dict:
             # M15: the plain url serves a stub carrying the AJAX-crawlable
             # meta tag (no links); the real content moves to the
             # ?_escaped_fragment_= variant (Google AJAX-crawling scheme)
-            esc_url = url + ("&" if "?" in url else "?") + "_escaped_fragment_="
+            from scrapy__ray.functions.url import escaped_fragment_url
+
+            esc_url = escaped_fragment_url(url)
             ajax_extras.append((esc_url, html, text, lang, enc))
             stub_str = (
                 f"<html><head><title>{title}</title>"

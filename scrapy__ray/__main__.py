@@ -147,11 +147,11 @@ def _cmd_mimic(args) -> int:
         records = mimic.run_sweep(args.sf, only=only)
         if args.out:
             mimic.write_report(args.out, args.sf, records)
-        print(json.dumps({"sf_dir": args.sf, **mimic.summarize(records)}))
+        summary = mimic.summarize(records)
+        print(json.dumps({"sf_dir": args.sf, **summary}))
     finally:
         if owns_ray:
             ray.shutdown()
-    summary = mimic.summarize(records)
     return 0 if summary["green"] == summary["total"] else 1
 
 

@@ -129,20 +129,21 @@ def effective_proxy(url: str, http_proxy: str, no_proxy: str) -> str:
     """The proxy a request for *url* would carry (M10,
     ``scrapy/downloadermiddlewares/httpproxy.py::HttpProxyMiddleware``):
     ``http_proxy`` unless the url's hostname is bypassed by ``no_proxy``
-    (comma-separated; ``*`` bypasses everything; an entry matches the
-    exact hostname or any dot-suffix — the
-    ``urllib.request.proxy_bypass_environment`` convention, leading dots
-    ignored).  Returns '' for no proxy."""
+    (comma-separated; ``*`` bypasses everything ONLY when it is the
+    entire no_proxy string — as a list entry it is a literal name that
+    matches no hostname; an entry matches the exact hostname or any
+    dot-suffix — the ``urllib.request.proxy_bypass_environment``
+    convention, leading dots ignored; verified against CPython's
+    implementation by fuzz vectors).  Returns '' for no proxy."""
     if not http_proxy:
+        return ""
+    if no_proxy.strip() == "*":
         return ""
     host = host_of(url)
     for entry in no_proxy.split(","):
-        entry = entry.strip().lower()
+        entry = entry.strip().lower().lstrip(".")
         if not entry:
             continue
-        if entry == "*":
-            return ""
-        entry = entry.lstrip(".")
         if host == entry or host.endswith("." + entry):
             return ""
     return http_proxy

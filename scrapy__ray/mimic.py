@@ -85,6 +85,13 @@ def run_sweep(
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if only is not None:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            raise SystemExit(
+                f"mimic --only: unknown query name(s) {unknown} — a typo "
+                f"here would otherwise report vacuous success"
+            )
     names = sorted(qs) if only is None else [n for n in sorted(qs) if n in only]
     out: dict[str, dict[str, Any]] = {}
     for name in names:

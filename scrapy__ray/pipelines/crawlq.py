@@ -1048,7 +1048,7 @@ def crawl_triangles(sf_dir: str):
     from scrapy__ray.pipelines.util import collect_arrow
 
     corpus = _corpus()
-    counts, _deg = _per_vertex_triangles(corpus)
+    counts, _deg_fn = _per_vertex_triangles(corpus)  # deg never collected
     tbl = collect_arrow(
         counts.map_batches(
             lambda df: df.rename(columns={"c": "n_triangles"}),
@@ -1066,9 +1066,11 @@ def crawl_triangles(sf_dir: str):
 def _per_vertex_triangles(corpus: str):
     """Shared triangle-count kernel (algorithm + exchange plan pinned in
     the crawl_triangles docstring): returns (counts Dataset [(url, c)] —
-    one row per triangle-participating vertex, undirected-degree DataFrame
-    [(u, d)] — driver-resident for the clustering-coefficient consumer's
-    final report; at true scale that consumer would keep it a Dataset)."""
+    one row per triangle-participating vertex, deg_fn — a ZERO-ARG
+    callable collecting the undirected-degree DataFrame [(u, d)] on
+    demand, so crawl_triangles (which discards it) never pays an O(N)
+    driver collect in the >threshold regime; only the
+    clustering-coefficient consumer's final all-pages report calls it)."""
     from scrapy__ray.pipelines.util import (
         broadcast,
         driver_agg,
@@ -1109,8 +1111,12 @@ def _per_vertex_triangles(corpus: str):
     deg_ds = shuffle_agg(und, ["u"], deg_partial, deg_final).materialize()
     n_vertices = deg_ds.count()
 
+    def deg_fn():
+        return driver_agg(deg_ds, lambda df: df, deg_final)
+
     if n_vertices <= _PR_BROADCAST_MAX:
-        deg = driver_agg(deg_ds, lambda df: df, deg_final)
+        deg = deg_fn()
+        deg_fn = lambda: deg  # already collected for the rank map
         rank_ref = broadcast(dict(zip(deg["u"], deg["d"].astype("int64"))))
 
         # orient lo->hi by (degree, url) rank; carry the HIGHER endpoint's
@@ -1183,7 +1189,6 @@ def _per_vertex_triangles(corpus: str):
             )
 
         oriented = j2.map_batches(orient2, batch_format="pandas").materialize()
-        deg = driver_agg(deg_ds, lambda df: df, deg_final)
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         ctr, u, w = [], [], []
@@ -1227,7 +1232,7 @@ def _per_vertex_triangles(corpus: str):
         lambda df: df.groupby("url", as_index=False)["c"].sum(),
         lambda df: df.groupby("url", as_index=False)["c"].sum(),
     )
-    return counts, deg
+    return counts, deg_fn
 
 
 def crawl_clustering_coef(sf_dir: str):
@@ -1248,7 +1253,8 @@ def crawl_clustering_coef(sf_dir: str):
     from scrapy__ray.pipelines.util import collect_arrow
 
     corpus = _corpus()
-    counts, deg = _per_vertex_triangles(corpus)
+    counts, deg_fn = _per_vertex_triangles(corpus)
+    deg = deg_fn()
     tbl = collect_arrow(
         counts,
         pa.schema([("url", pa.string()), ("c", pa.int64())]),

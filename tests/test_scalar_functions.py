@@ -151,6 +151,11 @@ def test_gzip_roundtrip_helper():
         ("http://h1.example/p/0", "", "", ""),
         ("http://h1.example/p/0", "http://px.example:3128", "", "http://px.example:3128"),
         ("http://h1.example/p/0", "http://px.example:3128", "*", ""),
+        ("http://h1.example/p/0", "http://px.example:3128", " * ", ""),
+        # '*' as a LIST ENTRY is a literal, not a wildcard (urllib checks
+        # the whole raw string only) — h2 stays proxied, h1 bypassed by name
+        ("http://h2.example/p/0", "http://px.example:3128", "h1.example,*", "http://px.example:3128"),
+        ("http://h1.example/p/0", "http://px.example:3128", "h1.example,*", ""),
         ("http://h3.example/p/0", "http://px.example:3128", "h3.example", ""),
         # dot-suffix entry matches subdomains, not the bare parent
         ("http://a.h3.example/p/0", "http://px.example:3128", ".h3.example", ""),
@@ -159,7 +164,9 @@ def test_gzip_roundtrip_helper():
         # comma list, whitespace, case-insensitive hosts
         ("http://H5.example/p/0", "http://px.example:3128", " h4.example , h5.example ", ""),
     ],
-    ids=["unset", "proxied", "star", "exact", "dotsub", "dotexact", "nosuffixtrick", "list"],
+    ids=["unset", "proxied", "star", "star-ws", "star-in-list-other",
+         "star-in-list-named", "exact", "dotsub", "dotexact",
+         "nosuffixtrick", "list"],
 )
 def test_effective_proxy_vectors(url, http_proxy, no_proxy, expect):
     from scrapy__ray.functions.url import effective_proxy
@@ -182,3 +189,28 @@ def test_escaped_fragment_url():
         escaped_fragment_url("http://h0.example/p/9?a=1&b=2")
         == "http://h0.example/p/9?a=1&b=2&_escaped_fragment_="
     )
+
+
+def test_effective_proxy_conforms_to_cpython_bypass():
+    """Enumerated conformance against urllib.request.proxy_bypass_environment
+    (the convention both implementations pin): every (host, no_proxy)
+    combination must agree on bypass-vs-proxy — this is the fuzz that
+    caught the '*'-as-list-entry divergence in review."""
+    from itertools import combinations
+    from urllib.request import proxy_bypass_environment
+
+    from scrapy__ray.functions.url import effective_proxy
+    from scrapy__ray.oracle import _oracle_proxy
+
+    hosts = ["h1.example", "a.h1.example", "xh1.example", "h2.example"]
+    pool = ["h1.example", ".h1.example", "*", "h2.example", " h1.example ", ""]
+    cases = [""]
+    for r in (1, 2, 3):
+        cases += [",".join(c) for c in combinations(pool, r)]
+    px = "http://px.example:3128"
+    for h in hosts:
+        for np_ in cases:
+            expect_bypass = bool(proxy_bypass_environment(h, {"no": np_}))
+            got = effective_proxy(f"http://{h}/p/0", px, np_)
+            assert (got == "") == expect_bypass, (h, np_, got)
+            assert _oracle_proxy(h, px, np_) == got, (h, np_)
