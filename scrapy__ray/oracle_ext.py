@@ -1916,10 +1916,69 @@ def oracle_media_ahash_dups(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _odecode_wav(data: bytes) -> tuple[list[int], int]:
+    """Independent canonical-PCM-WAV parser: int.from_bytes per sample,
+    Python ints throughout (the engine decodes with numpy)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    rate = int.from_bytes(data[24:28], "little")
+    bits = int.from_bytes(data[34:36], "little")
+    if bits != 16 or data[36:40] != b"data":
+        raise ValueError("unsupported WAV")
+    n = int.from_bytes(data[40:44], "little")
+    samples = [
+        int.from_bytes(data[44 + 2 * i:46 + 2 * i], "little", signed=True)
+        for i in range(n // 2)
+    ]
+    return samples, rate
+
+
+def _oaudio_rows(sf_dir: str):
+    from scrapy__ray.sources.media import audio_mirror
+
+    t = pq.read_table(audio_mirror(sf_dir), columns=["doc_id", "audio"])
+    return list(zip(t["doc_id"].to_pylist(), t["audio"].to_pylist()))
+
+
+def oracle_media_wav_stats(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for did, data in _oaudio_rows(sf_dir):
+        s, rate = _odecode_wav(data)
+        energy = sum(v * v for v in s) // len(s)
+        zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+        rows.append((did, rate, len(s), energy, zc))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "sample_rate", "n_samples", "energy_fix", "zero_cross"],
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def oracle_media_wav_framesample(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for did, data in _oaudio_rows(sf_dir):
+        s, _rate = _odecode_wav(data)
+        frames = []
+        fi = 0
+        for start in range(0, len(s) - 200 + 1, 400):
+            w = s[start:start + 200]
+            frames.append((sum(v * v for v in w), fi))
+            fi += 1
+        frames.sort(key=lambda e: (-e[0], e[1]))
+        for en, idx in frames[:3]:
+            rows.append((did, idx, en))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
 _SF_ORACLES = {
     "media_bmp_stats": oracle_media_bmp_stats,
     "media_resize_embed": oracle_media_resize_embed,
     "media_ahash_dups": oracle_media_ahash_dups,
+    "media_wav_stats": oracle_media_wav_stats,
+    "media_wav_framesample": oracle_media_wav_framesample,
     "docs_simhash": oracle_docs_simhash,
     "docs_simhash_dups": oracle_docs_simhash_dups,
     "docs_langid": oracle_docs_langid,

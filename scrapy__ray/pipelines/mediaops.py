@@ -209,8 +209,125 @@ def media_ahash_dups(sf_dir: str):
     )
 
 
+
+
+
+# ---------------------------------------------------------------- audio ops
+_FRAME_LEN = 200
+_FRAME_HOP = 400
+_FRAME_TOPK = 3
+
+
+class _WavStats:
+    """Actor-pool stage: decode + per-clip signal statistics (integer
+    exact: energy_fix = sum(s^2) // n; zero crossings = sign flips of
+    the (s < 0) predicate between consecutive samples)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from scrapy__ray.sources.media import wav_decode
+
+        ids = t["doc_id"].to_pylist()
+        sr, ns, ef, zc = [], [], [], []
+        for data in t["audio"].to_pylist():
+            s, rate = wav_decode(data)
+            x = s.astype(np.int64)
+            sr.append(rate)
+            ns.append(len(x))
+            ef.append(int((x * x).sum()) // len(x))
+            neg = x < 0
+            zc.append(int((neg[1:] != neg[:-1]).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(sr, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "energy_fix": pa.array(ef, pa.int64()),
+                "zero_cross": pa.array(zc, pa.int64()),
+            }
+        )
+
+
+def media_wav_stats(sf_dir: str):
+    """Decode every WAV clip and report per-clip signal features — the
+    audio metadata/quality stage (duration, integer-fixed energy, zero
+    crossings) on real PCM.  Pure map_batches, zero exchanges."""
+    from scrapy__ray.sources.media import read_audio
+
+    ds = read_audio(sf_dir, columns=["doc_id", "audio"])
+    out = ds.map_batches(
+        _WavStats, concurrency=2, batch_size=128, batch_format="pyarrow"
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()), ("sample_rate", pa.int64()),
+                ("n_samples", pa.int64()), ("energy_fix", pa.int64()),
+                ("zero_cross", pa.int64()),
+            ]
+        ),
+    )
+
+
+class _WavFrames:
+    """Actor-pool stage: fixed-stride frame sampling — frames of
+    _FRAME_LEN samples every _FRAME_HOP, per-frame exact energy, top
+    _FRAME_TOPK frames per clip by (energy desc, frame_idx asc).  The
+    video/audio frame-sample pattern of the build brief on real data."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from scrapy__ray.sources.media import wav_decode
+
+        out_id, out_fi, out_en = [], [], []
+        for did, data in zip(t["doc_id"].to_pylist(), t["audio"].to_pylist()):
+            s, _ = wav_decode(data)
+            x = s.astype(np.int64)
+            frames = []
+            fi = 0
+            for start in range(0, len(x) - _FRAME_LEN + 1, _FRAME_HOP):
+                w = x[start:start + _FRAME_LEN]
+                frames.append((int((w * w).sum()), fi))
+                fi += 1
+            frames.sort(key=lambda e: (-e[0], e[1]))
+            for en, idx in frames[:_FRAME_TOPK]:
+                out_id.append(did)
+                out_fi.append(idx)
+                out_en.append(en)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int64()),
+                "energy": pa.array(out_en, pa.int64()),
+            }
+        )
+
+
+def media_wav_framesample(sf_dir: str):
+    """Top-energy frame sampling per audio clip (decode -> stride frames
+    -> exact per-frame energy -> per-clip top-k).  Pure map_batches —
+    the per-clip top-k needs no exchange because a clip never spans
+    batches (one row per clip)."""
+    from scrapy__ray.sources.media import read_audio
+
+    ds = read_audio(sf_dir, columns=["doc_id", "audio"])
+    out = ds.map_batches(
+        _WavFrames, concurrency=2, batch_size=128, batch_format="pyarrow"
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()), ("frame_idx", pa.int64()),
+                ("energy", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "media_bmp_stats": (media_bmp_stats, None),
     "media_resize_embed": (media_resize_embed, None),
     "media_ahash_dups": (media_ahash_dups, None),
+    "media_wav_stats": (media_wav_stats, None),
+    "media_wav_framesample": (media_wav_framesample, None),
 }

@@ -141,3 +141,105 @@ def read_images(sf_dir: str, columns: list[str] | None = None):
 
     ensure_ctx()
     return rd.read_parquet(media_mirror(sf_dir), columns=columns)
+
+
+# ------------------------------------------------------------- audio (WAV)
+# 16-bit mono PCM RIFF/WAVE — the canonical 44-byte-header format, pure
+# struct territory like BMP.  Mirror contract (shared input):
+#   * one row per doc_id: (doc_id, audio binary, sample_rate int32,
+#     n_samples int32, fmt='wav16')
+#   * sample_rate = 8000 + 8000*(doc_id % 2)
+#   * n_samples = 1600 + 160*(doc_id % 7)
+#   * samples: int16 from PCG64(doc_id ^ 0xA0D10) — independent of the
+#     image stream
+
+
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header PCM WAV bytes."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", n) + data
+    )
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Canonical PCM WAV bytes -> (int16 samples, sample_rate).  Strict:
+    anything but 16-bit mono PCM with the 44-byte layout raises."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or data[12:16] != b"fmt ":
+        raise ValueError("not a canonical WAV")
+    fmt_size, audio_fmt, channels, rate = struct.unpack_from("<IHHI", data, 16)
+    bits = struct.unpack_from("<H", data, 34)[0]
+    if fmt_size != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("unsupported WAV variant")
+    if data[36:40] != b"data":
+        raise ValueError("unsupported chunk layout")
+    n = struct.unpack_from("<I", data, 40)[0]
+    return np.frombuffer(data, dtype="<i2", count=n // 2, offset=44), rate
+
+
+def _gen_samples(doc_id: int) -> tuple[np.ndarray, int]:
+    rate = 8000 + 8000 * (doc_id % 2)
+    n = 1600 + 160 * (doc_id % 7)
+    rng = np.random.Generator(np.random.PCG64(doc_id ^ 0xA0D10))
+    return rng.integers(-(1 << 15), 1 << 15, size=n, dtype=np.int64).astype(
+        np.int16
+    ), rate
+
+
+def audio_mirror(sf_dir: str) -> str:
+    """Materialize the WAV audio table for ``sf_dir``'s documents (same
+    cache/atomic discipline as media_mirror)."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    ident = f"{st.st_mtime_ns}:{st.st_size}"
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:16]
+    out_dir = f"/tmp/scrapy__ray_audio/{key}"
+    path = os.path.join(out_dir, "audio.parquet")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    try:
+        with open(marker) as f:
+            if f.read() == ident:
+                return path
+    except OSError:
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ids = sorted(
+        pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    clips, rates, lens = [], [], []
+    for d in ids:
+        s, r = _gen_samples(d)
+        clips.append(wav_encode(s, r))
+        rates.append(r)
+        lens.append(len(s))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "audio": pa.array(clips, pa.binary()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(lens, pa.int32()),
+            "fmt": pa.array(["wav16"] * len(ids), pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    with open(mtmp, "w") as f:
+        f.write(ident)
+    os.replace(mtmp, marker)
+    return path
+
+
+def read_audio(sf_dir: str, columns: list[str] | None = None):
+    """Dataset over the WAV mirror (column-pruned parquet read)."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import ensure_ctx
+
+    ensure_ctx()
+    return rd.read_parquet(audio_mirror(sf_dir), columns=columns)

@@ -77,3 +77,52 @@ def test_embed_projection_is_deterministic_and_bounded():
     assert P.shape == (16 * 16 * 3, 8)
     assert P.min() >= -3 and P.max() <= 3
     assert (P == _proj_matrix()).all()
+
+
+def test_wav_codec_roundtrip():
+    from scrapy__ray.sources.media import wav_decode, wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    for n, rate in [(1, 8000), (200, 16000), (1601, 8000)]:
+        s = rng.integers(-(1 << 15), 1 << 15, size=n).astype(np.int16)
+        out, r = wav_decode(wav_encode(s, rate))
+        assert r == rate and (out == s).all()
+
+
+def test_wav_oracle_decoder_agrees_with_engine_decoder():
+    from scrapy__ray.oracle_ext import _odecode_wav
+    from scrapy__ray.sources.media import wav_decode, wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    s = rng.integers(-(1 << 15), 1 << 15, size=333).astype(np.int16)
+    data = wav_encode(s, 16000)
+    eng, er = wav_decode(data)
+    orc, orr = _odecode_wav(data)
+    assert er == orr == 16000
+    assert eng.tolist() == orc
+
+
+def test_wav_framesample_shape(ray_session):
+    """Every clip reports at most top-3 frames; frame indices must be
+    valid for the clip's stride grid and energies non-negative."""
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.mediaops import media_wav_framesample
+    from scrapy__ray.sources.media import audio_mirror
+
+    got = media_wav_framesample(SF_DIR).to_pandas()
+    lens = dict(
+        zip(
+            *[
+                pq.read_table(audio_mirror(SF_DIR), columns=["doc_id", "n_samples"])[c].to_pylist()
+                for c in ("doc_id", "n_samples")
+            ]
+        )
+    )
+    per = got.groupby("doc_id").size()
+    assert (per <= 3).all()
+    assert set(got["doc_id"]) == set(lens)
+    assert (got["energy"] >= 0).all()
+    for _, row in got.iterrows():
+        max_fi = (lens[row["doc_id"]] - 200) // 400
+        assert 0 <= row["frame_idx"] <= max_fi
