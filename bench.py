@@ -71,9 +71,11 @@ def _bench_crawl_cfg():
     # swings on identical code (BASELINE.md round-2 noise caveat).  Crash
     # recovery still loses at most 7 rounds; resume stays byte-identical.
     floor = int(os.environ.get("GRAFT_CHUNK_FLOOR", "2048"))
+    aggs = int(os.environ.get("GRAFT_PUSH_AGGS", "0"))
     return CrawlConfig(
         depth_limit=0, round_duration=64.0, dedup="cuckoo", num_shards=32,
         checkpoint_every_n=8, scheduled_chunk_rows=floor,
+        push_aggregators=aggs,
     )
 
 
