@@ -1973,12 +1973,75 @@ def oracle_media_wav_framesample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _oahash(px: list) -> int:
+    """Independent average-hash (list-of-rows pixels, Python ints)."""
+    small = _onn_resize(px, 8)
+    gray = [p[0] * 299 + p[1] * 587 + p[2] * 114 for r in small for p in r]
+    total = sum(gray)
+    bits = 0
+    for g in gray:
+        bits = (bits << 1) | (1 if g * 64 >= total else 0)
+    return bits
+
+
+def _odecode_video(data: bytes) -> list:
+    if data[:4] != b"VID0":
+        raise ValueError("not VID0")
+    n = int.from_bytes(data[4:8], "little")
+    off = 8
+    frames = []
+    for _ in range(n):
+        ln = int.from_bytes(data[off:off + 4], "little")
+        off += 4
+        frames.append(_odecode_bmp(data[off:off + ln]))
+        off += ln
+    return frames
+
+
+def _ovideo_rows(sf_dir: str):
+    from scrapy__ray.sources.media import video_mirror
+
+    t = pq.read_table(video_mirror(sf_dir), columns=["doc_id", "video"])
+    return list(zip(t["doc_id"].to_pylist(), t["video"].to_pylist()))
+
+
+def oracle_media_video_framesample(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for did, data in _ovideo_rows(sf_dir):
+        hashes = [_oahash(f) for f in _odecode_video(data)]
+        for fi in range(0, len(hashes), 4):
+            rows.append((did, fi, f"{hashes[fi]:016x}"))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ahash"])
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def oracle_media_video_shot_changes(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for did, data in _ovideo_rows(sf_dir):
+        hashes = [_oahash(f) for f in _odecode_video(data)]
+        for fi in range(1, len(hashes)):
+            d = bin(hashes[fi] ^ hashes[fi - 1]).count("1")
+            if d >= 8:
+                rows.append((did, fi, d))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "frame_idx", "hamming"])
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "frame_idx": "int64", "hamming": "int64"})
+    )
+
+
 _SF_ORACLES = {
     "media_bmp_stats": oracle_media_bmp_stats,
     "media_resize_embed": oracle_media_resize_embed,
     "media_ahash_dups": oracle_media_ahash_dups,
     "media_wav_stats": oracle_media_wav_stats,
     "media_wav_framesample": oracle_media_wav_framesample,
+    "media_video_framesample": oracle_media_video_framesample,
+    "media_video_shot_changes": oracle_media_video_shot_changes,
     "docs_simhash": oracle_docs_simhash,
     "docs_simhash_dups": oracle_docs_simhash_dups,
     "docs_langid": oracle_docs_langid,

@@ -324,10 +324,107 @@ def media_wav_framesample(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- video ops
+_VIDEO_SAMPLE_STRIDE = 4
+_SHOT_HAMMING_MIN = 8
+
+
+class _VideoFrameHash:
+    """Actor-pool stage: decode the frame container, average-hash every
+    frame (shared _ahash64 kernel), emit either the stride sample or the
+    consecutive-pair hamming distances depending on ``mode``."""
+
+    def __init__(self, mode: str) -> None:
+        self.mode = mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from scrapy__ray.sources.media import vid_decode
+
+        out_id, out_fi, out_v = [], [], []
+        for did, data in zip(t["doc_id"].to_pylist(), t["video"].to_pylist()):
+            hashes = [_ahash64(px) for px in vid_decode(data)]
+            if self.mode == "sample":
+                for fi in range(0, len(hashes), _VIDEO_SAMPLE_STRIDE):
+                    out_id.append(did)
+                    out_fi.append(fi)
+                    out_v.append(f"{hashes[fi]:016x}")
+            else:  # shot-boundary mode: frame i vs i-1 hamming distance
+                for fi in range(1, len(hashes)):
+                    d = bin(hashes[fi] ^ hashes[fi - 1]).count("1")
+                    if d >= _SHOT_HAMMING_MIN:
+                        out_id.append(did)
+                        out_fi.append(fi)
+                        out_v.append(str(d))
+        if self.mode == "sample":
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "frame_idx": pa.array(out_fi, pa.int64()),
+                    "ahash": pa.array(out_v, pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int64()),
+                "hamming": pa.array([int(v) for v in out_v], pa.int64()),
+            }
+        )
+
+
+def media_video_framesample(sf_dir: str):
+    """Every _VIDEO_SAMPLE_STRIDE-th frame's perceptual hash per clip —
+    the video frame-sampling stage (decode -> per-frame feature) of the
+    build brief, on a real frame container.  Pure map_batches; the frame
+    payloads never leave the task."""
+    from scrapy__ray.sources.media import read_video
+
+    ds = read_video(sf_dir, columns=["doc_id", "video"])
+    out = ds.map_batches(
+        _VideoFrameHash,
+        fn_constructor_args=("sample",),
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("doc_id", pa.int64()), ("frame_idx", pa.int64()), ("ahash", pa.string())]
+        ),
+    )
+
+
+def media_video_shot_changes(sf_dir: str):
+    """Shot-boundary detection: frames whose average-hash hamming
+    distance to the previous frame is >= _SHOT_HAMMING_MIN (the planted
+    cuts re-seed content, slow motion only flips low bits the hash
+    ignores).  Pure map_batches — a clip never spans batches, so the
+    consecutive-pair scan needs no exchange."""
+    from scrapy__ray.sources.media import read_video
+
+    ds = read_video(sf_dir, columns=["doc_id", "video"])
+    out = ds.map_batches(
+        _VideoFrameHash,
+        fn_constructor_args=("shots",),
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [("doc_id", pa.int64()), ("frame_idx", pa.int64()), ("hamming", pa.int64())]
+        ),
+    )
+
+
 QUERIES = {
     "media_bmp_stats": (media_bmp_stats, None),
     "media_resize_embed": (media_resize_embed, None),
     "media_ahash_dups": (media_ahash_dups, None),
     "media_wav_stats": (media_wav_stats, None),
     "media_wav_framesample": (media_wav_framesample, None),
+    "media_video_framesample": (media_video_framesample, None),
+    "media_video_shot_changes": (media_video_shot_changes, None),
 }

@@ -243,3 +243,113 @@ def read_audio(sf_dir: str, columns: list[str] | None = None):
 
     ensure_ctx()
     return rd.read_parquet(audio_mirror(sf_dir), columns=columns)
+
+
+# ---------------------------------------------------------------- video
+# Minimal deterministic frame container: b"VID0" + u32 frame count, then
+# per frame u32 length + a 24-bit BMP payload.  Mirror contract (shared
+# input): one clip per doc_id, 8 + 4*(doc_id % 3) frames of 16x16;
+# frame f+1 = frame f with 3 pixels' low bits flipped (slow motion, the
+# average-hash is stable across it), EXCEPT at the planted shot cuts —
+# frame indices {n//3, (2*n)//3} re-seed the pixels entirely (hash jumps)
+# — so shot-boundary detection has ground truth.
+
+
+def vid_encode(frames: list[np.ndarray]) -> bytes:
+    out = [b"VID0", struct.pack("<I", len(frames))]
+    for px in frames:
+        b = bmp_encode(px)
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def vid_decode(data: bytes) -> list[np.ndarray]:
+    if data[:4] != b"VID0":
+        raise ValueError("not a VID0 container")
+    n = struct.unpack_from("<I", data, 4)[0]
+    off = 8
+    frames = []
+    for _ in range(n):
+        ln = struct.unpack_from("<I", data, off)[0]
+        off += 4
+        frames.append(bmp_decode(data[off:off + ln]))
+        off += ln
+    return frames
+
+
+def video_shot_cuts(n_frames: int) -> tuple[int, int]:
+    """The planted cut indices for an n-frame clip (frame i is a cut when
+    its content re-seeds relative to frame i-1)."""
+    return n_frames // 3, (2 * n_frames) // 3
+
+
+def _gen_video(doc_id: int) -> list[np.ndarray]:
+    n = 8 + 4 * (doc_id % 3)
+    cuts = set(video_shot_cuts(n))
+    frames: list[np.ndarray] = []
+    for f in range(n):
+        if f == 0 or f in cuts:
+            rng = np.random.Generator(np.random.PCG64((doc_id << 8) | f))
+            px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        else:
+            px = frames[-1].copy()
+            # 3 deterministic low-bit flips — motion the hash ignores
+            for k in range(3):
+                px[(f + k) % 16, (f * 5 + k) % 16, k] ^= 1
+        frames.append(px)
+    return frames
+
+
+def video_mirror(sf_dir: str) -> str:
+    """Materialize the video-clip table for ``sf_dir``'s documents (same
+    cache/atomic discipline as media_mirror)."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    ident = f"{st.st_mtime_ns}:{st.st_size}"
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:16]
+    out_dir = f"/tmp/scrapy__ray_video/{key}"
+    path = os.path.join(out_dir, "video.parquet")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    try:
+        with open(marker) as f:
+            if f.read() == ident:
+                return path
+    except OSError:
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ids = sorted(
+        pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    clips, nframes = [], []
+    for d in ids:
+        frames = _gen_video(d)
+        clips.append(vid_encode(frames))
+        nframes.append(len(frames))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "video": pa.array(clips, pa.binary()),
+            "n_frames": pa.array(nframes, pa.int32()),
+            "fmt": pa.array(["vid0-bmp24"] * len(ids), pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    with open(mtmp, "w") as f:
+        f.write(ident)
+    os.replace(mtmp, marker)
+    return path
+
+
+def read_video(sf_dir: str, columns: list[str] | None = None):
+    """Dataset over the video mirror (column-pruned parquet read)."""
+    import ray.data as rd
+
+    from scrapy__ray.pipelines.util import ensure_ctx
+
+    ensure_ctx()
+    return rd.read_parquet(video_mirror(sf_dir), columns=columns)

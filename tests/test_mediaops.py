@@ -126,3 +126,42 @@ def test_wav_framesample_shape(ray_session):
     for _, row in got.iterrows():
         max_fi = (lens[row["doc_id"]] - 200) // 400
         assert 0 <= row["frame_idx"] <= max_fi
+
+
+def test_video_container_roundtrip():
+    from scrapy__ray.sources.media import vid_decode, vid_encode
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    frames = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    out = vid_decode(vid_encode(frames))
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_video_shot_changes_recover_planted_cuts(ray_session):
+    """Every clip plants cuts at {n//3, (2n)//3}; the detector must report
+    exactly those indices for almost every clip (slow-motion low-bit
+    flips must NOT fire — a miss can only occur when a re-seeded frame
+    happens to land hash-close to its predecessor)."""
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.mediaops import media_video_shot_changes
+    from scrapy__ray.sources.media import video_mirror, video_shot_cuts
+
+    got = media_video_shot_changes(SF_DIR).to_pandas()
+    meta = pq.read_table(video_mirror(SF_DIR), columns=["doc_id", "n_frames"])
+    planted = {
+        d: set(video_shot_cuts(n))
+        for d, n in zip(meta["doc_id"].to_pylist(), meta["n_frames"].to_pylist())
+    }
+    reported = got.groupby("doc_id")["frame_idx"].agg(set).to_dict()
+    exact = sum(1 for d in planted if reported.get(d, set()) == planted[d])
+    assert exact / len(planted) >= 0.9, (exact, len(planted))
+    # no false positives outside the planted grid anywhere
+    fp = sum(
+        len(reported.get(d, set()) - planted[d]) for d in planted
+    )
+    assert fp == 0, fp
