@@ -1896,13 +1896,9 @@ def oracle_media_resize_embed(sf_dir: str) -> pd.DataFrame:
 def oracle_media_ahash_dups(sf_dir: str) -> pd.DataFrame:
     groups: dict[str, list[int]] = {}
     for did, data in _omedia_rows(sf_dir):
-        small = _onn_resize(_odecode_bmp(data), 8)
-        gray = [p[0] * 299 + p[1] * 587 + p[2] * 114 for r in small for p in r]
-        total = sum(gray)
-        bits = 0
-        for g in gray:
-            bits = (bits << 1) | (1 if g * 64 >= total else 0)
-        groups.setdefault(f"{bits:016x}", []).append(did)
+        # shared oracle ahash kernel (_oahash) — one definition for the
+        # image-dedup and video oracles
+        groups.setdefault(f"{_oahash(_odecode_bmp(data)):016x}", []).append(did)
     rows = []
     for hx, ids in groups.items():
         ids = sorted(ids)
@@ -1970,6 +1966,7 @@ def oracle_media_wav_framesample(sf_dir: str) -> pd.DataFrame:
         pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
         .sort_values(["doc_id", "frame_idx"])
         .reset_index(drop=True)
+        .astype({"doc_id": "int64", "frame_idx": "int64", "energy": "int64"})
     )
 
 
@@ -2015,6 +2012,7 @@ def oracle_media_video_framesample(sf_dir: str) -> pd.DataFrame:
         pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ahash"])
         .sort_values(["doc_id", "frame_idx"])
         .reset_index(drop=True)
+        .astype({"doc_id": "int64", "frame_idx": "int64", "ahash": "string"})
     )
 
 

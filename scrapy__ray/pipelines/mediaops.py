@@ -340,36 +340,32 @@ class _VideoFrameHash:
     def __call__(self, t: pa.Table) -> pa.Table:
         from scrapy__ray.sources.media import vid_decode
 
-        out_id, out_fi, out_v = [], [], []
+        out_id, out_fi = [], []
+        hashes_out: list[str] = []
+        hamming_out: list[int] = []
         for did, data in zip(t["doc_id"].to_pylist(), t["video"].to_pylist()):
             hashes = [_ahash64(px) for px in vid_decode(data)]
             if self.mode == "sample":
                 for fi in range(0, len(hashes), _VIDEO_SAMPLE_STRIDE):
                     out_id.append(did)
                     out_fi.append(fi)
-                    out_v.append(f"{hashes[fi]:016x}")
+                    hashes_out.append(f"{hashes[fi]:016x}")
             else:  # shot-boundary mode: frame i vs i-1 hamming distance
                 for fi in range(1, len(hashes)):
                     d = bin(hashes[fi] ^ hashes[fi - 1]).count("1")
                     if d >= _SHOT_HAMMING_MIN:
                         out_id.append(did)
                         out_fi.append(fi)
-                        out_v.append(str(d))
+                        hamming_out.append(d)
+        cols = {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+        }
         if self.mode == "sample":
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "frame_idx": pa.array(out_fi, pa.int64()),
-                    "ahash": pa.array(out_v, pa.string()),
-                }
-            )
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "frame_idx": pa.array(out_fi, pa.int64()),
-                "hamming": pa.array([int(v) for v in out_v], pa.int64()),
-            }
-        )
+            cols["ahash"] = pa.array(hashes_out, pa.string())
+        else:
+            cols["hamming"] = pa.array(hamming_out, pa.int64())
+        return pa.table(cols)
 
 
 def media_video_framesample(sf_dir: str):

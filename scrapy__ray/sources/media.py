@@ -81,16 +81,18 @@ def _gen_pixels(doc_id: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def media_mirror(sf_dir: str) -> str:
-    """Materialize the BMP image table for ``sf_dir``'s documents and
-    return its parquet path (cache identity + atomic publish as in
-    sources/jsonl.py)."""
+def _mirror_cached(sf_dir: str, family: str, filename: str, build) -> str:
+    """Shared mirror cache/publish discipline for all media families:
+    (mtime_ns, size) source-identity marker, hashed sf_dir key, full clear
+    before rebuild, pid-unique temp names, data published before marker
+    (the jsonl/ipc convention).  ``build(ids) -> pa.Table`` supplies the
+    family's payload for the sorted doc_id list."""
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     ident = f"{st.st_mtime_ns}:{st.st_size}"
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:16]
-    out_dir = f"/tmp/scrapy__ray_media/{key}"
-    path = os.path.join(out_dir, "images.parquet")
+    out_dir = f"/tmp/scrapy__ray_{family}/{key}"
+    path = os.path.join(out_dir, filename)
     marker = os.path.join(out_dir, "_COMPLETE")
     try:
         with open(marker) as f:
@@ -100,29 +102,8 @@ def media_mirror(sf_dir: str) -> str:
         pass
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    ids = sorted(
-        pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
-    )
-    id_set = set(ids)
-    imgs, ws, hs = [], [], []
-    for d in ids:
-        if d % 10 == 9 and (d - 1) in id_set:
-            px = _gen_pixels(d - 1).copy()
-            px[0, 0, 0] ^= 1  # the planted near-dup
-        else:
-            px = _gen_pixels(d)
-        imgs.append(bmp_encode(px))
-        hs.append(px.shape[0])
-        ws.append(px.shape[1])
-    tbl = pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "image": pa.array(imgs, pa.binary()),
-            "width": pa.array(ws, pa.int32()),
-            "height": pa.array(hs, pa.int32()),
-            "fmt": pa.array(["bmp24"] * len(ids), pa.string()),
-        }
-    )
+    ids = sorted(pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist())
+    tbl = build(ids)
     tmp = f"{path}.tmp-{os.getpid()}"
     pq.write_table(tbl, tmp, compression="zstd")
     os.replace(tmp, path)
@@ -131,6 +112,35 @@ def media_mirror(sf_dir: str) -> str:
         f.write(ident)
     os.replace(mtmp, marker)
     return path
+
+
+def media_mirror(sf_dir: str) -> str:
+    """Materialize the BMP image table for ``sf_dir``'s documents and
+    return its parquet path."""
+
+    def build(ids: list[int]) -> pa.Table:
+        id_set = set(ids)
+        imgs, ws, hs = [], [], []
+        for d in ids:
+            if d % 10 == 9 and (d - 1) in id_set:
+                px = _gen_pixels(d - 1).copy()
+                px[0, 0, 0] ^= 1  # the planted near-dup
+            else:
+                px = _gen_pixels(d)
+            imgs.append(bmp_encode(px))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "image": pa.array(imgs, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "fmt": pa.array(["bmp24"] * len(ids), pa.string()),
+            }
+        )
+
+    return _mirror_cached(sf_dir, "media", "images.parquet", build)
 
 
 def read_images(sf_dir: str, columns: list[str] | None = None):
@@ -190,49 +200,27 @@ def _gen_samples(doc_id: int) -> tuple[np.ndarray, int]:
 
 
 def audio_mirror(sf_dir: str) -> str:
-    """Materialize the WAV audio table for ``sf_dir``'s documents (same
-    cache/atomic discipline as media_mirror)."""
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    ident = f"{st.st_mtime_ns}:{st.st_size}"
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:16]
-    out_dir = f"/tmp/scrapy__ray_audio/{key}"
-    path = os.path.join(out_dir, "audio.parquet")
-    marker = os.path.join(out_dir, "_COMPLETE")
-    try:
-        with open(marker) as f:
-            if f.read() == ident:
-                return path
-    except OSError:
-        pass
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    ids = sorted(
-        pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
-    )
-    clips, rates, lens = [], [], []
-    for d in ids:
-        s, r = _gen_samples(d)
-        clips.append(wav_encode(s, r))
-        rates.append(r)
-        lens.append(len(s))
-    tbl = pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "audio": pa.array(clips, pa.binary()),
-            "sample_rate": pa.array(rates, pa.int32()),
-            "n_samples": pa.array(lens, pa.int32()),
-            "fmt": pa.array(["wav16"] * len(ids), pa.string()),
-        }
-    )
-    tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp, compression="zstd")
-    os.replace(tmp, path)
-    mtmp = f"{marker}.tmp-{os.getpid()}"
-    with open(mtmp, "w") as f:
-        f.write(ident)
-    os.replace(mtmp, marker)
-    return path
+    """Materialize the WAV audio table for ``sf_dir``'s documents
+    (shared _mirror_cached discipline)."""
+
+    def build(ids: list[int]) -> pa.Table:
+        clips, rates, lens = [], [], []
+        for d in ids:
+            smp, r = _gen_samples(d)
+            clips.append(wav_encode(smp, r))
+            rates.append(r)
+            lens.append(len(smp))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "audio": pa.array(clips, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(lens, pa.int32()),
+                "fmt": pa.array(["wav16"] * len(ids), pa.string()),
+            }
+        )
+
+    return _mirror_cached(sf_dir, "audio", "audio.parquet", build)
 
 
 def read_audio(sf_dir: str, columns: list[str] | None = None):
@@ -302,47 +290,25 @@ def _gen_video(doc_id: int) -> list[np.ndarray]:
 
 
 def video_mirror(sf_dir: str) -> str:
-    """Materialize the video-clip table for ``sf_dir``'s documents (same
-    cache/atomic discipline as media_mirror)."""
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    ident = f"{st.st_mtime_ns}:{st.st_size}"
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:16]
-    out_dir = f"/tmp/scrapy__ray_video/{key}"
-    path = os.path.join(out_dir, "video.parquet")
-    marker = os.path.join(out_dir, "_COMPLETE")
-    try:
-        with open(marker) as f:
-            if f.read() == ident:
-                return path
-    except OSError:
-        pass
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    ids = sorted(
-        pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
-    )
-    clips, nframes = [], []
-    for d in ids:
-        frames = _gen_video(d)
-        clips.append(vid_encode(frames))
-        nframes.append(len(frames))
-    tbl = pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "video": pa.array(clips, pa.binary()),
-            "n_frames": pa.array(nframes, pa.int32()),
-            "fmt": pa.array(["vid0-bmp24"] * len(ids), pa.string()),
-        }
-    )
-    tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp, compression="zstd")
-    os.replace(tmp, path)
-    mtmp = f"{marker}.tmp-{os.getpid()}"
-    with open(mtmp, "w") as f:
-        f.write(ident)
-    os.replace(mtmp, marker)
-    return path
+    """Materialize the video-clip table for ``sf_dir``'s documents
+    (shared _mirror_cached discipline)."""
+
+    def build(ids: list[int]) -> pa.Table:
+        clips, nframes = [], []
+        for d in ids:
+            frames = _gen_video(d)
+            clips.append(vid_encode(frames))
+            nframes.append(len(frames))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "video": pa.array(clips, pa.binary()),
+                "n_frames": pa.array(nframes, pa.int32()),
+                "fmt": pa.array(["vid0-bmp24"] * len(ids), pa.string()),
+            }
+        )
+
+    return _mirror_cached(sf_dir, "video", "video.parquet", build)
 
 
 def read_video(sf_dir: str, columns: list[str] | None = None):
