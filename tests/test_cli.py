@@ -92,3 +92,35 @@ def test_cli_mirror_then_crawl(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     summary = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary["fetched"] == 2
+
+
+def test_cli_mimic_smoke(tmp_path):
+    """`python -m scrapy__ray mimic --only <q>` runs the driver-comparator
+    sweep for one query, writes the report, exits 0 on green and rejects
+    unknown names loudly."""
+    out = tmp_path / "mimic.json"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "scrapy__ray", "mimic",
+            "--sf", "/root/testdata/sf0.001",
+            "--only", "lineitem_pricing_summary",
+            "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["total"] == 1 and line["green"] == 1
+    report = json.loads(out.read_text())
+    rec = report["queries"]["lineitem_pricing_summary"]
+    assert rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "scrapy__ray", "mimic",
+            "--sf", "/root/testdata/sf0.001", "--only", "definitely_not_a_query",
+        ],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert bad.returncode != 0
+    assert "unknown query name" in (bad.stderr + bad.stdout)

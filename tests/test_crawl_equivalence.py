@@ -180,6 +180,36 @@ def test_proxy_stamping_equivalence(ray_session, small_corpus):
     assert "" in vals and purl in vals
 
 
+def test_resume_with_push_aggregators(ray_session, small_corpus):
+    """Kill/resume byte-identity THROUGH the aggregation layer: buffered
+    aggregator state must never leak into a checkpoint (flush precedes it
+    inside the round barrier), so a killed aggregated run resumes exactly
+    like the uninterrupted direct-mode run."""
+    from scrapy__ray.engine import crawl
+
+    direct = crawl(small_corpus, "/tmp/crawl_out/agg-direct", cfg=CrawlConfig())
+    agg_cfg = CrawlConfig(num_shards=16, push_aggregators=2)
+    crawl(
+        small_corpus, "/tmp/crawl_out/agg-part",
+        cfg=CrawlConfig(num_shards=16, push_aggregators=2, max_rounds=3),
+    )
+    resumed = crawl(
+        small_corpus, "/tmp/crawl_out/agg-part", cfg=agg_cfg, resume=True
+    )
+    assert resumed.total_fetched == direct.total_fetched
+
+    key = lambda t: sorted(
+        zip(
+            t["url"].to_pylist(), t["round"].to_pylist(),
+            t["fetch_seq_in_host"].to_pylist(), t["status"].to_pylist(),
+            t["extracted_text"].to_pylist(),
+        )
+    )
+    assert key(_engine_results("/tmp/crawl_out/agg-part")) == key(
+        _engine_results("/tmp/crawl_out/agg-direct")
+    )
+
+
 def test_resume_from_checkpoint(ray_session, small_corpus):
     """Kill/resume byte-identity (SURVEY.md §4.3): stop after 3 rounds,
     resume in a fresh engine, final outputs identical to uninterrupted."""
