@@ -1970,6 +1970,64 @@ def oracle_media_wav_framesample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def oracle_emb_mmr_select(sf_dir: str) -> pd.DataFrame:
+    """Independent MMR mirror (contract pinned in simops._mmr_rerank):
+    full-table scan, per-pair np.dot similarities (vs the engine's block
+    matmuls), the same 6dp half-away-from-zero quantization to ints
+    BEFORE any comparison, integer 7*rel - 3*maxsim scores, vec_id
+    tie-break."""
+    import numpy as _np
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = _np.asarray(t["vec_id"].to_pylist(), dtype=_np.int64)
+    emb = _np.array(t["embedding"].to_pylist(), dtype=_np.float64)
+    q = emb[_np.nonzero(ids == 0)[0][0]]
+    qn = q / _np.sqrt(float(_np.dot(q, q)))
+
+    def fix6(x: float) -> int:
+        s = -1 if x < 0 else 1
+        return s * int(abs(x) * 10**6 + 0.5)
+
+    keep = ids != 0
+    ids, emb = ids[keep], emb[keep]
+    rel = []
+    for v in emb:
+        nv = _np.sqrt(float(_np.dot(v, v))) or 1.0
+        rel.append(fix6(float(_np.dot(v, qn)) / nv))
+    rel = _np.asarray(rel, dtype=_np.int64)
+    order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))[:200]
+    pids = ids[order]
+    prel = rel[order]
+    unit = []
+    for i in order:
+        nv = _np.sqrt(float(_np.dot(emb[i], emb[i]))) or 1.0
+        unit.append(emb[i] / nv)
+    n = len(pids)
+    taken = [False] * n
+    max_sim = [0] * n
+    rows = []
+    for rank in range(1, min(20, n) + 1):
+        best = None
+        for i in range(n):
+            if taken[i]:
+                continue
+            sc = 7 * int(prel[i]) - 3 * max_sim[i]
+            if best is None or (sc, -int(pids[i])) > (best[1], -int(pids[best[0]])):
+                best = (i, sc)
+        i, sc = best
+        rows.append((rank, int(pids[i]), sc))
+        taken[i] = True
+        for j in range(n):
+            s = fix6(float(_np.dot(unit[j], unit[i])))
+            if s > max_sim[j]:
+                max_sim[j] = s
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "mmr_fix"]).astype(
+        {"rank": "int64", "vec_id": "int64", "mmr_fix": "int64"}
+    )
+
+
 def _oahash(px: list) -> int:
     """Independent average-hash (list-of-rows pixels, Python ints)."""
     small = _onn_resize(px, 8)
@@ -2033,6 +2091,7 @@ def oracle_media_video_shot_changes(sf_dir: str) -> pd.DataFrame:
 
 
 _SF_ORACLES = {
+    "emb_mmr_select": oracle_emb_mmr_select,
     "media_bmp_stats": oracle_media_bmp_stats,
     "media_resize_embed": oracle_media_resize_embed,
     "media_ahash_dups": oracle_media_ahash_dups,

