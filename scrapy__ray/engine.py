@@ -146,7 +146,7 @@ class CrawlEngine:
         from scrapy__ray.sources.corpus import corpus_meta
 
         meta = corpus_meta(corpus_dir)
-        if meta.get("type") != "fsdir" and not meta.get("gzip"):
+        if meta.get("type") not in ("fsdir", "net") and not meta.get("gzip"):
             for p in range(int(meta.get("n_parts", 0))):
                 self.registry.get_part.remote(corpus_dir, p)
 

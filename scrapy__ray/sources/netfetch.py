@@ -1,0 +1,145 @@
+"""Real-network HTTP download handler (S2 over actual sockets — the
+``HTTPDownloadHandler`` analogue, completing the handler family next to
+the simulated-corpus fetch, the file:// mirror and the data: scheme).
+
+The engine machinery is unchanged: a "net" corpus directory holds ONLY
+metadata (seeds, per-host robots fetched once at build time, hosts
+table, ``meta.json {"type": "net"}``), and ``fetch_batch`` routes its
+urls through :func:`http_fetch` at fetch time — real status codes, real
+bodies, real measured latency.  Contracts, pinned to upstream behavior:
+
+  * redirects are NOT followed by the handler — RedirectMiddleware (M4,
+    the expand stage) owns them, exactly as in Scrapy; 3xx returns
+    ``STATUS_REDIRECT`` plus the resolved Location header.
+  * retryable statuses (``RETRY_HTTP_CODES`` =
+    {500, 502, 503, 504, 522, 524, 408, 429},
+    scrapy/downloadermiddlewares/retry.py defaults) normalize to
+    ``STATUS_RETRY`` so M3 retry semantics apply; connection errors
+    (refused, timeout) are retryable too, as upstream's
+    ``EXCEPTIONS_TO_RETRY``.
+  * every other non-2xx surfaces as ``STATUS_NOTFOUND`` class (terminal,
+    M11 drops it before the spider).
+  * a body longer than ``maxsize`` aborts mid-read -> ``STATUS_TOOBIG``
+    (DOWNLOAD_MAXSIZE, S2) without buffering the oversize remainder.
+
+Tested end-to-end against a stdlib ``http.server`` on 127.0.0.1
+(tests/test_netfetch.py): robots obeyed, redirects relayed, 503-then-200
+retried, byte-identical extraction — the sandbox has loopback networking
+even though the wider network is unreachable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+from urllib.parse import urljoin
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import fixtures.gen as fxgen
+from fixtures import faults
+
+RETRY_HTTP_CODES = frozenset({500, 502, 503, 504, 522, 524, 408, 429})
+_USER_AGENT = "scrapy__ray/1.0 (+engine)"
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None  # surface the 3xx to the caller; M4 owns redirects
+
+
+_OPENER = urllib.request.build_opener(_NoRedirect)
+
+
+def http_fetch(
+    url: str, timeout: float = 15.0, maxsize: int = 1 << 30
+) -> tuple[int, bytes | None, str, float]:
+    """One real GET -> (engine status, body|None, location, latency_ms)."""
+    req = urllib.request.Request(url, headers={"User-Agent": _USER_AGENT})
+    t0 = time.monotonic()
+    try:
+        with _OPENER.open(req, timeout=timeout) as resp:
+            body = resp.read(maxsize + 1)
+            lat = (time.monotonic() - t0) * 1000.0
+            if len(body) > maxsize:
+                return faults.STATUS_TOOBIG, None, "", lat
+            return faults.STATUS_OK, body, "", lat
+    except urllib.error.HTTPError as e:
+        lat = (time.monotonic() - t0) * 1000.0
+        code = e.code
+        if code in (301, 302, 303, 307, 308):
+            loc = e.headers.get("Location") or ""
+            return faults.STATUS_REDIRECT, None, urljoin(url, loc), lat
+        if code in RETRY_HTTP_CODES:
+            return faults.STATUS_RETRY, None, "", lat
+        return faults.STATUS_NOTFOUND, None, "", lat
+    except (urllib.error.URLError, TimeoutError, ConnectionError, OSError):
+        # connection-level failure: upstream's EXCEPTIONS_TO_RETRY class
+        return faults.STATUS_RETRY, None, "", (time.monotonic() - t0) * 1000.0
+
+
+def build_net_corpus(
+    seed_urls: list[str], out_dir: str, timeout: float = 15.0
+) -> str:
+    """Write the metadata corpus for a live-site crawl: seeds in order,
+    per-host robots.txt fetched ONCE over HTTP (missing -> allow-all,
+    urllib.robotparser's convention for 4xx), the hosts table, and
+    ``meta.json {"type": "net"}``.  Bodies are never stored — they are
+    fetched by the engine at crawl time."""
+    from scrapy__ray.functions.url import host_of
+
+    os.makedirs(out_dir, exist_ok=True)
+    hosts: list[str] = []
+    netlocs: dict[str, str] = {}  # host -> scheme://netloc for robots
+    for u in seed_urls:
+        h = host_of(u)
+        if h not in netlocs:
+            hosts.append(h)
+            scheme, rest = u.split("://", 1)
+            netlocs[h] = f"{scheme}://{rest.split('/', 1)[0]}"
+    robots = []
+    for h in hosts:
+        st, body, _loc, _lat = http_fetch(
+            f"{netlocs[h]}/robots.txt", timeout=timeout, maxsize=1 << 20
+        )
+        robots.append(
+            body.decode("utf-8", "replace")
+            if st == faults.STATUS_OK and body
+            else "User-agent: *\nAllow: /\n"
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(seed_urls, pa.string()),
+                "seed_order": pa.array(range(len(seed_urls)), pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"host": pa.array(hosts, pa.string()),
+             "robots_txt": pa.array(robots, pa.string())}
+        ),
+        os.path.join(out_dir, "robots.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "host_index": pa.array(range(len(hosts)), pa.int32()),
+                "n_pages": pa.array([0] * len(hosts), pa.int32()),
+                "host_hash": pa.array(
+                    [fxgen.host_hash(h) for h in hosts], pa.uint64()
+                ),
+            }
+        ),
+        os.path.join(out_dir, "hosts.parquet"),
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"type": "net"}, f)
+    return out_dir

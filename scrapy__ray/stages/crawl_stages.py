@@ -124,7 +124,7 @@ def fetch_batch(
     if (
         registry is not None
         and cache_dir is None
-        and meta.get("type") != "fsdir"
+        and meta.get("type") not in ("fsdir", "net")
         and not meta.get("gzip")
     ):
         return _fetch_batch_vectorized(
@@ -286,6 +286,9 @@ def _fetch_batch_rowwise(
     retries = batch["retry_count"].to_pylist()
     fps = batch["fingerprint"].to_pylist() if cache_dir else [b""] * len(urls)
     n_pages = host_page_counts(corpus_dir)
+    from scrapy__ray.sources.corpus import corpus_meta
+
+    net = corpus_meta(corpus_dir).get("type") == "net"
 
     statuses, htmls, locations, lat = [], [], [], []
     for url, hh, host, rc, fp in zip(urls, hhs, hosts, retries, fps):
@@ -298,7 +301,24 @@ def _fetch_batch_rowwise(
                 cached = None
         if cached is not None:
             status, html, loc = cached
+            real_lat = 0.0 if net else None  # replayed: no network happened
+        elif net:
+            # S2 over real sockets (sources/netfetch.py): real status,
+            # real body, measured latency; redirect Location pre-resolved
+            from scrapy__ray.sources.netfetch import http_fetch
+
+            status, html, loc, real_lat = http_fetch(
+                url, maxsize=download_maxsize
+            )
+            if cache_dir:
+                path = _cache_path(cache_dir, fp, rc)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump((status, html, loc), f)
+                os.replace(tmp, path)
         else:
+            real_lat = None
             if url.startswith("data:"):
                 # S3 data: handler — the body IS the url (sources/datauri)
                 from scrapy__ray.sources.datauri import parse_data_uri
@@ -333,14 +353,17 @@ def _fetch_batch_rowwise(
         statuses.append(status)
         htmls.append(html)
         locations.append(loc)
-        # file:// / data: fetches report zero simulated network latency
-        # (AutoThrottle then floors at its configured minimum, like Scrapy
-        # on localhost)
-        lat.append(
-            0.0
-            if url.startswith(("file://", "data:"))
-            else faults.latency_ms(url)
-        )
+        # net mode reports MEASURED latency; file:// / data: fetches report
+        # zero simulated latency (AutoThrottle then floors at its
+        # configured minimum, like Scrapy on localhost)
+        if real_lat is not None:
+            lat.append(real_lat)
+        else:
+            lat.append(
+                0.0
+                if url.startswith(("file://", "data:"))
+                else faults.latency_ms(url)
+            )
 
     return (
         batch.append_column("status", pa.array(statuses, pa.int32()))

@@ -1,0 +1,116 @@
+"""S2 over real sockets: crawl a stdlib http.server on 127.0.0.1 through
+the unchanged engine — real robots gating, real 301 relay (M4), real
+503-then-200 retry (M3), byte-identical extraction of real bodies.
+
+Loopback networking works in this sandbox even though the wider network
+does not, so the net handler is tested for real, not declared."""
+
+from __future__ import annotations
+
+import http.server
+import os
+import socketserver
+import threading
+
+import pyarrow.parquet as pq
+import pytest
+
+from scrapy__ray.config import CrawlConfig
+from scrapy__ray.functions.textextract import extract_text
+
+_PAGES = {
+    "/": "<html><head><title>root</title></head><body><h1>root</h1>"
+         '<ul><li><a href="/p/0">a</a></li><li><a href="/p/1">b</a></li>'
+         '<li><a href="/p/2">c</a></li><li><a href="/p/3">denied</a></li>'
+         '<li><a href="/old">moved</a></li><li><a href="/flaky">f</a></li>'
+         "</ul></body></html>",
+    "/p/0": "<html><body><h1>p0</h1><p>zero</p></body></html>",
+    "/p/1": "<html><body><h1>p1</h1><p>one</p></body></html>",
+    "/p/2": "<html><body><h1>p2</h1><p>two &amp; more</p></body></html>",
+    "/p/3": "<html><body><h1>p3</h1><p>robots say no</p></body></html>",
+    "/new": "<html><body><h1>new</h1><p>relocated</p></body></html>",
+    "/flaky": "<html><body><h1>flaky</h1><p>finally</p></body></html>",
+}
+_ROBOTS = "User-agent: *\nDisallow: /p/3\n"
+
+
+class _SiteHandler(http.server.BaseHTTPRequestHandler):
+    flaky_hits = 0
+
+    def do_GET(self):  # noqa: N802 (stdlib API name)
+        if self.path == "/robots.txt":
+            return self._send(200, _ROBOTS.encode())
+        if self.path == "/old":
+            self.send_response(301)
+            self.send_header("Location", "/new")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return None
+        if self.path == "/flaky":
+            type(self).flaky_hits += 1
+            if type(self).flaky_hits == 1:
+                return self._send(503, b"try later")
+        body = _PAGES.get(self.path)
+        if body is None:
+            return self._send(404, b"nope")
+        return self._send(200, body.encode())
+
+    def _send(self, code: int, body: bytes) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def live_site():
+    _SiteHandler.flaky_hits = 0
+    with socketserver.ThreadingTCPServer(("127.0.0.1", 0), _SiteHandler) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}"
+        srv.shutdown()
+
+
+def test_net_crawl_end_to_end(ray_session, live_site, tmp_path):
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.sources.netfetch import build_net_corpus
+
+    corpus = build_net_corpus([f"{live_site}/"], str(tmp_path / "corpus"))
+    cfg = CrawlConfig(allowed_domains=("127.0.0.1",), max_rounds=8)
+    summary = crawl(corpus, str(tmp_path / "out"), cfg=cfg)
+
+    res = pq.read_table(os.path.join(str(tmp_path / "out"), "results"))
+    by_url = {}
+    for r in res.to_pylist():
+        by_url.setdefault(r["url"], []).append(r)
+
+    base = live_site
+    # robots: /p/3 linked from the root but never fetched
+    assert f"{base}/p/3" not in by_url
+    assert summary.totals["robots_denied"] >= 1
+    # real redirect relayed by M4: /old logs 301, /new fetched with body
+    assert [r["status"] for r in by_url[f"{base}/old"]] == [301]
+    assert summary.totals["redirects"] >= 1
+    # real 503 retried by M3, then served
+    sts = sorted(r["status"] for r in by_url[f"{base}/flaky"])
+    assert sts == [200, 503]
+    assert summary.totals["retried"] >= 1
+    # byte-identical extraction of the real bodies
+    for path, html in _PAGES.items():
+        if path == "/p/3":
+            continue
+        rows = [r for r in by_url.get(f"{base}{path}", []) if r["status"] == 200]
+        assert rows, path
+        assert rows[0]["extracted_text"] == extract_text(html.encode()), path
+    # every 200 fetch measured a real (non-simulated) latency
+    lats = [r["latency_ms"] for r in res.to_pylist() if r["status"] == 200]
+    assert lats and all(l >= 0.0 for l in lats)
+    assert summary.total_fetched == len(
+        [p for p in _PAGES if p != "/p/3"]
+    )
