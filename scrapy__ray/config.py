@@ -140,6 +140,11 @@ class CrawlConfig:
     # Scrapy surfaces it as a download error (terminal, no retry by default
     # since CancelledError is not in RETRY_EXCEPTIONS) -> errors++ here.
     download_maxsize: int = 1 << 30
+    # DOWNLOAD_TIMEOUT for the real-socket net handler (sources/netfetch):
+    # upstream defaults to 180 s; 15 s suits the loopback/sandbox scale and
+    # bounds how long one dead host can stall a fetch task.  Ignored by the
+    # simulated corpus (no network).
+    download_timeout: float = 15.0
     max_rounds: int = 10_000
     max_pages: int | None = None  # CLOSESPIDER_PAGECOUNT
     dedup: str = "exact"  # "exact" | "cuckoo"

@@ -311,6 +311,7 @@ class CrawlEngine:
                             else None
                         ),
                         registry=self.registry,
+                        download_timeout=cfg.download_timeout,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,

@@ -18,7 +18,10 @@ bodies, real measured latency.  Contracts, pinned to upstream behavior:
     (refused, timeout) are retryable too, as upstream's
     ``EXCEPTIONS_TO_RETRY``.
   * every other non-2xx surfaces as ``STATUS_NOTFOUND`` class (terminal,
-    M11 drops it before the spider).
+    M11 drops it before the spider); malformed urls (IDNA-invalid labels,
+    junk ports — UnicodeError/InvalidURL/ValueError) are terminal too,
+    while garbage server responses (BadStatusLine and the rest of
+    http.client.HTTPException) join the connection-retry class.
   * a body longer than ``maxsize`` aborts mid-read -> ``STATUS_TOOBIG``
     (DOWNLOAD_MAXSIZE, S2) without buffering the oversize remainder.
 
@@ -30,6 +33,7 @@ even though the wider network is unreachable.
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
 import time
@@ -77,40 +81,81 @@ def http_fetch(
         if code in RETRY_HTTP_CODES:
             return faults.STATUS_RETRY, None, "", lat
         return faults.STATUS_NOTFOUND, None, "", lat
-    except (urllib.error.URLError, TimeoutError, ConnectionError, OSError):
-        # connection-level failure: upstream's EXCEPTIONS_TO_RETRY class
+    except (
+        urllib.error.URLError,
+        http.client.HTTPException,
+        TimeoutError,
+        ConnectionError,
+        OSError,
+    ):
+        # connection-level failure / malformed response: upstream's
+        # EXCEPTIONS_TO_RETRY class (BadStatusLine etc. included)
         return faults.STATUS_RETRY, None, "", (time.monotonic() - t0) * 1000.0
+    except (UnicodeError, ValueError):
+        # unfetchable URL (IDNA-invalid label, junk port): terminal, the
+        # sim-mode corpus-miss analogue — never crash the fetch task
+        return faults.STATUS_NOTFOUND, None, "", (time.monotonic() - t0) * 1000.0
+
+
+def fetch_robots(base: str, timeout: float = 15.0) -> str:
+    """Fetch ``<base>/robots.txt`` with the urllib.robotparser STATUS
+    conventions (RobotFileParser.read): 2xx -> the body; 401/403 ->
+    disallow everything; any other status or failure -> allow-all.
+    Redirects ARE followed here (a robots fetch goes through the full
+    downloader in Scrapy, so its RedirectMiddleware applies) — the
+    default urllib opener, unlike http_fetch's non-following one."""
+    try:
+        req = urllib.request.Request(
+            f"{base}/robots.txt", headers={"User-Agent": _USER_AGENT}
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read(1 << 20).decode("utf-8", "replace")
+    except urllib.error.HTTPError as e:
+        if e.code in (401, 403):
+            return "User-agent: *\nDisallow: /\n"
+        return "User-agent: *\nAllow: /\n"
+    except (
+        urllib.error.URLError, http.client.HTTPException, TimeoutError,
+        ConnectionError, OSError, UnicodeError, ValueError,
+    ):
+        return "User-agent: *\nAllow: /\n"
 
 
 def build_net_corpus(
-    seed_urls: list[str], out_dir: str, timeout: float = 15.0
+    seed_urls: list[str],
+    out_dir: str,
+    timeout: float = 15.0,
+    extra_hosts: list[str] | None = None,
 ) -> str:
     """Write the metadata corpus for a live-site crawl: seeds in order,
-    per-host robots.txt fetched ONCE over HTTP (missing -> allow-all,
-    urllib.robotparser's convention for 4xx), the hosts table, and
-    ``meta.json {"type": "net"}``.  Bodies are never stored — they are
-    fetched by the engine at crawl time."""
+    per-host robots.txt fetched ONCE via :func:`fetch_robots`, the hosts
+    table, and ``meta.json {"type": "net"}``.  Bodies are never stored —
+    they are fetched by the engine at crawl time.
+
+    Robots coverage caveat (documented limitation): robots are fetched
+    for SEED hosts plus ``extra_hosts`` (``"scheme://netloc"`` strings);
+    a host reached only by cross-links has no robots entry and the
+    frontier treats it as allow-all — list every allowed_domains host
+    here for a polite multi-host live crawl.  Hosts are keyed by
+    HOSTNAME (ports collapse — the upstream downloader-slot convention;
+    two services on different ports of one host share robots and
+    politeness)."""
     from scrapy__ray.functions.url import host_of
 
     os.makedirs(out_dir, exist_ok=True)
     hosts: list[str] = []
     netlocs: dict[str, str] = {}  # host -> scheme://netloc for robots
-    for u in seed_urls:
+    for u in list(seed_urls) + list(extra_hosts or []):
+        if "://" not in u:
+            raise ValueError(
+                f"net corpus urls must be absolute with a scheme: {u!r}"
+            )
         h = host_of(u)
         if h not in netlocs:
             hosts.append(h)
             scheme, rest = u.split("://", 1)
             netlocs[h] = f"{scheme}://{rest.split('/', 1)[0]}"
-    robots = []
-    for h in hosts:
-        st, body, _loc, _lat = http_fetch(
-            f"{netlocs[h]}/robots.txt", timeout=timeout, maxsize=1 << 20
-        )
-        robots.append(
-            body.decode("utf-8", "replace")
-            if st == faults.STATUS_OK and body
-            else "User-agent: *\nAllow: /\n"
-        )
+    robots = [fetch_robots(netlocs[h], timeout=timeout) for h in hosts]
     pq.write_table(
         pa.table(
             {

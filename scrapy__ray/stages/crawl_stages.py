@@ -92,6 +92,30 @@ def _cache_path(cache_dir: str, fp: bytes, rc: int) -> str:
     return f"{cache_dir}/{h[:2]}/{h}-{rc}.pkl"
 
 
+def _cache_get(cache_dir: str, fp: bytes, rc: int):
+    import pickle
+
+    try:
+        with open(_cache_path(cache_dir, fp, rc), "rb") as f:
+            return pickle.load(f)
+    except (OSError, pickle.PickleError, EOFError):
+        return None
+
+
+def _cache_put(cache_dir: str, fp: bytes, rc: int, entry: tuple) -> None:
+    """Atomic S5 cache write (tmp + rename) — ONE definition shared by the
+    simulated and net fetch paths so the protocol cannot fork."""
+    import os
+    import pickle
+
+    path = _cache_path(cache_dir, fp, rc)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(entry, f)
+    os.replace(tmp, path)
+
+
 @_stage_timed("fetch")
 def fetch_batch(
     batch: pa.Table,
@@ -100,6 +124,7 @@ def fetch_batch(
     download_maxsize: int = 1 << 30,
     cache_dir: str | None = None,
     registry=None,
+    download_timeout: float = 15.0,
 ) -> pa.Table:
     """Simulated fetch: corpus lookup + deterministic fault model.
     Bodies over ``download_maxsize`` abort (status TOOBIG -> errors).
@@ -129,6 +154,10 @@ def fetch_batch(
     ):
         return _fetch_batch_vectorized(
             batch, corpus_dir, meta, download_maxsize, registry
+        )
+    if meta.get("type") == "net":
+        return _fetch_batch_net(
+            batch, download_maxsize, cache_dir, download_timeout
         )
     return _fetch_batch_rowwise(batch, corpus_dir, download_maxsize, cache_dir)
 
@@ -286,39 +315,13 @@ def _fetch_batch_rowwise(
     retries = batch["retry_count"].to_pylist()
     fps = batch["fingerprint"].to_pylist() if cache_dir else [b""] * len(urls)
     n_pages = host_page_counts(corpus_dir)
-    from scrapy__ray.sources.corpus import corpus_meta
-
-    net = corpus_meta(corpus_dir).get("type") == "net"
 
     statuses, htmls, locations, lat = [], [], [], []
     for url, hh, host, rc, fp in zip(urls, hhs, hosts, retries, fps):
-        cached = None
-        if cache_dir:
-            try:
-                with open(_cache_path(cache_dir, fp, rc), "rb") as f:
-                    cached = pickle.load(f)
-            except (OSError, pickle.PickleError, EOFError):
-                cached = None
+        cached = _cache_get(cache_dir, fp, rc) if cache_dir else None
         if cached is not None:
             status, html, loc = cached
-            real_lat = 0.0 if net else None  # replayed: no network happened
-        elif net:
-            # S2 over real sockets (sources/netfetch.py): real status,
-            # real body, measured latency; redirect Location pre-resolved
-            from scrapy__ray.sources.netfetch import http_fetch
-
-            status, html, loc, real_lat = http_fetch(
-                url, maxsize=download_maxsize
-            )
-            if cache_dir:
-                path = _cache_path(cache_dir, fp, rc)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = f"{path}.tmp-{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    pickle.dump((status, html, loc), f)
-                os.replace(tmp, path)
         else:
-            real_lat = None
             if url.startswith("data:"):
                 # S3 data: handler — the body IS the url (sources/datauri)
                 from scrapy__ray.sources.datauri import parse_data_uri
@@ -344,32 +347,81 @@ def _fetch_batch_rowwise(
             )
             html = html if status == faults.STATUS_OK else None
             if cache_dir:
-                path = _cache_path(cache_dir, fp, rc)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = f"{path}.tmp-{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    pickle.dump((status, html, loc), f)
-                os.replace(tmp, path)
+                _cache_put(cache_dir, fp, rc, (status, html, loc))
         statuses.append(status)
         htmls.append(html)
         locations.append(loc)
-        # net mode reports MEASURED latency; file:// / data: fetches report
-        # zero simulated latency (AutoThrottle then floors at its
-        # configured minimum, like Scrapy on localhost)
-        if real_lat is not None:
-            lat.append(real_lat)
-        else:
-            lat.append(
-                0.0
-                if url.startswith(("file://", "data:"))
-                else faults.latency_ms(url)
-            )
+        # file:// / data: fetches report zero simulated network latency
+        # (AutoThrottle then floors at its configured minimum, like Scrapy
+        # on localhost)
+        lat.append(
+            0.0
+            if url.startswith(("file://", "data:"))
+            else faults.latency_ms(url)
+        )
 
     return (
         batch.append_column("status", pa.array(statuses, pa.int32()))
         .append_column("html", pa.array(htmls, pa.binary()))
         .append_column("location", pa.array(locations, pa.string()))
         .append_column("latency_ms", pa.array(lat, pa.float32()))
+    )
+
+
+def _fetch_batch_net(
+    batch: pa.Table,
+    download_maxsize: int,
+    cache_dir: str | None,
+    download_timeout: float,
+) -> pa.Table:
+    """S2 over real sockets (sources/netfetch.py): cache hits replay with
+    zero latency; misses fetch CONCURRENTLY through a small thread pool —
+    one dead host then costs one timeout, not len(batch) of them.  The
+    per-host round budget still bounds request volume (politeness in the
+    BSP model is budget-per-round, not inter-request spacing; SURVEY §2.5)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scrapy__ray.sources.netfetch import http_fetch
+
+    urls = batch["url"].to_pylist()
+    retries = batch["retry_count"].to_pylist()
+    fps = batch["fingerprint"].to_pylist() if cache_dir else [b""] * len(urls)
+
+    results: list[tuple | None] = [None] * len(urls)  # (status, html, loc, lat)
+    todo: list[int] = []
+    for i, (rc, fp) in enumerate(zip(retries, fps)):
+        cached = _cache_get(cache_dir, fp, rc) if cache_dir else None
+        if cached is not None:
+            results[i] = (*cached, 0.0)  # replayed: no network happened
+        else:
+            todo.append(i)
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            fetched = list(
+                pool.map(
+                    lambda i: http_fetch(
+                        urls[i],
+                        timeout=download_timeout,
+                        maxsize=download_maxsize,
+                    ),
+                    todo,
+                )
+            )
+        for i, r in zip(todo, fetched):
+            results[i] = r
+            if cache_dir:
+                _cache_put(cache_dir, fps[i], retries[i], r[:3])
+    return (
+        batch.append_column(
+            "status", pa.array([r[0] for r in results], pa.int32())
+        )
+        .append_column("html", pa.array([r[1] for r in results], pa.binary()))
+        .append_column(
+            "location", pa.array([r[2] for r in results], pa.string())
+        )
+        .append_column(
+            "latency_ms", pa.array([r[3] for r in results], pa.float32())
+        )
     )
 
 

@@ -114,3 +114,48 @@ def test_net_crawl_end_to_end(ray_session, live_site, tmp_path):
     assert summary.total_fetched == len(
         [p for p in _PAGES if p != "/p/3"]
     )
+
+
+def test_fetch_robots_conventions(live_site):
+    """urllib.robotparser status conventions: 200 -> body; 401/403 ->
+    disallow-all; 404/errors -> allow-all; schemeless seeds rejected."""
+    from scrapy__ray.sources.netfetch import build_net_corpus, fetch_robots
+
+    assert fetch_robots(live_site) == _ROBOTS
+    # a refused port -> allow-all (connection-failure convention)
+    assert "Allow: /" in fetch_robots("http://127.0.0.1:1")
+    with pytest.raises(ValueError, match="absolute"):
+        build_net_corpus(["127.0.0.1/x"], "/tmp/nc-bad")
+
+
+class _Forbidden(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802
+        code = 403 if self.path == "/robots.txt" else 200
+        body = b"<html><body><p>secret</p></body></html>"
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_403_robots_disallows_everything(ray_session, tmp_path):
+    """A bot-blocking site (403 robots.txt) must be crawled NOT AT ALL —
+    the RobotFileParser disallow-all convention, end to end."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.sources.netfetch import build_net_corpus
+
+    with socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Forbidden) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        corpus = build_net_corpus(
+            [f"http://127.0.0.1:{port}/"], str(tmp_path / "c403")
+        )
+        cfg = CrawlConfig(allowed_domains=("127.0.0.1",), max_rounds=4)
+        summary = crawl(corpus, str(tmp_path / "o403"), cfg=cfg)
+        srv.shutdown()
+    assert summary.total_fetched == 0
+    assert summary.totals["robots_denied"] >= 1
