@@ -1,9 +1,14 @@
 """Benchmark harness (driver contract + BASELINE.md scaling protocol).
 
-Default mode: one Ray session (``address="local"``, ``num_cpus`` from
-``$RAY_GRAFT_CPUS``, default 32); runs
+Default mode (= ``--isolate`` since round 5): one fresh Ray session
+(``address="local"``, ``num_cpus`` from ``$RAY_GRAFT_CPUS``, default 32)
+PER pipeline-module query group plus one for the crawl — the round-4
+audit showed a single shared session accumulates object-store/actor
+pressure across ~130 pipelines and sporadically records 3-4x straggler
+walls for queries that run in ~4 s isolated (``--single-session``
+restores the legacy shared-session pass for A/Bs).  It runs
 
-  * the flagship crawl on the sf-mid fixture corpus (~50k pages, FIXTURES.md)
+  * the flagship crawl on the sf-bench fixture corpus (FIXTURES.md)
     in cuckoo dedup mode — the headline metric is crawl throughput
     (URLs fetched+extracted / sec, per BASELINE.json), and
   * every SQL-oracled query pipeline over ``$GRAFT_SF_DIR``
@@ -198,7 +203,18 @@ def main() -> None:
         "--isolate",
         action="store_true",
         help="fresh Ray session per pipeline-module query group (straggler "
-        "isolation; see _run_isolated)",
+        "isolation; see _run_isolated).  THE DEFAULT since round 5 — the "
+        "round-4 audit showed the single-session pass records 3-4x "
+        "straggler walls for ~4 s queries purely from accumulated "
+        "object-store/actor pressure; kept as an explicit flag for "
+        "compatibility",
+    )
+    ap.add_argument(
+        "--single-session",
+        action="store_true",
+        help="legacy mode: run every query group and the crawl in ONE Ray "
+        "session (subject to the documented straggler band; use for "
+        "session-pressure A/Bs only)",
     )
     ap.add_argument(
         "--queries-only",
@@ -226,16 +242,18 @@ def main() -> None:
         _shutdown()
         return
 
-    if args.isolate:
+    if args.crawl_only:
+        _init_ray(num_cpus)
+        print(json.dumps(_bench_crawl(args.scale, num_cpus)))
+        _shutdown()
+        return
+
+    if not args.single_session:  # isolate IS the default emission (round 5)
         _run_isolated(args, num_cpus, sf_dir, sf)
         return
 
     _init_ray(num_cpus)
     crawl_res = _bench_crawl(args.scale, num_cpus)
-    if args.crawl_only:
-        print(json.dumps(crawl_res))
-        _shutdown()
-        return
 
     qtimes = _bench_queries(sf_dir)
     qtimes["crawl_" + args.scale] = crawl_res["wall_s"]

@@ -146,6 +146,7 @@ class CrawlEngine:
         from scrapy__ray.sources.corpus import corpus_meta
 
         meta = corpus_meta(corpus_dir)
+        self._net_mode = meta.get("type") == "net"
         if meta.get("type") not in ("fsdir", "net") and not meta.get("gzip"):
             for p in range(int(meta.get("n_parts", 0))):
                 self.registry.get_part.remote(corpus_dir, p)
@@ -328,6 +329,7 @@ class CrawlEngine:
                         shards=self.shards,
                         stats=self.stats,
                         aggregators=self.aggregators,
+                        net_mode=self._net_mode,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,

@@ -134,10 +134,15 @@ def effective_proxy(url: str, http_proxy: str, no_proxy: str) -> str:
     matches no hostname; an entry matches the exact hostname or any
     dot-suffix — the ``urllib.request.proxy_bypass_environment``
     convention, leading dots ignored; verified against CPython's
-    implementation by fuzz vectors).  Returns '' for no proxy."""
+    implementation by fuzz vectors).  Returns '' for no proxy.
+
+    The bypass-all check compares the RAW string (``no_proxy == '*'``):
+    CPython's ``proxy_bypass_environment`` only special-cases the exact
+    string ``'*'``, so a whitespace-padded ``' * '`` does NOT bypass —
+    it becomes a literal list entry matching no hostname."""
     if not http_proxy:
         return ""
-    if no_proxy.strip() == "*":
+    if no_proxy == "*":
         return ""
     host = host_of(url)
     for entry in no_proxy.split(","):

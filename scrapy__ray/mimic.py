@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import io
 import json
+import os
 import time
 from typing import Any
 
@@ -76,6 +77,12 @@ def run_sweep(
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Materialized-parquet oracles (oracle_ext) are scale-pinned via
+    # GRAFT_ORACLE_SF_DIR (default sf0.01, the driver's correctness
+    # scale); a sweep at any other --sf must point them at ITS scale or
+    # every non-inline-SQL query would spuriously red against sf0.01
+    # expectations.
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     sqls = entrymod.oracle_sql()
 
     con = duckdb.connect()

@@ -44,9 +44,10 @@ _AJAX_META_RE = re.compile(
 def _oracle_proxy(host: str, http_proxy: str, no_proxy: str) -> str:
     """Independent M10 mirror of functions/url.py::effective_proxy (same
     pinned urllib no_proxy convention, separately written).  ``*`` is
-    special only as the WHOLE no_proxy value (urllib checks the raw
-    string); as a list entry it is a literal that matches nothing."""
-    if no_proxy.strip() == "*":
+    special only as the WHOLE RAW no_proxy value (urllib compares the
+    unstripped string, so ``' * '`` does NOT bypass); as a list entry it
+    is a literal that matches nothing."""
+    if no_proxy == "*":
         return ""
     entries = [e.strip().lower() for e in no_proxy.split(",") if e.strip()]
     for e in entries:

@@ -18,6 +18,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from scrapy__ray.pipelines.util import (
     collect_arrow,
@@ -182,20 +183,34 @@ JACCARD_THRESHOLD = 0.5
 CONTAINMENT_THRESHOLD = 0.9
 
 
-def _segment_pairs(df: pd.DataFrame, seg_cols: list[str]) -> pd.DataFrame:
+_PAIR_EMPTY = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def _segment_pairs(t: pa.Table, seg_cols: list[str]) -> pa.Table:
     """Within each key segment of a hash partition, emit all doc_id pairs
-    (a < b).  Sort once, find segment boundaries, meshgrid per segment —
+    (a < b).  Arrow-native since round 5 (the exchange delivers Arrow
+    blocks; the old pandas formulation converted the huge posting-list
+    block both ways per partition): dictionary-encode the segment key to
+    integer codes, lexsort, find boundaries, meshgrid per segment —
     vectorized inside segments, no per-group UDF dispatch."""
-    if not len(df):
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    df = df.sort_values(seg_cols + ["doc_id"], kind="mergesort")
-    ids = df["doc_id"].values
-    key = df[seg_cols[0]].astype(str)
-    for c in seg_cols[1:]:
-        key = key + "\x00" + df[c].astype(str)
-    key = key.values
+    if t.num_rows == 0:
+        return _PAIR_EMPTY.empty_table()
+    if len(seg_cols) == 1:
+        key_arr = t.column(seg_cols[0])
+    else:
+        key_arr = pc.binary_join_element_wise(
+            *[pc.cast(t.column(c), pa.string()) for c in seg_cols], "\x00"
+        )
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    codes = pc.dictionary_encode(key_arr).indices.to_numpy(
+        zero_copy_only=False
+    )
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, codes))
+    codes_s, ids_s = codes[order], ids[order]
     bounds = np.concatenate(
-        [[0], np.nonzero(key[1:] != key[:-1])[0] + 1, [len(key)]]
+        [[0], np.nonzero(codes_s[1:] != codes_s[:-1])[0] + 1, [len(codes_s)]]
     )
     # skip singleton segments BEFORE the Python loop: with near-unique
     # features (n-gram shingles) almost every posting list has df=1 and
@@ -205,26 +220,35 @@ def _segment_pairs(df: pd.DataFrame, seg_cols: list[str]) -> pd.DataFrame:
     pairing = np.nonzero(lens >= 2)[0]
     out_a, out_b = [], []
     for gi in pairing:
-        seg = ids[bounds[gi] : bounds[gi + 1]]
+        seg = ids_s[bounds[gi] : bounds[gi + 1]]
         a, b = np.meshgrid(seg, seg, indexing="ij")
         m = a < b
         out_a.append(a[m])
         out_b.append(b[m])
     if not out_a:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    return pd.DataFrame(
-        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        return _PAIR_EMPTY.empty_table()
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
     )
 
 
-def _df_capped_segments(df: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
+def _df_capped_segments(t: pa.Table, max_df: int | None) -> pa.Table:
     """Drop tokens whose document frequency exceeds ``max_df``.  The input is
     hash-partitioned by ``w``, so a token's full posting list is in exactly
-    one partition and df = segment length — the cap costs nothing extra."""
-    if max_df is None or not len(df):
-        return df
-    counts = df.groupby("w")["doc_id"].transform("size")
-    return df[counts <= max_df]
+    one partition and df = partition-wide value count — the cap costs one
+    dictionary-encode.  Arrow in/out (zero-copy from the exchange)."""
+    if max_df is None or t.num_rows == 0:
+        return t
+    w = t.column("w")
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    enc = pc.dictionary_encode(w)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(idx, minlength=len(enc.dictionary))
+    return t.filter(pa.array(counts[idx] <= max_df))
 
 
 # Production document-frequency cap for the exact-Jaccard pair expansion: a
@@ -354,8 +378,8 @@ def _set_jaccard_pairs(
         ds.map_batches(explode, batch_format="pyarrow")
         .repartition(auto_partitions(), keys=["w"], sort=False)
         .map_batches(
-            lambda df: _df_capped_segments(df, max_df),
-            batch_format="pandas",
+            lambda t: _df_capped_segments(t, max_df),
+            batch_format="pyarrow",
             batch_size=None,
         )
         .materialize()
@@ -363,7 +387,7 @@ def _set_jaccard_pairs(
 
     # branch A: intersection counts per candidate pair
     pair_rows = inverted.map_batches(
-        lambda df: _segment_pairs(df, ["w"]), batch_format="pandas", batch_size=None
+        lambda t: _segment_pairs(t, ["w"]), batch_format="pyarrow", batch_size=None
     )
 
     def partial_count(df: pd.DataFrame) -> pd.DataFrame:
@@ -1128,14 +1152,15 @@ def _docs_minhash_lsh(sf_dir: str):
     cands = hash_partition_map(
         ds.map_batches(band_rows, batch_format="pyarrow"),
         ["band", "bh"],
-        lambda df: _segment_pairs(df, ["band", "bh"]),
+        lambda t: _segment_pairs(t, ["band", "bh"]),
+        batch_format="pyarrow",
     )
     # per-block pre-dedup, then count the candidate stream ONCE (cheap
     # metadata after materialize) to pick the dedup+verify regime
     pair2 = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     cands_md = cands.map_batches(
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        batch_format="pandas",
+        lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([]),
+        batch_format="pyarrow",
         batch_size=None,
     ).materialize()
 
@@ -1215,8 +1240,8 @@ def _docs_minhash_lsh(sf_dir: str):
     with_a = shuffle_join(
         uniq,
         shingles.map_batches(
-            lambda df: df.rename(columns={"doc_id": "doc_a", "sh": "sh_a"}),
-            batch_format="pandas",
+            lambda t: t.rename_columns(["doc_a", "sh_a"]),
+            batch_format="pyarrow",
             batch_size=None,
         ),
         on="doc_a",
@@ -1226,8 +1251,8 @@ def _docs_minhash_lsh(sf_dir: str):
     with_ab = shuffle_join(
         with_a,
         shingles.map_batches(
-            lambda df: df.rename(columns={"doc_id": "doc_b", "sh": "sh_b"}),
-            batch_format="pandas",
+            lambda t: t.rename_columns(["doc_b", "sh_b"]),
+            batch_format="pyarrow",
             batch_size=None,
         ),
         on="doc_b",
@@ -1968,13 +1993,13 @@ def docs_winnow_dups(sf_dir: str):
         ds.map_batches(explode, batch_format="pyarrow")
         .repartition(auto_partitions(), keys=["w"], sort=False)
         .map_batches(
-            lambda df: _df_capped_segments(df, _WINNOW_MAX_DF),
-            batch_format="pandas",
+            lambda t: _df_capped_segments(t, _WINNOW_MAX_DF),
+            batch_format="pyarrow",
             batch_size=None,
         )
     )
     pair_rows = inverted.map_batches(
-        lambda df: _segment_pairs(df, ["w"]), batch_format="pandas", batch_size=None
+        lambda t: _segment_pairs(t, ["w"]), batch_format="pyarrow", batch_size=None
     )
 
     def partial_count(df: pd.DataFrame) -> pd.DataFrame:

@@ -204,12 +204,20 @@ def shuffle_agg(
     )
 
 
-def hash_partition_map(ds, keys: list[str], fn, num_partitions: int | None = None):
+def hash_partition_map(
+    ds,
+    keys: list[str],
+    fn,
+    num_partitions: int | None = None,
+    batch_format: str = "pandas",
+):
     """Hash-partition by ``keys`` then apply ``fn`` per partition block.
 
-    The map_groups replacement: ``fn`` (pandas in/out) sees every row of each
-    key group in exactly one call, without Ray's per-group UDF dispatch
-    (measured ~200 µs/group — prohibitive beyond ~10k groups)."""
+    The map_groups replacement: ``fn`` sees every row of each key group in
+    exactly one call, without Ray's per-group UDF dispatch (measured
+    ~200 µs/group — prohibitive beyond ~10k groups).  ``batch_format``
+    picks ``fn``'s view: "pandas" (default) or "pyarrow" — Arrow fns see
+    the exchange output zero-copy."""
     ensure_ctx()
     # normalize input blocks to metadata-free Arrow before the exchange
     # (native-format pass-through: Arrow blocks cross untouched, pandas
@@ -218,7 +226,7 @@ def hash_partition_map(ds, keys: list[str], fn, num_partitions: int | None = Non
         arrow_out(lambda b: b), batch_format=None, batch_size=None
     ).repartition(
         num_partitions or auto_partitions(), keys=keys, sort=False
-    ).map_batches(fn, batch_format="pandas", batch_size=None)
+    ).map_batches(fn, batch_format=batch_format, batch_size=None)
 
 
 def collect_arrow(ds, schema) -> Any:
@@ -334,8 +342,13 @@ def shuffle_join(
         # null-bearing integer column to float64 and the float values
         # would then hash/compare differently downstream (observed as
         # duplicated keys after a chained aggregation).  After filtering
-        # to one side, that side's own columns are null-free, so
-        # to_pandas preserves the integer types.
+        # to one side, that side's own columns are null-free, and the
+        # per-partition join itself is pyarrow's Acero hash join — no
+        # pandas round-trip at all (round-4 review item: the pandas merge
+        # was the hottest remaining conversion in the repo).  Null-key
+        # semantics note: Acero drops null join keys (SQL semantics,
+        # matching the DuckDB oracles); pandas merge matched NaN==NaN.
+        # Join keys here are ids/hashes and non-null by contract.
         import pyarrow.compute as pc
 
         if not isinstance(block, pa.Table):
@@ -343,14 +356,25 @@ def shuffle_join(
         if block.num_rows == 0 or "__side" not in block.schema.names:
             return pa.table({c: pa.nulls(0) for c in joined_cols})
         side = block["__side"]
-        l = block.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
-        r = block.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
-        if not len(l) or not len(r):
+        l = block.filter(pc.equal(side, 0)).select(left_cols)
+        r = block.filter(pc.equal(side, 1)).select(right_cols)
+        if not l.num_rows or not r.num_rows:
             return pa.table({c: pa.nulls(0) for c in joined_cols})
-        out = l.merge(r, on=on, how="inner")[joined_cols]
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
-            None
-        )
+
+        def _concrete(t: pa.Table) -> pa.Table:
+            # Acero rejects null-typed non-key columns ("Data type null is
+            # not supported in join non-key field"); an all-null payload
+            # column (degenerate but legal) is cast to float64, the same
+            # NaN column the retired pandas merge produced.
+            for i, f in enumerate(t.schema):
+                if pa.types.is_null(f.type):
+                    t = t.set_column(
+                        i, f.name, t.column(i).cast(pa.float64())
+                    )
+            return t
+
+        out = _concrete(l).join(_concrete(r), keys=on, join_type="inner")
+        return out.select(joined_cols).replace_schema_metadata(None)
 
     return both.repartition(
         num_partitions or auto_partitions(), keys=[on], sort=False

@@ -81,6 +81,11 @@ def http_fetch(
         if code in RETRY_HTTP_CODES:
             return faults.STATUS_RETRY, None, "", lat
         return faults.STATUS_NOTFOUND, None, "", lat
+    except http.client.InvalidURL:
+        # malformed URL (junk port etc.) — InvalidURL subclasses
+        # HTTPException, NOT ValueError, so it must be caught before the
+        # connection-retry clause: it is terminal, retrying cannot help
+        return faults.STATUS_NOTFOUND, None, "", (time.monotonic() - t0) * 1000.0
     except (
         urllib.error.URLError,
         http.client.HTTPException,
@@ -92,8 +97,8 @@ def http_fetch(
         # EXCEPTIONS_TO_RETRY class (BadStatusLine etc. included)
         return faults.STATUS_RETRY, None, "", (time.monotonic() - t0) * 1000.0
     except (UnicodeError, ValueError):
-        # unfetchable URL (IDNA-invalid label, junk port): terminal, the
-        # sim-mode corpus-miss analogue — never crash the fetch task
+        # unfetchable URL (IDNA-invalid label): terminal, the sim-mode
+        # corpus-miss analogue — never crash the fetch task
         return faults.STATUS_NOTFOUND, None, "", (time.monotonic() - t0) * 1000.0
 
 

@@ -507,9 +507,15 @@ def expand_push_batch(
     shards: list,
     stats,
     aggregators: list | None = None,
+    net_mode: bool = False,
 ) -> pa.Table:
     """Build next-round candidates, push them to FrontierShards (idempotent),
-    emit the results rows.  Semantics: config.py steps 4-6."""
+    emit the results rows.  Semantics: config.py steps 4-6.
+
+    ``net_mode``: True when the corpus is a live-network ("net") corpus —
+    AutoThrottle (T2) then accumulates the MEASURED per-row ``latency_ms``
+    from the real fetch instead of the simulated fault-model latency, so a
+    live crawl adapts host delays to observed network behavior."""
     import ray
 
     t_expand0 = _time.monotonic() if _STAGE_TIMING else 0.0
@@ -530,7 +536,10 @@ def expand_push_batch(
         url = cols["url"][i]
         if st == faults.STATUS_OK and cfg.autothrottle_enabled:
             acc = lat_acc.setdefault(cols["host"][i], [0, 0])
-            acc[0] += faults.latency_us(url)
+            if net_mode:
+                acc[0] += int(round(float(cols["latency_ms"][i]) * 1000.0))
+            else:
+                acc[0] += faults.latency_us(url)
             acc[1] += 1
         if cfg.cookies_enabled:
             observed = faults.set_cookies(url, st)

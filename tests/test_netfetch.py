@@ -159,3 +159,87 @@ def test_403_robots_disallows_everything(ray_session, tmp_path):
         srv.shutdown()
     assert summary.total_fetched == 0
     assert summary.totals["robots_denied"] >= 1
+
+
+def test_invalid_url_is_terminal_not_retried():
+    """http.client.InvalidURL subclasses HTTPException (NOT ValueError);
+    it must be classified terminal (NOTFOUND) before the connection-retry
+    clause — a junk port cannot become fetchable by retrying."""
+    from fixtures import faults
+    from scrapy__ray.sources.netfetch import http_fetch
+
+    st, body, loc, _lat = http_fetch("http://127.0.0.1:junkport/x")
+    assert st == faults.STATUS_NOTFOUND
+    assert body is None and loc == ""
+
+
+def test_autothrottle_accumulates_measured_latency_in_net_mode(ray_session):
+    """T2 over S2: with a net-type corpus the expand stage must feed the
+    MEASURED per-row latency_ms into the AutoThrottle accumulator, not the
+    simulated fault-model latency (which is a hash of the url — meaningless
+    for a live site)."""
+    import pyarrow as pa
+    import ray
+
+    from fixtures import faults
+    from scrapy__ray.stages.crawl_stages import expand_push_batch
+
+    @ray.remote
+    class _Sink:
+        def __init__(self):
+            self.lat_accs = []
+
+        def push(self, sig, tbl, early, lat_acc, cookie_acc):
+            if lat_acc:
+                self.lat_accs.append(dict(lat_acc))
+            return 0
+
+        def get(self):
+            return self.lat_accs
+
+    url = "http://h0.example/p/0"
+    measured_ms = 7.25
+
+    def mk_batch():
+        return pa.table(
+            {
+                "url": [url],
+                "host": ["h0.example"],
+                "host_hash": pa.array([0], pa.uint64()),
+                "fingerprint": pa.array([b"\x01" * 20], pa.binary()),
+                "priority": pa.array([0], pa.int32()),
+                "depth": pa.array([0], pa.int32()),
+                "disc_round": pa.array([-1], pa.int32()),
+                "parent_url": [""],
+                "link_idx": pa.array([0], pa.int32()),
+                "retry_count": pa.array([0], pa.int32()),
+                "redirect_count": pa.array([0], pa.int32()),
+                "skip_dedup": [True],
+                "round": pa.array([0], pa.int32()),
+                "fetch_seq_in_host": pa.array([0], pa.int32()),
+                "fetch_vtime": pa.array([0.0], pa.float64()),
+                "cookies": [""],
+                "status": pa.array([faults.STATUS_OK], pa.int32()),
+                "location": [""],
+                "latency_ms": pa.array([measured_ms], pa.float32()),
+                "extracted_text": ["x"],
+                "out_links": pa.array([[]], pa.list_(pa.string())),
+                "meta_refresh_url": [""],
+                "meta_refresh_delay": pa.array([-1.0], pa.float64()),
+                "ajax_crawlable": [False],
+            }
+        )
+
+    got = {}
+    for net_mode in (False, True):
+        sink = _Sink.remote()
+        cfg = CrawlConfig(autothrottle_enabled=True)
+        expand_push_batch(
+            mk_batch(), cfg=cfg, shards=[sink], stats=None, net_mode=net_mode
+        )
+        accs = ray.get(sink.get.remote())
+        assert len(accs) == 1 and accs[0]["h0.example"][1] == 1
+        got[net_mode] = accs[0]["h0.example"][0]
+    assert got[True] == int(round(measured_ms * 1000.0))  # measured, in µs
+    assert got[False] == faults.latency_us(url)  # simulated fault model
+    assert got[True] != got[False]

@@ -151,7 +151,10 @@ def test_gzip_roundtrip_helper():
         ("http://h1.example/p/0", "", "", ""),
         ("http://h1.example/p/0", "http://px.example:3128", "", "http://px.example:3128"),
         ("http://h1.example/p/0", "http://px.example:3128", "*", ""),
-        ("http://h1.example/p/0", "http://px.example:3128", " * ", ""),
+        # whitespace-padded star is NOT the raw '*' string — urllib's
+        # proxy_bypass_environment treats it as a literal entry (no bypass)
+        ("http://h1.example/p/0", "http://px.example:3128", " * ",
+         "http://px.example:3128"),
         # '*' as a LIST ENTRY is a literal, not a wildcard (urllib checks
         # the whole raw string only) — h2 stays proxied, h1 bypassed by name
         ("http://h2.example/p/0", "http://px.example:3128", "h1.example,*", "http://px.example:3128"),
@@ -203,7 +206,8 @@ def test_effective_proxy_conforms_to_cpython_bypass():
     from scrapy__ray.oracle import _oracle_proxy
 
     hosts = ["h1.example", "a.h1.example", "xh1.example", "h2.example"]
-    pool = ["h1.example", ".h1.example", "*", "h2.example", " h1.example ", ""]
+    pool = ["h1.example", ".h1.example", "*", " * ", "h2.example",
+            " h1.example ", ""]
     cases = [""]
     for r in (1, 2, 3):
         cases += [",".join(c) for c in combinations(pool, r)]
