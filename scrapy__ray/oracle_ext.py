@@ -1912,6 +1912,139 @@ def oracle_media_ahash_dups(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _odecode_png(data: bytes) -> list[list[tuple[int, ...]]]:
+    """Independent PNG decoder: pure-Python ints + stdlib zlib, the five
+    spec filters reconstructed scalar-at-a-time exactly as ISO/IEC 15948
+    §9 writes them (the engine decodes with numpy row vectors).  Returns
+    top-first rows of (r, g, b) or (r, g, b, a) tuples."""
+    import zlib as _z
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off, w, h, nch = 8, -1, -1, -1
+    idat = b""
+    while off < len(data):
+        ln = int.from_bytes(data[off : off + 4], "big")
+        tag = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + ln]
+        if (
+            int.from_bytes(data[off + 8 + ln : off + 12 + ln], "big")
+            != _z.crc32(tag + payload) & 0xFFFFFFFF
+        ):
+            raise ValueError("PNG CRC mismatch")
+        if tag == b"IHDR":
+            w = int.from_bytes(payload[0:4], "big")
+            h = int.from_bytes(payload[4:8], "big")
+            if payload[8] != 8 or payload[9] not in (2, 6) or any(payload[10:13]):
+                raise ValueError("unsupported PNG")
+            nch = 3 if payload[9] == 2 else 4
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    raw = _z.decompress(idat)
+    stride = 1 + w * nch
+    rows: list[list[int]] = []
+    prior = [0] * (w * nch)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ft, filt = line[0], list(line[1:])
+        recon = [0] * (w * nch)
+        for i in range(w * nch):
+            a = recon[i - nch] if i >= nch else 0  # left
+            b = prior[i]  # up
+            c = prior[i - nch] if i >= nch else 0  # up-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa_, pb, pcc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pcc) else (b if pb <= pcc else c)
+            else:
+                raise ValueError("bad filter")
+            recon[i] = (filt[i] + pred) % 256
+        rows.append(recon)
+        prior = recon
+    return [
+        [tuple(r[x * nch : (x + 1) * nch]) for x in range(w)] for r in rows
+    ]
+
+
+def _opng_rows(sf_dir: str):
+    from scrapy__ray.sources.media import png_mirror
+
+    t = pq.read_table(png_mirror(sf_dir), columns=["doc_id", "image"])
+    return list(zip(t["doc_id"].to_pylist(), t["image"].to_pylist()))
+
+
+def oracle_media_png_stats(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for did, data in _opng_rows(sf_dir):
+        px = _odecode_png(data)
+        h, w, c = len(px), len(px[0]), len(px[0][0])
+        n = h * w
+        sums = [sum(p[ch] for r in px for p in r) for ch in range(c)]
+        rows.append(
+            (
+                did, w, h, c,
+                sums[0] * 10**4 // n, sums[1] * 10**4 // n,
+                sums[2] * 10**4 // n,
+                sums[3] * 10**4 // n if c == 4 else -1,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "width", "height", "channels",
+            "r_mean_fix", "g_mean_fix", "b_mean_fix", "a_mean_fix",
+        ],
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def _opng_rgb(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Alpha dropped — the pinned image_decode_rgb contract."""
+    return [[p[:3] for p in r] for r in _odecode_png(data)]
+
+
+def oracle_media_png_resize_embed(sf_dir: str) -> pd.DataFrame:
+    P = _oproj_matrix()
+    rows = []
+    for did, data in _opng_rows(sf_dir):
+        small = _onn_resize(_opng_rgb(data), 16)
+        flat = [v for r in small for p in r for v in p]
+        rows.append(
+            [did] + [sum(f * pc for f, pc in zip(flat, P[c])) for c in range(8)]
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id"] + [f"e{c}" for c in range(8)]
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def oracle_media_png_ahash_dups(sf_dir: str) -> pd.DataFrame:
+    groups: dict[str, list[int]] = {}
+    for did, data in _opng_rows(sf_dir):
+        groups.setdefault(f"{_oahash(_opng_rgb(data)):016x}", []).append(did)
+    rows = []
+    for hx, ids in groups.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i], ids[j], hx))
+    return (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "ahash"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+    )
+
+
 def _odecode_wav(data: bytes) -> tuple[list[int], int]:
     """Independent canonical-PCM-WAV parser: int.from_bytes per sample,
     Python ints throughout (the engine decodes with numpy)."""
@@ -2095,6 +2228,9 @@ _SF_ORACLES = {
     "media_bmp_stats": oracle_media_bmp_stats,
     "media_resize_embed": oracle_media_resize_embed,
     "media_ahash_dups": oracle_media_ahash_dups,
+    "media_png_stats": oracle_media_png_stats,
+    "media_png_resize_embed": oracle_media_png_resize_embed,
+    "media_png_ahash_dups": oracle_media_png_ahash_dups,
     "media_wav_stats": oracle_media_wav_stats,
     "media_wav_framesample": oracle_media_wav_framesample,
     "media_video_framesample": oracle_media_video_framesample,

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from scrapy__ray.sources.media import bmp_decode, read_images
+from scrapy__ray.sources.media import bmp_decode, image_decode_rgb, read_images
 from scrapy__ray.pipelines.util import collect_arrow, hash_partition_map
 
 _MEAN_FIX = 10**4
@@ -121,7 +121,9 @@ def media_bmp_stats(sf_dir: str):
 
 class _ResizeEmbed:
     """Actor-pool stage: the projection matrix is built ONCE per actor in
-    __init__ (the model-load pattern), batches multiply vectorized."""
+    __init__ (the model-load pattern), batches multiply vectorized.
+    Format-agnostic decode (BMP or PNG by magic; PNG alpha dropped) so
+    the same pipeline serves both image mirrors."""
 
     def __init__(self) -> None:
         self.P = _proj_matrix()
@@ -130,7 +132,7 @@ class _ResizeEmbed:
         ids = t["doc_id"].to_pylist()
         vecs = np.empty((len(ids), _EMBED_DIM), dtype=np.int64)
         for i, data in enumerate(t["image"].to_pylist()):
-            px = _nn_resize(bmp_decode(data), _EMBED_SIDE)
+            px = _nn_resize(image_decode_rgb(data), _EMBED_SIDE)
             flat = px.reshape(-1).astype(np.int64)
             vecs[i] = flat @ self.P
         cols = {"doc_id": pa.array(ids, pa.int64())}
@@ -139,12 +141,7 @@ class _ResizeEmbed:
         return pa.table(cols)
 
 
-def media_resize_embed(sf_dir: str):
-    """Resize every image to 16x16 (nearest-neighbor, floor rule) and
-    project to an 8-dim integer embedding — the image-featurization stage
-    (decode -> resize -> batched matmul) with the matrix held per actor.
-    Integer-exact end to end, so the struct-based oracle is bit-equal."""
-    ds = read_images(sf_dir, columns=["doc_id", "image"])
+def _resize_embed_over(ds):
     out = ds.map_batches(
         _ResizeEmbed, concurrency=2, batch_size=128, batch_format="pyarrow"
     )
@@ -155,6 +152,23 @@ def media_resize_embed(sf_dir: str):
             + [(f"e{c}", pa.int64()) for c in range(_EMBED_DIM)]
         ),
     )
+
+
+def media_resize_embed(sf_dir: str):
+    """Resize every image to 16x16 (nearest-neighbor, floor rule) and
+    project to an 8-dim integer embedding — the image-featurization stage
+    (decode -> resize -> batched matmul) with the matrix held per actor.
+    Integer-exact end to end, so the struct-based oracle is bit-equal."""
+    return _resize_embed_over(read_images(sf_dir, columns=["doc_id", "image"]))
+
+
+def media_png_resize_embed(sf_dir: str):
+    """The SAME featurization pipeline (same actor class, same projection
+    matrix, same pinned contracts) over the real-PNG mirror — alpha
+    channels dropped at decode per the image_decode_rgb contract."""
+    from scrapy__ray.sources.media import read_png
+
+    return _resize_embed_over(read_png(sf_dir, columns=["doc_id", "image"]))
 
 
 def _ahash64(px: np.ndarray) -> int:
@@ -169,19 +183,12 @@ def _ahash64(px: np.ndarray) -> int:
     return out
 
 
-def media_ahash_dups(sf_dir: str):
-    """Perceptual near-duplicate pairs by average-hash: images whose
-    8x8 luminance sketch is bit-identical — catches the mirror's planted
-    one-bit-perturbed copies that exact byte dedup cannot (the image
-    analogue of SimHash text dedup).  Shape: per-batch hashing (map
-    only), ONE hash exchange of (ahash, doc_id), per-partition a<b pair
-    emission — the exact-dedup pattern; pixels never shuffle."""
-    ds = read_images(sf_dir, columns=["doc_id", "image"])
-
+def _ahash_dups_over(ds):
     def hash_batch(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         hs = [
-            f"{_ahash64(bmp_decode(d)):016x}" for d in t["image"].to_pylist()
+            f"{_ahash64(image_decode_rgb(d)):016x}"
+            for d in t["image"].to_pylist()
         ]
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
@@ -205,6 +212,84 @@ def media_ahash_dups(sf_dir: str):
         out,
         pa.schema(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("ahash", pa.string())]
+        ),
+    )
+
+
+def media_ahash_dups(sf_dir: str):
+    """Perceptual near-duplicate pairs by average-hash: images whose
+    8x8 luminance sketch is bit-identical — catches the mirror's planted
+    one-bit-perturbed copies that exact byte dedup cannot (the image
+    analogue of SimHash text dedup).  Shape: per-batch hashing (map
+    only), ONE hash exchange of (ahash, doc_id), per-partition a<b pair
+    emission — the exact-dedup pattern; pixels never shuffle."""
+    return _ahash_dups_over(read_images(sf_dir, columns=["doc_id", "image"]))
+
+
+def media_png_ahash_dups(sf_dir: str):
+    """The SAME perceptual-dedup pipeline over the real-PNG mirror —
+    catches its planted one-bit-perturbed copies through a real
+    zlib/filter decode path."""
+    from scrapy__ray.sources.media import read_png
+
+    return _ahash_dups_over(read_png(sf_dir, columns=["doc_id", "image"]))
+
+
+class _PngStats:
+    """Actor-pool stage: real-PNG decode (zlib inflate + all five spec
+    filters, CRC-verified) + per-image channel statistics.  a_mean_fix is
+    -1 for RGB images (no alpha channel) — pinned, oracle-mirrored."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from scrapy__ray.sources.media import png_decode
+
+        ids = t["doc_id"].to_pylist()
+        out = {
+            "width": [], "height": [], "channels": [],
+            "r_mean_fix": [], "g_mean_fix": [], "b_mean_fix": [],
+            "a_mean_fix": [],
+        }
+        for data in t["image"].to_pylist():
+            px = png_decode(data)
+            h, w, c = px.shape
+            n = h * w
+            sums = px.reshape(n, c).astype(np.int64).sum(axis=0)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            out["r_mean_fix"].append(int(sums[0]) * _MEAN_FIX // n)
+            out["g_mean_fix"].append(int(sums[1]) * _MEAN_FIX // n)
+            out["b_mean_fix"].append(int(sums[2]) * _MEAN_FIX // n)
+            out["a_mean_fix"].append(
+                int(sums[3]) * _MEAN_FIX // n if c == 4 else -1
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64())}
+            | {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+
+def media_png_stats(sf_dir: str):
+    """Decode every PNG (a REAL wire format: zlib IDAT, per-row filters,
+    chunk CRCs) and report (width, height, channels, int-fixed channel
+    means incl. alpha) per image.  Pure map_batches over the pruned
+    (doc_id, image) read — zero exchanges; the binary column never
+    leaves the task."""
+    from scrapy__ray.sources.media import read_png
+
+    ds = read_png(sf_dir, columns=["doc_id", "image"])
+    out = ds.map_batches(
+        _PngStats, concurrency=2, batch_size=128, batch_format="pyarrow"
+    )
+    return collect_arrow(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()), ("width", pa.int64()),
+                ("height", pa.int64()), ("channels", pa.int64()),
+                ("r_mean_fix", pa.int64()), ("g_mean_fix", pa.int64()),
+                ("b_mean_fix", pa.int64()), ("a_mean_fix", pa.int64()),
+            ]
         ),
     )
 
@@ -419,6 +504,9 @@ QUERIES = {
     "media_bmp_stats": (media_bmp_stats, None),
     "media_resize_embed": (media_resize_embed, None),
     "media_ahash_dups": (media_ahash_dups, None),
+    "media_png_stats": (media_png_stats, None),
+    "media_png_resize_embed": (media_png_resize_embed, None),
+    "media_png_ahash_dups": (media_png_ahash_dups, None),
     "media_wav_stats": (media_wav_stats, None),
     "media_wav_framesample": (media_wav_framesample, None),
     "media_video_framesample": (media_video_framesample, None),

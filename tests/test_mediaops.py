@@ -165,3 +165,104 @@ def test_video_shot_changes_recover_planted_cuts(ray_session):
         len(reported.get(d, set()) - planted[d]) for d in planted
     )
     assert fp == 0, fp
+
+
+# ------------------------------------------------------------------ PNG
+def test_png_codec_roundtrip_rgb_and_rgba():
+    """encode->decode identity for RGB and RGBA at sizes that exercise
+    every per-row filter (the encoder cycles row % 5), including 1-pixel
+    rows where left/up-left neighbors are all zero."""
+    from scrapy__ray.sources.media import png_decode, png_encode
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    for h, w, c in [(1, 1, 3), (5, 3, 3), (6, 6, 4), (17, 23, 3), (9, 2, 4)]:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        out = png_decode(png_encode(px))
+        assert out.shape == (h, w, c)
+        assert (out == px).all(), (h, w, c)
+
+
+def test_png_crc_is_verified():
+    import pytest
+
+    from scrapy__ray.sources.media import png_decode, png_encode
+
+    data = bytearray(png_encode(np.zeros((4, 4, 3), dtype=np.uint8)))
+    data[40] ^= 0xFF  # corrupt one IDAT byte without fixing the CRC
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(data))
+
+
+def test_png_multi_idat_chunks_decode():
+    """Per spec the IDAT zlib stream may be split across chunks — the
+    decoder must concatenate before inflating."""
+    import struct
+    import zlib
+
+    from scrapy__ray.sources.media import _png_chunk, png_decode, png_encode
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = png_encode(px)
+    # re-assemble: split the single IDAT payload into two chunks
+    sig, off = data[:8], 8
+    chunks = []
+    while off < len(data):
+        ln = struct.unpack_from(">I", data, off)[0]
+        chunks.append((data[off + 4 : off + 8], data[off + 8 : off + 8 + ln]))
+        off += 12 + ln
+    out = sig
+    for tag, payload in chunks:
+        if tag == b"IDAT":
+            mid = len(payload) // 2
+            out += _png_chunk(b"IDAT", payload[:mid])
+            out += _png_chunk(b"IDAT", payload[mid:])
+        else:
+            out += _png_chunk(tag, payload)
+    assert (png_decode(out) == px).all()
+
+
+def test_png_oracle_decoder_agrees_with_engine_decoder():
+    """Independent pure-Python scalar decoder (oracle_ext, spec §9
+    arithmetic) vs the numpy row-vector decoder — two implementations,
+    one format, bit equality on RGB and RGBA."""
+    from scrapy__ray.oracle_ext import _odecode_png
+    from scrapy__ray.sources.media import png_decode, png_encode
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    for c in (3, 4):
+        px = rng.integers(0, 256, size=(11, 7, c), dtype=np.uint8)
+        data = png_encode(px)
+        eng = png_decode(data)
+        orc = np.array(_odecode_png(data), dtype=np.uint8)
+        assert (eng == orc).all(), c
+
+
+def test_png_alpha_dropped_by_rgb_dispatch():
+    from scrapy__ray.sources.media import image_decode_rgb, png_encode
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    px = rng.integers(0, 256, size=(6, 6, 4), dtype=np.uint8)
+    rgb = image_decode_rgb(png_encode(px))
+    assert rgb.shape == (6, 6, 3)
+    assert (rgb == px[:, :, :3]).all()
+
+
+def test_png_ahash_dups_recover_planted_pairs(ray_session):
+    """Same planted-near-dup gate as the BMP family, through the real
+    zlib/filter decode path."""
+    import pyarrow.parquet as pq
+
+    from scrapy__ray.pipelines.mediaops import media_png_ahash_dups
+    from scrapy__ray.sources.media import png_mirror
+
+    got = media_png_ahash_dups(SF_DIR).to_pandas()
+    assert (got["doc_a"] < got["doc_b"]).all()
+    ids = set(
+        pq.read_table(png_mirror(SF_DIR), columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    planted = {(d - 1, d) for d in ids if d % 10 == 9 and (d - 1) in ids}
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    assert planted, "fixture must plant pairs"
+    recovered = len(planted & found) / len(planted)
+    assert recovered >= 0.8, (recovered, len(planted))
