@@ -199,16 +199,33 @@ class CrawlEngine:
         t = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet"))
         S = self.cfg.num_shards
         rows_by_shard: dict[int, list[tuple]] = {}
-        for url, order in zip(t["url"].to_pylist(), t["seed_order"].to_pylist()):
+        n_seeds = t.num_rows
+        # optional per-seed Request.meta analogues: a seeds.parquet may
+        # carry cookiejar (int) / meta_proxy (string) columns — the
+        # multi-identity crawl entry point; descendants inherit them
+        jars = (
+            t["cookiejar"].to_pylist()
+            if "cookiejar" in t.schema.names
+            else [0] * n_seeds
+        )
+        mproxies = (
+            t["meta_proxy"].to_pylist()
+            if "meta_proxy" in t.schema.names
+            else [""] * n_seeds
+        )
+        for url, order, jar, mp in zip(
+            t["url"].to_pylist(), t["seed_order"].to_pylist(), jars, mproxies
+        ):
             host = host_of(url)
             hh = fxgen.host_hash(host)
             row = (
                 url, host, hh, fingerprint_canonical(url), 0, 0, -1, "",
-                int(order), 0, 0, True,
+                int(order), 0, 0, True, int(jar or 0), mp or "",
             )
             rows_by_shard.setdefault(hh % S, []).append(row)
 
         sm_path = os.path.join(self.corpus_dir, "sitemaps.parquet")
+        sm_idx: dict[str, int] = {}  # per-sitemap-host running link_idx
         if self.cfg.sitemap_seeds and os.path.exists(sm_path):
             from scrapy__ray.functions.linkextract import parse_sitemap_urls
 
@@ -216,14 +233,46 @@ class CrawlEngine:
             for sm_host, xml in zip(
                 sm["host"].to_pylist(), sm["sitemap_xml"].to_pylist()
             ):
-                for l, url in enumerate(parse_sitemap_urls(xml)):
+                for url in parse_sitemap_urls(xml):
                     host = host_of(url)
                     hh = fxgen.host_hash(host)
+                    l = sm_idx.get(sm_host, 0)
+                    sm_idx[sm_host] = l + 1
                     row = (
                         url, host, hh, fingerprint_canonical(url), 0, 0, -1,
-                        f"sitemap:{sm_host}", l, 0, 0, False,
+                        f"sitemap:{sm_host}", l, 0, 0, False, 0, "",
                     )
                     rows_by_shard.setdefault(hh % S, []).append(row)
+        # full SitemapSpider traversal (P6 completeness): robots.txt
+        # ``Sitemap:`` directives -> sitemap-index recursion -> urlset
+        # pages, with .xml.gz bodies inflated; sitemap_docs.parquet holds
+        # (url, body) for every sitemap document of the corpus
+        smd_path = os.path.join(self.corpus_dir, "sitemap_docs.parquet")
+        if self.cfg.sitemap_seeds and os.path.exists(smd_path):
+            from scrapy__ray.functions.linkextract import walk_sitemaps
+            from scrapy__ray.functions.url import canonicalize_url
+
+            smd = pq.read_table(smd_path)
+            docs = {
+                canonicalize_url(u): b
+                for u, b in zip(
+                    smd["url"].to_pylist(), smd["body"].to_pylist()
+                )
+            }
+            rt = pq.read_table(os.path.join(self.corpus_dir, "robots.parquet"))
+            robots_map = dict(
+                zip(rt["host"].to_pylist(), rt["robots_txt"].to_pylist())
+            )
+            for sm_host, url in walk_sitemaps(robots_map, docs):
+                host = host_of(url)
+                hh = fxgen.host_hash(host)
+                l = sm_idx.get(sm_host, 0)
+                sm_idx[sm_host] = l + 1
+                row = (
+                    url, host, hh, fingerprint_canonical(url), 0, 0, -1,
+                    f"sitemap:{sm_host}", l, 0, 0, False, 0, "",
+                )
+                rows_by_shard.setdefault(hh % S, []).append(row)
         refs = []
         for sh, rows in rows_by_shard.items():
             cols = list(zip(*rows))

@@ -1,15 +1,22 @@
 """HTML encoding resolution (SURVEY.md §2.6 P2).
 
 Mirrors the precedence of ``scrapy/http/response/text.py::TextResponse.encoding``
-(backed by the reference's vendored ``w3lib.encoding``), minus the chardet
-guessing step (no chardet dependency in this environment — pinned in
-FIXTURES.md, which only generates cases 1-4):
+(backed by the reference's vendored ``w3lib.encoding``):
 
   1. charset forced by the caller (e.g. a Content-Type header)
   2. BOM sniffing (utf-8-sig, utf-16/32 LE/BE)
   3. ``<meta charset=...>`` / ``<meta http-equiv=content-type ...>`` within
      the first 4096 bytes
-  4. utf-8 fallback
+  4. strict-UTF-8 validation: a body that decodes strictly is UTF-8
+  5. byte-distribution guess for undeclared legacy pages — the chardet
+     slot of ``w3lib.encoding::html_to_unicode``, filled with a stdlib
+     heuristic instead of the (absent) chardet dependency: among bytes
+     >= 0x80, the MEAN RUN LENGTH discriminates whole-script text
+     (Cyrillic cp1251 words are unbroken high-byte runs) from
+     accent-sparse Western text (isolated high bytes inside ASCII
+     words) — the same language-density prior statistical detectors
+     lean on, reduced to its decisive feature
+  6. utf-8 fallback (pure-ASCII and pathological bodies)
 
 Decoding always uses errors="replace", like TextResponse.text.
 """
@@ -45,6 +52,41 @@ def _normalize(name: str) -> str | None:
         return None
 
 
+#: precedence-5 sample bound: guessing reads at most this many body bytes
+_GUESS_BYTES = 16384
+
+#: mean high-byte run length at/above which the body reads as whole-script
+#: (every letter non-ASCII -> cp1251 Cyrillic); below, accent-sparse
+#: Western (cp1252 — the HTML5 latin-1 superset, w3lib's Western default)
+_RUN_LEN_CUTOFF = 2.5
+
+
+def guess_charset(body: bytes) -> str:
+    """Precedence-5 heuristic (see module docstring).  Deterministic and
+    cheap: strict-UTF-8 first, then one pass of run-length statistics
+    over the first _GUESS_BYTES bytes."""
+    try:
+        body.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    sample = body[:_GUESS_BYTES]
+    runs: list[int] = []
+    cur = 0
+    for b in sample:
+        if b >= 0x80:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    if not runs:
+        return "utf-8"  # invalid UTF-8 only past the sample: keep fallback
+    mean_run = sum(runs) / len(runs)
+    return "cp1251" if mean_run >= _RUN_LEN_CUTOFF else "cp1252"
+
+
 def resolve_encoding(html: bytes, declared: str | None = None) -> tuple[str, bytes]:
     """Return (codec_name, body_without_bom) per the precedence above."""
     if declared:
@@ -59,7 +101,7 @@ def resolve_encoding(html: bytes, declared: str | None = None) -> tuple[str, byt
         enc = _normalize(m.group(1).decode("ascii", "replace"))
         if enc:
             return enc, html
-    return "utf-8", html
+    return guess_charset(html), html
 
 
 def decode_html(html: bytes, declared: str | None = None) -> str:

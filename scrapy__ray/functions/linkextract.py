@@ -137,6 +137,60 @@ def parse_sitemap_urls(xml: str) -> list[str]:
     return [canonicalize_url(u) for u in _SITEMAP_LOC_RE.findall(xml)]
 
 
+def robots_sitemap_urls(robots_txt: str) -> list[str]:
+    """``Sitemap:`` directive urls from a robots.txt, in file order
+    (``scrapy/utils/sitemap.py::sitemap_urls_from_robots``: the key is
+    case-insensitive, the value runs to end of line)."""
+    out = []
+    for line in robots_txt.splitlines():
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "sitemap" and v.strip():
+            out.append(v.strip())
+    return out
+
+
+def sitemap_entries(body: bytes) -> tuple[bool, list[str]]:
+    """One sitemap document -> (is_index, ordered canonical locs).
+
+    Gzip bodies (``.xml.gz``, the standard large-sitemap transport) are
+    inflated first by magic-byte check (``scrapy/utils/gz.py::gunzip``);
+    ``<sitemapindex>`` documents return their CHILD SITEMAP urls (the
+    caller recurses, ``SitemapSpider._parse_sitemap``), ``<urlset>``
+    documents return page urls."""
+    import gzip as _gzip
+
+    if body[:2] == b"\x1f\x8b":
+        body = _gzip.decompress(body)
+    text = body.decode("utf-8", "replace")
+    is_index = "<sitemapindex" in text
+    return is_index, [canonicalize_url(u) for u in _SITEMAP_LOC_RE.findall(text)]
+
+
+def walk_sitemaps(
+    robots_txt_by_host: dict[str, str], docs: dict[str, bytes]
+) -> list[tuple[str, str]]:
+    """Full SitemapSpider traversal: for each host (dict order), start from
+    its robots.txt ``Sitemap:`` directives and depth-first recurse through
+    sitemap-index documents (cycle-guarded, unknown docs skipped), yielding
+    ordered (host, page_url) pairs.  ``docs`` maps canonical sitemap url ->
+    raw body bytes (plain XML or gzip)."""
+    out: list[tuple[str, str]] = []
+    for host, txt in robots_txt_by_host.items():
+        seen_sm: set[str] = set()
+        stack = [canonicalize_url(u) for u in robots_sitemap_urls(txt)][::-1]
+        while stack:
+            sm = stack.pop()
+            if sm in seen_sm or sm not in docs:
+                continue
+            seen_sm.add(sm)
+            is_index, locs = sitemap_entries(docs[sm])
+            if is_index:
+                stack.extend(locs[::-1])  # DFS, preserving document order
+            else:
+                out.extend((host, u) for u in locs)
+    return out
+
+
 def resolve_redirect(page_url: str, location: str) -> str:
     """Location header / meta-refresh target -> canonical absolute url.
     Plain urljoin against the page url (Scrapy's Redirect/MetaRefresh

@@ -70,6 +70,11 @@ class Candidate:
     retry_count: int = 0
     redirect_count: int = 0
     skip_dedup: bool = False
+    # per-request meta analogues (inherited parent -> child, mirroring
+    # the engine's frontier columns): jar id 0 = default jar; meta_proxy
+    # "" = env-convention proxy
+    cookiejar: int = 0
+    meta_proxy: str = ""
 
     def order_key(self):
         return (-self.priority, self.disc_round, self.parent_url, self.link_idx)
@@ -117,7 +122,25 @@ def load_corpus(corpus_dir: str):
         zip(robots["host"].to_pylist(), robots["robots_txt"].to_pylist())
     )
     seeds_t = pq.read_table(f"{corpus_dir}/seeds.parquet")
-    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["seed_order"].to_pylist()))
+    n_seeds = seeds_t.num_rows
+    seed_jars = (
+        seeds_t["cookiejar"].to_pylist()
+        if "cookiejar" in seeds_t.schema.names
+        else [0] * n_seeds
+    )
+    seed_proxies = (
+        seeds_t["meta_proxy"].to_pylist()
+        if "meta_proxy" in seeds_t.schema.names
+        else [""] * n_seeds
+    )
+    seeds = list(
+        zip(
+            seeds_t["url"].to_pylist(),
+            seeds_t["seed_order"].to_pylist(),
+            seed_jars,
+            seed_proxies,
+        )
+    )
     sitemaps = []
     sm_path = os.path.join(corpus_dir, "sitemaps.parquet")
     if os.path.exists(sm_path):
@@ -125,7 +148,17 @@ def load_corpus(corpus_dir: str):
         sitemaps = list(
             zip(sm["host"].to_pylist(), sm["sitemap_xml"].to_pylist())
         )
-    return page_html, n_pages, robots_txt, seeds, sitemaps
+    sitemap_docs: dict[str, bytes] = {}
+    smd_path = os.path.join(corpus_dir, "sitemap_docs.parquet")
+    if os.path.exists(smd_path):
+        from scrapy__ray.functions.url import canonicalize_url
+
+        smd = pq.read_table(smd_path)
+        sitemap_docs = {
+            canonicalize_url(u): b
+            for u, b in zip(smd["url"].to_pylist(), smd["body"].to_pylist())
+        }
+    return page_html, n_pages, robots_txt, seeds, sitemaps, sitemap_docs
 
 
 class OracleCrawl:
@@ -137,7 +170,9 @@ class OracleCrawl:
             robots_txt,
             self.seeds,
             self.sitemaps,
+            self.sitemap_docs,
         ) = load_corpus(corpus_dir)
+        self._robots_txt = robots_txt
         self._robots: dict[str, urllib.robotparser.RobotFileParser] = {}
         for host, txt in robots_txt.items():
             rp = urllib.robotparser.RobotFileParser()
@@ -154,8 +189,9 @@ class OracleCrawl:
         cfg = self.cfg
         res = OracleResult()
         host_delay: dict[str, float] = {}  # AutoThrottle per-host state
-        jar: dict[str, dict[str, str]] = {}  # M9 cookie jar: host -> cookies
-        cookie_acc: dict[str, dict[str, str]] = {}  # observed this round
+        # M9 cookie jar: (jar id, host) -> cookies (meta['cookiejar'] keys)
+        jar: dict[tuple, dict[str, str]] = {}
+        cookie_acc: dict[tuple, dict[str, str]] = {}  # observed this round
 
         def delay_of(host: str) -> float:
             if cfg.autothrottle_enabled:
@@ -165,14 +201,34 @@ class OracleCrawl:
             Candidate(
                 url=u, host=host_of(u), priority=0, depth=0, disc_round=-1,
                 parent_url="", link_idx=int(order), skip_dedup=True,
+                cookiejar=int(jar or 0), meta_proxy=mp or "",
             )
-            for u, order in self.seeds
+            for u, order, jar, mp in self.seeds
         ]
         if cfg.sitemap_seeds:
-            from scrapy__ray.functions.linkextract import parse_sitemap_urls
+            from scrapy__ray.functions.linkextract import (
+                parse_sitemap_urls,
+                walk_sitemaps,
+            )
 
+            sm_idx: dict[str, int] = {}
             for sm_host, xml in self.sitemaps:
-                for l, u in enumerate(parse_sitemap_urls(xml)):
+                for u in parse_sitemap_urls(xml):
+                    l = sm_idx.get(sm_host, 0)
+                    sm_idx[sm_host] = l + 1
+                    frontier.append(
+                        Candidate(
+                            url=u, host=host_of(u), priority=0, depth=0,
+                            disc_round=-1, parent_url=f"sitemap:{sm_host}",
+                            link_idx=l, skip_dedup=False,
+                        )
+                    )
+            if self.sitemap_docs:
+                for sm_host, u in walk_sitemaps(
+                    self._robots_txt, self.sitemap_docs
+                ):
+                    l = sm_idx.get(sm_host, 0)
+                    sm_idx[sm_host] = l + 1
                     frontier.append(
                         Candidate(
                             url=u, host=host_of(u), priority=0, depth=0,
@@ -196,8 +252,8 @@ class OracleCrawl:
             # cookie-jar merge: round-(k-1) Set-Cookies apply from round k
             # (BSP-barrier timing; max-value rule — config.py COOKIES)
             if cookie_acc:
-                for host, kv in cookie_acc.items():
-                    j = jar.setdefault(host, {})
+                for jar_key, kv in cookie_acc.items():
+                    j = jar.setdefault(jar_key, {})
                     for k, v in kv.items():
                         if k not in j or v > j[k]:
                             j[k] = v
@@ -260,17 +316,21 @@ class OracleCrawl:
                 elif len(self.page_html[url]) > cfg.download_maxsize:
                     status = faults.STATUS_TOOBIG
                 res.fetch_log.append((url, rnd, c.host, rank, status, c.depth))
-                if cfg.http_proxy:
-                    res.proxies[url] = _oracle_proxy(
+                if cfg.http_proxy or c.meta_proxy:
+                    # meta['proxy'] wins outright (HttpProxyMiddleware
+                    # skips when 'proxy' is already in meta — no_proxy is
+                    # not consulted for it)
+                    res.proxies[url] = c.meta_proxy or _oracle_proxy(
                         c.host, cfg.http_proxy, cfg.no_proxy
                     )
                 if cfg.cookies_enabled:
+                    jk = (c.cookiejar, c.host)
                     res.cookies_sent[(url, rnd)] = "; ".join(
-                        f"{k}={v}" for k, v in sorted(jar.get(c.host, {}).items())
+                        f"{k}={v}" for k, v in sorted(jar.get(jk, {}).items())
                     )
                     observed = faults.set_cookies(url, status)
                     if observed:
-                        j = cookie_acc.setdefault(c.host, {})
+                        j = cookie_acc.setdefault(jk, {})
                         for k, v in observed.items():
                             if k not in j or v > j[k]:
                                 j[k] = v
@@ -299,6 +359,7 @@ class OracleCrawl:
                                 priority=c.priority + cfg.redirect_priority_adjust,
                                 depth=c.depth, disc_round=rnd, parent_url=url,
                                 link_idx=-1, redirect_count=c.redirect_count + 1,
+                                cookiejar=c.cookiejar, meta_proxy=c.meta_proxy,
                             )
                         )
                         m["redirects"] += 1
@@ -325,6 +386,7 @@ class OracleCrawl:
                                 priority=c.priority + cfg.redirect_priority_adjust,
                                 depth=c.depth, disc_round=rnd, parent_url=url,
                                 link_idx=-1, redirect_count=c.redirect_count + 1,
+                                cookiejar=c.cookiejar, meta_proxy=c.meta_proxy,
                             )
                         )
                         m["redirects"] += 1
@@ -346,6 +408,7 @@ class OracleCrawl:
                             priority=c.priority, depth=c.depth,
                             disc_round=rnd, parent_url=url, link_idx=-1,
                             redirect_count=c.redirect_count,
+                            cookiejar=c.cookiejar, meta_proxy=c.meta_proxy,
                         )
                     )
                     m["redirects"] += 1
@@ -373,6 +436,7 @@ class OracleCrawl:
                             priority=-child_depth * cfg.depth_priority,
                             depth=child_depth, disc_round=rnd,
                             parent_url=url, link_idx=l,
+                            cookiejar=c.cookiejar, meta_proxy=c.meta_proxy,
                         )
                     )
 

@@ -1136,11 +1136,12 @@ def emb_knn_graph(sf_dir: str, k: int = _KNN_K, force_exact: bool = False):
         out_refs.append(pair_task.remote(block_refs[i], None, k))
         for j in range(i + 1, len(block_refs)):
             out_refs.append(pair_task.remote(block_refs[i], block_refs[j], k))
-    cand_schema = pa.schema(
-        [("vec_id", pa.int64()), ("nbr_id", pa.int64()), ("cos", pa.float64())]
-    )
-    tbls = [t.cast(cand_schema) for t in ray.get(out_refs) if t.num_rows]
-    cands = rd.from_arrow(pa.concat_tables(tbls))
+    # candidate tables stay IN the object store: from_arrow_refs wraps the
+    # task outputs as Dataset blocks without a driver ray.get + re-put
+    # round trip (round-4 review item 5; the volume is bounded at
+    # O(N·blocks·k) rows by the EXACT_COS_MAX_ROWS guard above, but the
+    # driver never needs to hold it)
+    cands = rd.from_arrow_refs(out_refs)
 
     def topk_merge(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

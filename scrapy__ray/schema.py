@@ -35,6 +35,14 @@ FRONTIER_SCHEMA = pa.schema(
         ("retry_count", pa.int32()),
         ("redirect_count", pa.int32()),
         ("skip_dedup", pa.bool_()),
+        # Per-request Request.meta analogues (M9 meta['cookiejar'], M10
+        # meta['proxy'] — scrapy/downloadermiddlewares/{cookies,httpproxy}.py
+        # meta contracts): explicit typed columns, inherited parent->child
+        # (the row-model equivalent of a spider threading meta through its
+        # Requests).  cookiejar 0 = the default jar; meta_proxy "" = fall
+        # back to the env-convention proxy.
+        ("cookiejar", pa.int32()),
+        ("meta_proxy", pa.string()),
     ]
 )
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
@@ -72,7 +80,8 @@ RESULTS_SCHEMA = pa.schema(
         ("cookies_sent", pa.string()),
         ("extracted_text", pa.string()),
         ("n_links", pa.int32()),
-        ("proxy", pa.string()),  # M10: effective proxy (meta['proxy'] analogue)
+        ("proxy", pa.string()),  # M10: effective proxy (meta_proxy wins)
+        ("cookiejar", pa.int32()),  # M9: which jar stamped cookies_sent
     ]
 )
 

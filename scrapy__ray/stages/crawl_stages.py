@@ -485,7 +485,8 @@ def extract_batch(batch: pa.Table, *, ajax_detect: bool = False) -> pa.Table:
 
 # ------------------------------------------------------------ expand + push
 def _candidate(
-    url, priority, depth, disc_round, parent, lidx, retry, redir, skip, _hc=None
+    url, priority, depth, disc_round, parent, lidx, retry, redir, skip,
+    jar=0, mproxy="", _hc=None,
 ):
     ident = _hc.get(url) if _hc is not None else None
     if ident is None:
@@ -496,7 +497,7 @@ def _candidate(
     host, hh, fp = ident
     return (
         url, host, hh, fp, priority, depth,
-        disc_round, parent, lidx, retry, redir, skip,
+        disc_round, parent, lidx, retry, redir, skip, jar, mproxy,
     )
 
 
@@ -544,7 +545,11 @@ def expand_push_batch(
         if cfg.cookies_enabled:
             observed = faults.set_cookies(url, st)
             if observed:
-                jar = cookie_acc.setdefault(cols["host"][i], {})
+                # jar identity = (cookiejar id, host): meta['cookiejar']
+                # separation — two identities on one host never mix jars
+                jar = cookie_acc.setdefault(
+                    (cols["cookiejar"][i], cols["host"][i]), {}
+                )
                 for k, v in observed.items():
                     if k not in jar or v > jar[k]:  # max-value merge rule
                         jar[k] = v
@@ -560,7 +565,7 @@ def expand_push_batch(
                         cols["depth"][i], cols["disc_round"][i],
                         cols["parent_url"][i], cols["link_idx"][i],
                         cols["retry_count"][i] + 1, cols["redirect_count"][i],
-                        True,
+                        True, cols["cookiejar"][i], cols["meta_proxy"][i],
                     )
                 )
             else:
@@ -575,6 +580,7 @@ def expand_push_batch(
                         cols["priority"][i] + cfg.redirect_priority_adjust,
                         cols["depth"][i], rnd, url, -1, 0,
                         cols["redirect_count"][i] + 1, False,
+                        cols["cookiejar"][i], cols["meta_proxy"][i],
                     )
                 )
             else:
@@ -597,7 +603,9 @@ def expand_push_batch(
                         cols["meta_refresh_url"][i],
                         cols["priority"][i] + cfg.redirect_priority_adjust,
                         cols["depth"][i], rnd, url, -1, 0,
-                        cols["redirect_count"][i] + 1, False, _hc=host_cache,
+                        cols["redirect_count"][i] + 1, False,
+                        cols["cookiejar"][i], cols["meta_proxy"][i],
+                        _hc=host_cache,
                     )
                 )
             else:
@@ -619,7 +627,9 @@ def expand_push_batch(
                 _candidate(
                     escaped_fragment_url(url), cols["priority"][i],
                     cols["depth"][i], rnd, url, -1, 0,
-                    cols["redirect_count"][i], False, _hc=host_cache,
+                    cols["redirect_count"][i], False,
+                    cols["cookiejar"][i], cols["meta_proxy"][i],
+                    _hc=host_cache,
                 )
             )
         else:
@@ -641,7 +651,9 @@ def expand_push_batch(
                 cands.append(
                     _candidate(
                         link, -child_depth * cfg.depth_priority, child_depth,
-                        rnd, url, l, 0, 0, False, _hc=host_cache,
+                        rnd, url, l, 0, 0, False,
+                        cols["cookiejar"][i], cols["meta_proxy"][i],
+                        _hc=host_cache,
                     )
                 )
 
@@ -746,11 +758,16 @@ def expand_push_batch(
         "depth", "priority", "parent_url", "retry_count", "redirect_count",
         "latency_ms", "cookies",
     ]
-    # M10: effective proxy per request row (pure function of host + cfg;
-    # host-memoized — '' when unset/bypassed)
+    # M10: effective proxy per request row — an explicit meta_proxy wins
+    # outright (HttpProxyMiddleware skips when 'proxy' is already in meta,
+    # so no_proxy is NOT consulted for it); otherwise the env convention
+    # (pure function of host + cfg, host-memoized; '' = unset/bypassed)
     proxy_memo: dict[str, str] = {}
     proxies = []
-    for h, u in zip(cols["host"], cols["url"]):
+    for h, u, mp in zip(cols["host"], cols["url"], cols["meta_proxy"]):
+        if mp:
+            proxies.append(mp)
+            continue
         p = proxy_memo.get(h)
         if p is None:
             p = effective_proxy(u, cfg.http_proxy, cfg.no_proxy)
@@ -761,6 +778,9 @@ def expand_push_batch(
         .rename_columns(keep[:-1] + ["cookies_sent", "extracted_text"])
         .append_column("n_links", pa.array(n_links_col, pa.int32()))
         .append_column("proxy", pa.array(proxies, pa.string()))
+        .append_column(
+            "cookiejar", pa.array(cols["cookiejar"], pa.int32())
+        )
     )
     if mr_rows:
         texts = cols["extracted_text"]

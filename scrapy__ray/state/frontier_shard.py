@@ -125,11 +125,13 @@ class FrontierShard:
         # latency accumulator host -> [sum_us, n] (ints: order-independent)
         self._host_delay: dict[str, float] = {}
         self._lat_acc: dict[str, list[int]] = {}
-        # M9 cookie jar: host -> {name: value}; _cookie_acc stages cookies
-        # observed during the running round, merged at the next resolve
-        # (max-value rule — see config.py COOKIES semantics)
-        self._jar: dict[str, dict[str, str]] = {}
-        self._cookie_acc: dict[str, dict[str, str]] = {}
+        # M9 cookie jar: (cookiejar id, host) -> {name: value}; _cookie_acc
+        # stages cookies observed during the running round, merged at the
+        # next resolve (max-value rule — see config.py COOKIES semantics).
+        # The jar-id key dimension is the meta['cookiejar'] analogue:
+        # id 0 is the default jar; distinct ids on one host never mix.
+        self._jar: dict[tuple[int, str], dict[str, str]] = {}
+        self._cookie_acc: dict[tuple[int, str], dict[str, str]] = {}
         self._robots_txt = robots_txt or {}
         self._robots: dict[str, urllib.robotparser.RobotFileParser | None] = {}
         self.metrics: dict[int, dict] = {}
@@ -160,8 +162,8 @@ class FrontierShard:
                 acc[0] += s
                 acc[1] += n
         if cookies:
-            for host, kv in cookies.items():
-                jar = self._cookie_acc.setdefault(host, {})
+            for jar_key, kv in cookies.items():  # jar_key = (jar id, host)
+                jar = self._cookie_acc.setdefault(jar_key, {})
                 for k, v in kv.items():
                     if k not in jar or v > jar[k]:  # max-value merge rule
                         jar[k] = v
@@ -337,8 +339,8 @@ class FrontierShard:
         # Same BSP-barrier timing as before — both merges depend only on
         # round-(k-1) accumulators, nothing earlier in resolve touched them.
         if self._cookie_acc:
-            for host, kv in self._cookie_acc.items():
-                jar = self._jar.setdefault(host, {})
+            for jar_key, kv in self._cookie_acc.items():
+                jar = self._jar.setdefault(jar_key, {})
                 for k, v in kv.items():
                     if k not in jar or v > jar[k]:
                         jar[k] = v
@@ -471,10 +473,16 @@ class FrontierShard:
 
         if cfg.cookies_enabled and sched_tbl.num_rows:
             jar_hdr = {
-                h: "; ".join(f"{k}={v}" for k, v in sorted(kv.items()))
-                for h, kv in self._jar.items()
+                jk: "; ".join(f"{k}={v}" for k, v in sorted(kv.items()))
+                for jk, kv in self._jar.items()
             }
-            cookie_col = [jar_hdr.get(h, "") for h in sched_tbl["host"].to_pylist()]
+            cookie_col = [
+                jar_hdr.get((j, h), "")
+                for j, h in zip(
+                    sched_tbl["cookiejar"].to_pylist(),
+                    sched_tbl["host"].to_pylist(),
+                )
+            ]
         else:
             cookie_col = [""] * sched_tbl.num_rows
         table = (

@@ -20,7 +20,9 @@ def _frontier_table(host: str, n: int, start: int = 0) -> pa.Table:
     for i in range(start, start + n):
         url = f"http://{host}/p/{i}"
         fp = hashlib.sha1(url.encode()).digest()
-        rows.append((url, host, 1, fp, 0, 1, 0, "http://parent", i, 0, 0, False))
+        rows.append(
+            (url, host, 1, fp, 0, 1, 0, "http://parent", i, 0, 0, False, 0, "")
+        )
     cols = list(zip(*rows))
     return pa.Table.from_arrays(
         [pa.array(list(c), type=f.type) for c, f in zip(cols, FRONTIER_SCHEMA)],

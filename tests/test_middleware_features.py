@@ -337,3 +337,273 @@ def test_pending_spill_equivalence(ray_session):
         if st == 200 and x is not None
     }
     assert eng_texts == o.texts
+
+
+# --------------------------------------- per-request meta (M9/M10 analogues)
+_JA, _JB = "ja0.example", "jc0.example"  # every page 0-5 is status-200
+
+
+@pytest.fixture(scope="module")
+def meta_corpus(tmp_path_factory):
+    """Two hosts forcing jar separation to BIND: seed jar 0 crawls _JA's
+    own chain while seed jar 7 (on _JB, with a meta_proxy override)
+    cross-links into novel _JA pages — so round 1 fetches _JA under BOTH
+    jars, one with the sid cookie observed in round 0, one with an empty
+    jar.  A host-level jar could never produce two different Cookie
+    headers on one host in one round."""
+    out = str(tmp_path_factory.mktemp("meta-corpus"))
+    pages = {}  # url -> html bytes
+
+    def page(host, j, links):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (
+            f"<html><body><p>pg {host} {j}</p>{body}</body></html>".encode()
+        )
+
+    links_a = {0: ["/p/1", "/p/2"], 1: [], 2: [], 3: [], 4: [], 5: []}
+    for j, ls in links_a.items():
+        pages[faults.page_url(_JA, j)] = page(_JA, j, ls)
+    pages[faults.page_url(_JB, 0)] = page(
+        _JB, 0, [faults.page_url(_JA, 3), faults.page_url(_JA, 4)]
+    )
+
+    os.makedirs(os.path.join(out, "pages"))
+    urls = sorted(pages)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([fxgen.EPOCH] * len(urls), pa.timestamp("us")),
+                "html": pa.array([pages[u] for u in urls], pa.binary()),
+                "text": pa.array(
+                    [extract_text(pages[u]) for u in urls], pa.string()
+                ),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            },
+            schema=fxgen.PAGES_SCHEMA,
+        ),
+        os.path.join(out, "pages", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(
+                    [faults.page_url(_JA, 0), faults.page_url(_JB, 0)],
+                    pa.string(),
+                ),
+                "seed_order": pa.array([0, 1], pa.int32()),
+                "cookiejar": pa.array([0, 7], pa.int32()),
+                "meta_proxy": pa.array(
+                    ["", "http://tunnel.example:9999"], pa.string()
+                ),
+            }
+        ),
+        os.path.join(out, "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([_JA, _JB], pa.string()),
+                "robots_txt": pa.array(
+                    ["User-agent: *\nAllow: /\n"] * 2, pa.string()
+                ),
+            }
+        ),
+        os.path.join(out, "robots.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([_JA, _JB], pa.string()),
+                "host_index": pa.array([0, 1], pa.int32()),
+                "n_pages": pa.array([6, 1], pa.int32()),
+                "host_hash": pa.array(
+                    [fxgen.host_hash(_JA), fxgen.host_hash(_JB)], pa.uint64()
+                ),
+            }
+        ),
+        os.path.join(out, "hosts.parquet"),
+    )
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"n_parts": 1}, f)
+    return out
+
+
+def test_per_request_meta_cookiejar_and_proxy_equivalence(ray_session, meta_corpus):
+    """M9 meta['cookiejar'] + M10 meta['proxy'] analogues: per-seed jar ids
+    and proxy overrides ride the frontier as columns, inherit
+    parent->child, and the engine's cookies_sent / proxy / cookiejar
+    outputs equal the independently-written oracle's — with jar
+    separation actually exercised (same host, same round, two different
+    Cookie headers under two jars)."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    cfg = CrawlConfig(allowed_domains=("example",), num_shards=2)
+    crawl(meta_corpus, "/tmp/crawl_out/meta-eq", cfg=cfg)
+    o = run_oracle(meta_corpus, cfg)
+
+    t = pq.read_table(
+        "/tmp/crawl_out/meta-eq/results",
+        columns=["url", "round", "host", "status", "cookies_sent", "proxy",
+                 "cookiejar"],
+    )
+    engine = {
+        (u, r): c
+        for u, r, c in zip(
+            t["url"].to_pylist(), t["round"].to_pylist(),
+            t["cookies_sent"].to_pylist(),
+        )
+    }
+    assert engine == o.cookies_sent
+
+    # proxy: the jar-7 subtree carries the explicit override (including
+    # its cross-host fetches on _JA), jar-0 rows stay direct
+    proxy_of = dict(zip(t["url"].to_pylist(), t["proxy"].to_pylist()))
+    jar_of = dict(zip(t["url"].to_pylist(), t["cookiejar"].to_pylist()))
+    got = {u: p for u, p in proxy_of.items() if p}
+    assert got == o.proxies
+    for u, j in jar_of.items():
+        assert proxy_of[u] == ("http://tunnel.example:9999" if j == 7 else ""), u
+    assert sorted(set(jar_of.values())) == [0, 7]
+
+    # jar separation binds: _JA is fetched in one round under both jars
+    # with DIFFERENT Cookie headers (sid vs empty)
+    mixed = {}
+    for u, r, h, st, c in zip(
+        t["url"].to_pylist(), t["round"].to_pylist(), t["host"].to_pylist(),
+        t["status"].to_pylist(), t["cookies_sent"].to_pylist(),
+    ):
+        if st == 200 and h == _JA:
+            mixed.setdefault(r, set()).add(c)
+    assert any(len(v) > 1 for v in mixed.values()), mixed
+
+
+# --------------------------------------------- P6: sitemap-index recursion
+_SM_HOST = "ja0.example"  # pages 0-5 all status-200 (shared probe result)
+
+
+@pytest.fixture(scope="module")
+def sitemap_index_corpus(tmp_path_factory):
+    """A corpus whose robots.txt carries a ``Sitemap:`` directive pointing
+    at a GZIP sitemap-INDEX document, which recurses into one gzip and one
+    plain child urlset — the full scrapy/utils/sitemap.py traversal
+    surface (robots directive, .xml.gz inflate, index recursion)."""
+    import gzip as _gzip
+
+    out = str(tmp_path_factory.mktemp("smx-corpus"))
+    urls = [faults.page_url(_SM_HOST, j) for j in range(6)]
+    # seed page links NOWHERE: every page beyond p/0 is reachable ONLY
+    # through the sitemap traversal
+    htmls = [
+        f"<html><body><p>page {j}</p></body></html>".encode() for j in range(6)
+    ]
+    os.makedirs(os.path.join(out, "pages"))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([fxgen.EPOCH] * 6, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array([extract_text(h) for h in htmls], pa.string()),
+                "lang": pa.array(["en"] * 6, pa.string()),
+            },
+            schema=fxgen.PAGES_SCHEMA,
+        ),
+        os.path.join(out, "pages", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": pa.array([urls[0]], pa.string()),
+                  "seed_order": pa.array([0], pa.int32())}),
+        os.path.join(out, "seeds.parquet"),
+    )
+    base = f"http://{_SM_HOST}"
+    robots = (
+        "User-agent: *\nAllow: /\n"
+        f"Sitemap: {base}/sitemap-index.xml.gz\n"
+    )
+    pq.write_table(
+        pa.table({"host": pa.array([_SM_HOST], pa.string()),
+                  "robots_txt": pa.array([robots], pa.string())}),
+        os.path.join(out, "robots.parquet"),
+    )
+
+    def urlset(js):
+        locs = "".join(f"<url><loc>{faults.page_url(_SM_HOST, j)}</loc></url>"
+                       for j in js)
+        return (
+            '<?xml version="1.0"?><urlset '
+            f'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{locs}</urlset>'
+        ).encode()
+
+    index = (
+        '<?xml version="1.0"?><sitemapindex '
+        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<sitemap><loc>{base}/sm-a.xml.gz</loc></sitemap>"
+        f"<sitemap><loc>{base}/sm-b.xml</loc></sitemap>"
+        f"<sitemap><loc>{base}/sitemap-index.xml.gz</loc></sitemap>"  # cycle
+        f"<sitemap><loc>{base}/missing.xml</loc></sitemap>"  # unknown doc
+        "</sitemapindex>"
+    ).encode()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(
+                    [f"{base}/sitemap-index.xml.gz", f"{base}/sm-a.xml.gz",
+                     f"{base}/sm-b.xml"],
+                    pa.string(),
+                ),
+                "body": pa.array(
+                    [_gzip.compress(index), _gzip.compress(urlset([1, 2, 3])),
+                     urlset([4, 5])],
+                    pa.binary(),
+                ),
+            }
+        ),
+        os.path.join(out, "sitemap_docs.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([_SM_HOST], pa.string()),
+                "host_index": pa.array([0], pa.int32()),
+                "n_pages": pa.array([6], pa.int32()),
+                "host_hash": pa.array([fxgen.host_hash(_SM_HOST)], pa.uint64()),
+            }
+        ),
+        os.path.join(out, "hosts.parquet"),
+    )
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"n_parts": 1}, f)
+    return out
+
+
+def test_sitemap_index_recursion_equivalence(ray_session, sitemap_index_corpus):
+    """Robots ``Sitemap:`` directive -> gzip sitemap-index -> gzip + plain
+    child urlsets: all listed pages crawled, cycle and missing-doc entries
+    ignored, engine==oracle; with sitemap_seeds off only the seed page is
+    reachable (the corpus has no links)."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.oracle import run_oracle
+
+    cfg = CrawlConfig(allowed_domains=("example",), sitemap_seeds=True,
+                      num_shards=2)
+    s = crawl(sitemap_index_corpus, "/tmp/crawl_out/smx-eq", cfg=cfg)
+    o = run_oracle(sitemap_index_corpus, cfg)
+    assert {k: s.totals[k] for k in o.totals()} == o.totals()
+    assert s.total_fetched == o.totals()["fetched"] == 6
+
+    t = pq.read_table("/tmp/crawl_out/smx-eq/results",
+                      columns=["url", "status", "parent_url"])
+    fetched = {u for u, st in zip(t["url"].to_pylist(), t["status"].to_pylist())
+               if st == 200}
+    assert fetched == {faults.page_url(_SM_HOST, j) for j in range(6)}
+    parents = set(t["parent_url"].to_pylist())
+    assert f"sitemap:{_SM_HOST}" in parents
+
+    # the control: without the traversal, pages 1-5 are unreachable
+    o_plain = run_oracle(
+        sitemap_index_corpus,
+        CrawlConfig(allowed_domains=("example",), num_shards=2),
+    )
+    assert o_plain.totals()["fetched"] == 1

@@ -215,6 +215,8 @@ def test_autothrottle_accumulates_measured_latency_in_net_mode(ray_session):
                 "retry_count": pa.array([0], pa.int32()),
                 "redirect_count": pa.array([0], pa.int32()),
                 "skip_dedup": [True],
+                "cookiejar": pa.array([0], pa.int32()),
+                "meta_proxy": [""],
                 "round": pa.array([0], pa.int32()),
                 "fetch_seq_in_host": pa.array([0], pa.int32()),
                 "fetch_vtime": pa.array([0.0], pa.float64()),

@@ -218,3 +218,116 @@ def test_effective_proxy_conforms_to_cpython_bypass():
             got = effective_proxy(f"http://{h}/p/0", px, np_)
             assert (got == "") == expect_bypass, (h, np_, got)
             assert _oracle_proxy(h, px, np_) == got, (h, np_)
+
+
+def test_charset_guess_precedence5():
+    """P2 precedence 5 (the chardet slot of w3lib's html_to_unicode,
+    filled by the run-length heuristic): undeclared legacy pages decode
+    back to their true text byte-exactly; declared/meta/BOM/valid-UTF-8
+    pages are untouched by the guess."""
+    from scrapy__ray.functions.encoding import decode_html, guess_charset
+
+    ru = "Пример страницы на русском языке — длинные слова кириллицей."
+    fr = "Un été à Genève: café, crème brûlée, déjà vu, garçon, où ça?"
+    de = "Die Küche in München: schön, größer, Straße, fünf Häuser."
+    page = "<html><body><p>{}</p></body></html>"
+
+    assert guess_charset(page.format(ru).encode("cp1251")) == "cp1251"
+    assert guess_charset(page.format(fr).encode("latin-1")) == "cp1252"
+    assert guess_charset(page.format(de).encode("latin-1")) == "cp1252"
+    # whole round trip through the extract-facing decoder
+    assert decode_html(page.format(ru).encode("cp1251")) == page.format(ru)
+    assert decode_html(page.format(fr).encode("latin-1")) == page.format(fr)
+    # valid UTF-8 (incl. pure ASCII) never reaches the legacy guess
+    assert guess_charset(page.format(ru).encode("utf-8")) == "utf-8"
+    assert guess_charset(b"plain ascii only") == "utf-8"
+    # declared charset still outranks the guess (precedence 1)
+    assert decode_html(page.format(ru).encode("cp1251"), declared="cp1251") == page.format(ru)
+
+
+def test_charset_guess_crawl_byte_identity(ray_session, tmp_path):
+    """End-to-end over the engine: a corpus of UNDECLARED cp1251 and
+    latin-1 pages (no meta, no BOM) must extract byte-identical text —
+    the input_hint's per-row invariant through the new precedence-5 path."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import fixtures.gen as fxgen
+    from fixtures import faults
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.functions.textextract import extract_text
+
+    host = "enc0.example"
+    texts = {
+        0: "Стартовая страница — русский текст без объявления кодировки",
+        1: "Une page française sans déclaration d'encodage: été, garçon",
+        2: "Noch eine Seite: Müller, Straße, größer, schön und fünf",
+    }
+    encs = {0: "cp1251", 1: "latin-1", 2: "latin-1"}
+    out = str(tmp_path / "enc-corpus")
+    os.makedirs(os.path.join(out, "pages"))
+    urls, htmls = [], []
+    for j, txt in texts.items():
+        links = "".join(
+            f'<a href="/p/{k}">x</a>' for k in range(j + 1, len(texts))
+        )
+        urls.append(faults.page_url(host, j))
+        htmls.append(
+            f"<html><body><p>{txt}</p>{links}</body></html>".encode(encs[j])
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([fxgen.EPOCH] * len(urls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array([extract_text(h) for h in htmls], pa.string()),
+                "lang": pa.array(["xx"] * len(urls), pa.string()),
+            },
+            schema=fxgen.PAGES_SCHEMA,
+        ),
+        os.path.join(out, "pages", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": pa.array([urls[0]], pa.string()),
+                  "seed_order": pa.array([0], pa.int32())}),
+        os.path.join(out, "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table({"host": pa.array([host], pa.string()),
+                  "robots_txt": pa.array(["User-agent: *\nAllow: /\n"], pa.string())}),
+        os.path.join(out, "robots.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([host], pa.string()),
+                "host_index": pa.array([0], pa.int32()),
+                "n_pages": pa.array([len(urls)], pa.int32()),
+                "host_hash": pa.array([fxgen.host_hash(host)], pa.uint64()),
+            }
+        ),
+        os.path.join(out, "hosts.parquet"),
+    )
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"n_parts": 1}, f)
+
+    from scrapy__ray.config import CrawlConfig
+
+    crawl(out, str(tmp_path / "enc-out"),
+          cfg=CrawlConfig(allowed_domains=("example",), num_shards=2))
+    res = pq.read_table(str(tmp_path / "enc-out") + "/results",
+                        columns=["url", "status", "extracted_text"])
+    got = {
+        u: t
+        for u, s, t in zip(res["url"].to_pylist(), res["status"].to_pylist(),
+                           res["extracted_text"].to_pylist())
+        if s == 200
+    }
+    for j, txt in texts.items():
+        u = faults.page_url(host, j)
+        if u in got:  # fault model may 404/retry some page; 200s must match
+            assert txt in got[u], (j, got[u])
+    assert sum(1 for j in texts if faults.page_url(host, j) in got) >= 2
