@@ -317,6 +317,7 @@ _FUNCS = {
     "ceiling": (1, 1),
     "round": (1, 1),
     "id": (1, 1),
+    "lang": (1, 1),
 }
 
 
@@ -988,6 +989,26 @@ def _eval_expr(e, item, pos: int, size: int, env: _Env):
                 if nd is not None:
                     hits[id(nd)] = nd
             return sorted(hits.values(), key=env.sort_key)
+        if n == "lang":
+            # §4.3: the context node's language — nearest self-or-ancestor
+            # xml:lang — equals the argument or is a sublanguage of it
+            # ('-' suffix ignored), case-insensitive; no attribute -> false.
+            # HTML adaptation (documented divergence from lxml, which reads
+            # xml:lang only): the HTML ``lang`` attribute is accepted as a
+            # fallback on each node, since real pages declare language there.
+            want = _to_string(args[0]).lower()
+            nd = item
+            if isinstance(nd, AttrItem):
+                nd = nd.owner
+            elif isinstance(nd, TextItem):
+                nd = nd.parent
+            while nd is not None:
+                v = nd.attrs.get("xml:lang") or nd.attrs.get("lang")
+                if v:
+                    have = v.lower()
+                    return have == want or have.startswith(want + "-")
+                nd = nd.parent
+            return False
         if n == "true":
             return True
         return False  # false()

@@ -1136,12 +1136,22 @@ def emb_knn_graph(sf_dir: str, k: int = _KNN_K, force_exact: bool = False):
         out_refs.append(pair_task.remote(block_refs[i], None, k))
         for j in range(i + 1, len(block_refs)):
             out_refs.append(pair_task.remote(block_refs[i], block_refs[j], k))
-    # candidate tables stay IN the object store: from_arrow_refs wraps the
-    # task outputs as Dataset blocks without a driver ray.get + re-put
-    # round trip (round-4 review item 5; the volume is bounded at
-    # O(N·blocks·k) rows by the EXACT_COS_MAX_ROWS guard above, but the
-    # driver never needs to hold it)
-    cands = rd.from_arrow_refs(out_refs)
+    # candidate tables stay IN the object store: remote coalesce tasks
+    # concat ~32 pair-task outputs each, then from_arrow_refs wraps the
+    # few coalesced blocks as a Dataset — no driver ray.get + re-put round
+    # trip (round-4 review item 5), and no B²-tiny-block Dataset either
+    # (wrapping the raw pair outputs directly was measured 9x slower at
+    # sf0.1/32cpu: per-block task overhead through the exchange dominates)
+    @ray.remote
+    def _coalesce(*tbls: pa.Table) -> pa.Table:
+        return pa.concat_tables(tbls)
+
+    group = 32
+    cat_refs = [
+        _coalesce.remote(*out_refs[i : i + group])
+        for i in range(0, len(out_refs), group)
+    ]
+    cands = rd.from_arrow_refs(cat_refs)
 
     def topk_merge(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

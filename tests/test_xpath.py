@@ -163,7 +163,7 @@ BAD = [
     "",
     "//",
     "//a | 3",  # union operands must be paths
-    "lang(//a)",  # unsupported function parses as a path + trailing junk
+    "document('x')",  # unsupported function (XSLT, not XPath 1.0 core)
 ]
 
 
@@ -447,3 +447,39 @@ def test_id_function():
     assert xpath_select(dom, "count(id(//li/@data-ref))") == 2.0
     # composes with paths
     assert xpath_select(dom, "id('b')/span/text()") != []
+
+
+def test_lang_function():
+    """§4.3 lang(): nearest self-or-ancestor xml:lang (HTML ``lang``
+    accepted as fallback — documented divergence), case-insensitive,
+    '-' sublanguage suffix ignored; no attribute anywhere -> false."""
+    from scrapy__ray.functions.cssselect import parse_dom
+
+    html = (
+        '<html lang="en"><body>'
+        '<div xml:lang="en-US"><p id="us">a</p></div>'
+        '<div lang="FR"><p id="fr">b</p><span lang="de" id="de">c</span></div>'
+        "</body></html>"
+    )
+    dom = parse_dom(html)
+    # inherited from <html lang="en">
+    assert xpath_select(dom, "count(//body[lang('en')])") == 1.0
+    # xml:lang="en-US" matches 'en' (sublanguage) and 'en-us' (case-fold)
+    assert [n.attrs["id"] for n in xpath_select(dom, "//p[lang('en')]")] == [
+        "us"
+    ]
+    assert xpath_select(dom, "count(//p[@id='us'][lang('en-US')])") == 1.0
+    assert xpath_select(dom, "count(//p[@id='us'][lang('en-GB')])") == 0.0
+    # nearest ancestor wins: the fr div overrides the html root
+    assert [n.attrs["id"] for n in xpath_select(dom, "//p[lang('fr')]")] == [
+        "fr"
+    ]
+    assert xpath_select(dom, "count(//span[lang('de')])") == 1.0
+    assert xpath_select(dom, "count(//span[lang('fr')])") == 0.0
+    # 'en' does NOT match a bare prefix request for 'en-US'
+    assert xpath_select(dom, "count(//body[lang('en-US')])") == 0.0
+    # text node context resolves through its parent element
+    assert xpath_select(dom, "count(//p[@id='fr']/text()[lang('fr')])") == 1.0
+    # attributeless document -> false everywhere
+    dom2 = parse_dom("<html><body><p>x</p></body></html>")
+    assert xpath_select(dom2, "count(//p[lang('en')])") == 0.0
