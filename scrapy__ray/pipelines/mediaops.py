@@ -141,9 +141,10 @@ class _ResizeEmbed:
         return pa.table(cols)
 
 
-def _resize_embed_over(ds):
+def _resize_embed_over(ds, concurrency: int = 2):
     out = ds.map_batches(
-        _ResizeEmbed, concurrency=2, batch_size=128, batch_format="pyarrow"
+        _ResizeEmbed, concurrency=concurrency, batch_size=64,
+        batch_format="pyarrow",
     )
     return collect_arrow(
         out,
@@ -168,7 +169,9 @@ def media_png_resize_embed(sf_dir: str):
     channels dropped at decode per the image_decode_rgb contract."""
     from scrapy__ray.sources.media import read_png
 
-    return _resize_embed_over(read_png(sf_dir, columns=["doc_id", "image"]))
+    return _resize_embed_over(
+        read_png(sf_dir, columns=["doc_id", "image"]), concurrency=8
+    )
 
 
 def _ahash64(px: np.ndarray) -> int:
@@ -194,7 +197,9 @@ def _ahash_dups_over(ds):
             {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
         )
 
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    # small batches so the decode fans out across the task pool (a single
+    # parquet-block-sized batch serializes 5k decodes into a few tasks)
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=64)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, h_out = [], [], []
@@ -278,8 +283,11 @@ def media_png_stats(sf_dir: str):
     from scrapy__ray.sources.media import read_png
 
     ds = read_png(sf_dir, columns=["doc_id", "image"])
+    # wider pool than the BMP family: a real PNG decode (inflate + filter
+    # reconstruction) costs ~10x a vectorized BMP slice, so 2 actors
+    # starve the stage (measured 5.1 s -> the pool is the bottleneck)
     out = ds.map_batches(
-        _PngStats, concurrency=2, batch_size=128, batch_format="pyarrow"
+        _PngStats, concurrency=8, batch_size=64, batch_format="pyarrow"
     )
     return collect_arrow(
         out,

@@ -144,13 +144,18 @@ def media_mirror(sf_dir: str) -> str:
 
 
 def read_images(sf_dir: str, columns: list[str] | None = None):
-    """Dataset over the BMP mirror (column-pruned parquet read)."""
+    """Dataset over the BMP mirror (column-pruned parquet read, split
+    into many blocks: the mirror is ONE parquet file, and a one-block read
+    serializes every downstream decode into a single map task no matter
+    the stage's concurrency)."""
     import ray.data as rd
 
     from scrapy__ray.pipelines.util import ensure_ctx
 
     ensure_ctx()
-    return rd.read_parquet(media_mirror(sf_dir), columns=columns)
+    return rd.read_parquet(
+        media_mirror(sf_dir), columns=columns, override_num_blocks=32
+    )
 
 
 # ------------------------------------------------------------- audio (WAV)
@@ -224,13 +229,18 @@ def audio_mirror(sf_dir: str) -> str:
 
 
 def read_audio(sf_dir: str, columns: list[str] | None = None):
-    """Dataset over the WAV mirror (column-pruned parquet read)."""
+    """Dataset over the WAV mirror (column-pruned parquet read, split
+    into many blocks: the mirror is ONE parquet file, and a one-block read
+    serializes every downstream decode into a single map task no matter
+    the stage's concurrency)."""
     import ray.data as rd
 
     from scrapy__ray.pipelines.util import ensure_ctx
 
     ensure_ctx()
-    return rd.read_parquet(audio_mirror(sf_dir), columns=columns)
+    return rd.read_parquet(
+        audio_mirror(sf_dir), columns=columns, override_num_blocks=32
+    )
 
 
 # ---------------------------------------------------------------- video
@@ -312,13 +322,18 @@ def video_mirror(sf_dir: str) -> str:
 
 
 def read_video(sf_dir: str, columns: list[str] | None = None):
-    """Dataset over the video mirror (column-pruned parquet read)."""
+    """Dataset over the video mirror (column-pruned parquet read, split
+    into many blocks: the mirror is ONE parquet file, and a one-block read
+    serializes every downstream decode into a single map task no matter
+    the stage's concurrency)."""
     import ray.data as rd
 
     from scrapy__ray.pipelines.util import ensure_ctx
 
     ensure_ctx()
-    return rd.read_parquet(video_mirror(sf_dir), columns=columns)
+    return rd.read_parquet(
+        video_mirror(sf_dir), columns=columns, override_num_blocks=32
+    )
 
 
 # ----------------------------------------------------------------- PNG
@@ -456,9 +471,9 @@ def png_decode(data: bytes) -> np.ndarray:
         elif ft == 2:  # Up
             recon = (filt + prior) % 256
         elif ft == 1:  # Sub
-            recon = filt.copy()
-            for x in range(1, w):
-                recon[x] = (recon[x] + recon[x - 1]) % 256
+            # recon[x] = (filt[x] + recon[x-1]) % 256 telescopes to a
+            # cumulative sum along the row — fully vectorized
+            recon = np.cumsum(filt, axis=0) % 256
         elif ft == 3:  # Average
             recon = filt.copy()
             recon[0] = (recon[0] + prior[0] // 2) % 256
@@ -527,13 +542,18 @@ def png_mirror(sf_dir: str) -> str:
 
 
 def read_png(sf_dir: str, columns: list[str] | None = None):
-    """Dataset over the PNG mirror (column-pruned parquet read)."""
+    """Dataset over the PNG mirror (column-pruned parquet read, split
+    into many blocks: the mirror is ONE parquet file, and a one-block read
+    serializes every downstream decode into a single map task no matter
+    the stage's concurrency)."""
     import ray.data as rd
 
     from scrapy__ray.pipelines.util import ensure_ctx
 
     ensure_ctx()
-    return rd.read_parquet(png_mirror(sf_dir), columns=columns)
+    return rd.read_parquet(
+        png_mirror(sf_dir), columns=columns, override_num_blocks=32
+    )
 
 
 def image_decode_rgb(data: bytes) -> np.ndarray:
