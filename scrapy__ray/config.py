@@ -204,6 +204,15 @@ class CrawlConfig:
     # per-round results sink format. parquet is the resumable default;
     # json = JSON-lines, csv for interop (FEED_FORMAT vocabulary).
     output_format: str = "parquet"  # "parquet" | "json" | "csv"
+    # WARC response-archive sink (S4/S6 completeness; the scrapy-warcio
+    # ecosystem's export surface): when True, every 200 fetch's RAW BODY is
+    # additionally written as Common-Crawl-layout multi-member .warc.gz
+    # shards under <out>/warc/round-XXXXX/ by a tee stage between fetch
+    # and extract (extract drops html, so the tee is the last point the
+    # bytes exist).  Shards are deterministic (content-named, mtime=0,
+    # sha1 record ids) and idempotent under task retry; resume deletes
+    # partially-written later rounds exactly like the results sink.
+    warc_export: bool = False
 
     @property
     def per_host_budget(self) -> int:

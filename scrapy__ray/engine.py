@@ -48,6 +48,7 @@ from scrapy__ray.stages.crawl_stages import (
     expand_push_batch,
     extract_batch,
     fetch_batch,
+    warc_tee_batch,
 )
 from scrapy__ray.pipelines.util import _install_log_filter
 from scrapy__ray.stages.stats import StatsCollector
@@ -163,13 +164,15 @@ class CrawlEngine:
             # pre-resume per-round metrics: replayed into run() so a resumed
             # run's metrics.parquet equals an uninterrupted run's
             self._prior_round_metrics = st.get("round_metrics", [])
-            # drop any partially-written later round outputs
-            res_root = os.path.join(out_dir, "results")
-            if os.path.isdir(res_root):
-                for d in sorted(os.listdir(res_root)):
-                    r = int(d.rsplit("-", 1)[1])
-                    if r > st["round"]:
-                        shutil.rmtree(os.path.join(res_root, d))
+            # drop any partially-written later round outputs (the WARC
+            # sink follows the results sink's round-directory contract)
+            for sub in ("results", "warc"):
+                root = os.path.join(out_dir, sub)
+                if os.path.isdir(root):
+                    for d in sorted(os.listdir(root)):
+                        r = int(d.rsplit("-", 1)[1])
+                        if r > st["round"]:
+                            shutil.rmtree(os.path.join(root, d))
         else:
             if os.path.exists(out_dir):
                 shutil.rmtree(out_dir)
@@ -349,24 +352,35 @@ class CrawlEngine:
 
             t_ph = time.monotonic()
             ds = ray.data.from_arrow_refs(sched_refs)
-            results = (
-                ds.map_batches(
+            fetched = ds.map_batches(
+                partial(
+                    fetch_batch,
+                    corpus_dir=self.corpus_dir,
+                    download_maxsize=cfg.download_maxsize,
+                    cache_dir=(
+                        os.path.join(self.out_dir, "httpcache")
+                        if cfg.http_cache
+                        else None
+                    ),
+                    registry=self.registry,
+                    download_timeout=cfg.download_timeout,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            if cfg.warc_export:
+                # S4 WARC sink: tee the raw bodies out BEFORE extract
+                # drops the html column (see warc_tee_batch)
+                fetched = fetched.map_batches(
                     partial(
-                        fetch_batch,
-                        corpus_dir=self.corpus_dir,
-                        download_maxsize=cfg.download_maxsize,
-                        cache_dir=(
-                            os.path.join(self.out_dir, "httpcache")
-                            if cfg.http_cache
-                            else None
-                        ),
-                        registry=self.registry,
-                        download_timeout=cfg.download_timeout,
+                        warc_tee_batch,
+                        warc_dir=os.path.join(self.out_dir, "warc"),
                     ),
                     batch_format="pyarrow",
                     batch_size=None,
                 )
-                .map_batches(
+            results = (
+                fetched.map_batches(
                     partial(extract_batch, ajax_detect=cfg.ajaxcrawl_enabled),
                     batch_format="pyarrow",
                     batch_size=None,

@@ -425,6 +425,57 @@ def _fetch_batch_net(
     )
 
 
+# ---------------------------------------------------------------- warc tee
+#: WARC-Date base for fetch_vtime (virtual seconds) -> absolute time:
+#: pinned to the corpus epoch AS UTC so record dates are deterministic
+#: (machine-TZ-independent) and a resumed run rewrites identical shards
+def _warc_epoch_us() -> int:
+    from datetime import timezone
+
+    return int(
+        fxgen.EPOCH.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+
+
+_WARC_EPOCH_US = _warc_epoch_us()
+
+
+def warc_tee_batch(batch: pa.Table, *, warc_dir: str) -> pa.Table:
+    """Pass-through tee between fetch and extract (S4 WARC sink): every
+    STATUS_OK row's raw body becomes a WARC/1.0 response record in one
+    multi-member ``.warc.gz`` shard per (round, batch).  The shard name is
+    the sha1 of (round, urls) — the same identity as the push batch_sig —
+    so a retried task atomically rewrites the SAME file with the SAME
+    bytes (content-derived record ids, mtime=0 gzip members).  Rows with
+    no body (errors, redirects, cache-miss 404s) are skipped, matching a
+    web archive's response-records-only layout."""
+    import os
+
+    from scrapy__ray.sources.warc import write_warc_shard
+
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    rnd = batch["round"][0].as_py()
+    urls = batch["url"].to_pylist()
+    statuses = batch["status"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    vtimes = batch["fetch_vtime"].to_pylist()
+    rows = [
+        (u, _WARC_EPOCH_US + int(v * 1_000_000), h)
+        for u, st, h, v in zip(urls, statuses, htmls, vtimes)
+        if st == faults.STATUS_OK and h is not None
+    ]
+    if rows:
+        sig = hashlib.sha1(
+            (str(rnd) + "\x00" + "\x00".join(urls)).encode()
+        ).hexdigest()
+        d = os.path.join(warc_dir, f"round-{rnd:05d}")
+        os.makedirs(d, exist_ok=True)
+        write_warc_shard(rows, os.path.join(d, f"{sig}.warc.gz"))
+    return batch
+
+
 # ----------------------------------------------------------------- extract
 #: M15 detection (scrapy/utils/response.py::_has_ajaxcrawlable_variant):
 #: <meta name="fragment" content="!"> scanned over the first 4096 raw

@@ -167,3 +167,78 @@ def test_warc_mirror_cache_invalidates_on_source_change(tmp_path):
     d2 = warc_mirror(corpus)
     assert d1 == d2
     assert os.stat(os.path.join(d2, "_COMPLETE")).st_mtime_ns == m1
+
+
+def test_crawl_warc_sink_roundtrip(ray_session, tmp_path):
+    """S4 WARC sink: with warc_export=True the crawl tees every 200
+    body into per-(round, batch) .warc.gz shards; parsing ALL shards
+    reproduces exactly the set of (url, html-bytes) the corpus served to
+    200-fetched urls — and the shard set is deterministic (two fresh
+    crawls byte-identical file-for-file)."""
+    import fixtures.gen as fxgen
+    from scrapy__ray.config import CrawlConfig
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.sources.warc import parse_warc
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+    cfg = CrawlConfig(warc_export=True)
+
+    def run(out):
+        crawl(corpus, out, cfg=cfg)
+        got: dict[str, bytes] = {}
+        shard_hashes = {}
+        for p in sorted(glob.glob(os.path.join(out, "warc", "*", "*.warc.gz"))):
+            with open(p, "rb") as f:
+                data = f.read()
+            shard_hashes[os.path.relpath(p, out)] = hashlib.sha1(data).hexdigest()
+            urls, ts, htmls = parse_warc(data)
+            for u, h in zip(urls, htmls):
+                got[u] = h
+        return out, got, shard_hashes
+
+    out, got, hashes = run(str(tmp_path / "w1"))
+
+    # every 200-status result row has its exact corpus body archived
+    res = pq.read_table(os.path.join(out, "results"),
+                        columns=["url", "status"])
+    ok_urls = {u for u, st in zip(res["url"].to_pylist(),
+                                  res["status"].to_pylist()) if st == 200}
+    pages = pq.read_table(os.path.join(corpus, "pages"),
+                          columns=["url", "html"])
+    expect = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    archived_expected = {u for u in ok_urls if u in expect}
+    assert archived_expected and set(got) == archived_expected
+    for u in got:
+        assert got[u] == expect[u], u
+
+    # determinism: a second fresh crawl writes the identical shard set
+    _, got2, hashes2 = run(str(tmp_path / "w2"))
+    assert hashes == hashes2 and got2 == got
+
+
+def test_crawl_warc_sink_resume_drops_partial_rounds(ray_session, tmp_path):
+    """Resume contract parity with the results sink: WARC round dirs past
+    the last committed checkpoint are dropped and rewritten, so a killed
+    run's archive equals an uninterrupted run's."""
+    import fixtures.gen as fxgen
+    from scrapy__ray.config import CrawlConfig
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.sources.warc import parse_warc
+
+    corpus = fxgen.generate("sf-small", fxgen.default_dir("sf-small"))
+
+    def warc_map(out):
+        got = {}
+        for p in sorted(glob.glob(os.path.join(out, "warc", "*", "*.warc.gz"))):
+            with open(p, "rb") as f:
+                urls, _ts, htmls = parse_warc(f.read())
+            got.update(zip(urls, htmls))
+        return got
+
+    full = str(tmp_path / "full")
+    crawl(corpus, full, cfg=CrawlConfig(warc_export=True))
+
+    part = str(tmp_path / "part")
+    crawl(corpus, part, cfg=CrawlConfig(warc_export=True, max_rounds=3))
+    crawl(corpus, part, cfg=CrawlConfig(warc_export=True), resume=True)
+    assert warc_map(part) == warc_map(full)
