@@ -141,7 +141,8 @@ class _ResizeEmbed:
         return pa.table(cols)
 
 
-def _resize_embed_over(ds, concurrency: int = 2):
+def _resize_embed_over(ds, concurrency=2):
+    # tuple concurrency = autoscaling pool (min, max) — see media_png_stats
     out = ds.map_batches(
         _ResizeEmbed, concurrency=concurrency, batch_size=64,
         batch_format="pyarrow",
@@ -170,7 +171,7 @@ def media_png_resize_embed(sf_dir: str):
     from scrapy__ray.sources.media import read_png
 
     return _resize_embed_over(
-        read_png(sf_dir, columns=["doc_id", "image"]), concurrency=8
+        read_png(sf_dir, columns=["doc_id", "image"]), concurrency=(1, 8)
     )
 
 
@@ -285,9 +286,12 @@ def media_png_stats(sf_dir: str):
     ds = read_png(sf_dir, columns=["doc_id", "image"])
     # wider pool than the BMP family: a real PNG decode (inflate + filter
     # reconstruction) costs ~10x a vectorized BMP slice, so 2 actors
-    # starve the stage (measured 5.1 s -> the pool is the bottleneck)
+    # starve the stage.  AUTOSCALING (1, 8), not a fixed 8: a fixed pool
+    # larger than the cluster deadlocks the streaming executor on small
+    # sessions (4 actors pending forever reserve the read's resources —
+    # observed as a full hang at the 4-cpu test fixture).
     out = ds.map_batches(
-        _PngStats, concurrency=8, batch_size=64, batch_format="pyarrow"
+        _PngStats, concurrency=(1, 8), batch_size=64, batch_format="pyarrow"
     )
     return collect_arrow(
         out,
