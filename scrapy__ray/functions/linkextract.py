@@ -43,6 +43,17 @@ IGNORED_EXTENSIONS = frozenset(
 _ALLOWED_SCHEMES = ("http", "https", "file", "ftp")
 _HTML5_WS = "\t\n\x0c\r "
 
+# Fast resolve+canonicalize path for the dominant real-web href shape:
+# an absolute-path reference of plain unreserved characters (no dots, so
+# no ".."/"." segments and no extension; no "%?#:@" so no quoting, query
+# sorting or authority semantics; nonempty segments so no "//").  For a
+# page url of the matching plain form (lowercase http(s) host, no port /
+# userinfo / query), RFC 3986 resolution is literally scheme://host +
+# href and canonicalize_url() is the identity — verified exhaustively by
+# tests/test_scalar_properties.py::test_link_fastpath_equals_slowpath.
+_FAST_HREF_RE = re.compile(r"^/(?:[A-Za-z0-9_\-]+/)*[A-Za-z0-9_\-]*$")
+_FAST_PREFIX_RE = re.compile(r"^(https?://[a-z0-9\-.]+)/[^?#]*$")
+
 
 def _has_ignored_extension(path: str) -> bool:
     name = path.rsplit("/", 1)[-1].lower()
@@ -85,14 +96,26 @@ def links_from_hrefs(
             key = (page_dir, base_href, href)
         canon = _memo.get(key, _MISS)
         if canon is _MISS:
-            absu = urljoin_with_base(page_url, base_href, href)
-            parts = urlsplit(absu)
-            if parts.scheme not in _ALLOWED_SCHEMES or _has_ignored_extension(
-                parts.path
-            ):
-                canon = None
-            else:
-                canon = canonicalize_url(absu)
+            if base_href is None and _FAST_HREF_RE.match(href):
+                prefix = _memo.get(("#prefix", page_url), _MISS)
+                if prefix is _MISS:
+                    m = _FAST_PREFIX_RE.match(page_url)
+                    prefix = m.group(1) if m else None
+                    _memo[("#prefix", page_url)] = prefix
+                if prefix is not None:
+                    # dot-free safe path on a plain http(s) page: resolved
+                    # url = prefix + href, already canonical, never an
+                    # ignored extension — skip urllib entirely
+                    canon = prefix + href
+            if canon is _MISS:
+                absu = urljoin_with_base(page_url, base_href, href)
+                parts = urlsplit(absu)
+                if parts.scheme not in _ALLOWED_SCHEMES or _has_ignored_extension(
+                    parts.path
+                ):
+                    canon = None
+                else:
+                    canon = canonicalize_url(absu)
             _memo[key] = canon
         if canon is None or canon in seen:
             continue

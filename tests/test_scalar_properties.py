@@ -139,3 +139,82 @@ def test_norm_ws_idempotent(s):
     once = _norm_ws(s)
     assert _norm_ws(once) == once
     assert "  " not in once and once == once.strip()
+
+
+# ------------------------------------------------- link fastpath soundness
+def _links_reference(hrefs, page_url, base_href):
+    """The pre-fastpath resolution pipeline, verbatim: urljoin_with_base ->
+    scheme/extension filters -> canonicalize_url, per-page dedup keeping
+    first occurrence.  The fastpath in links_from_hrefs must be
+    output-identical to this on EVERY input."""
+    from urllib.parse import urlsplit
+
+    from scrapy__ray.functions.linkextract import (
+        _ALLOWED_SCHEMES,
+        _HTML5_WS,
+        _has_ignored_extension,
+    )
+    from scrapy__ray.functions.url import urljoin_with_base
+
+    out, seen = [], set()
+    for href in hrefs:
+        href = href.strip(_HTML5_WS)
+        if not href:
+            continue
+        absu = urljoin_with_base(page_url, base_href, href)
+        parts = urlsplit(absu)
+        if parts.scheme not in _ALLOWED_SCHEMES or _has_ignored_extension(
+            parts.path
+        ):
+            continue
+        canon = canonicalize_url(absu)
+        if canon in seen:
+            continue
+        seen.add(canon)
+        out.append(canon)
+    return out
+
+
+_HREF_CHARS = st.sampled_from(list("abcXYZ09_-./%?#: \tqz"))
+_HREFS = st.lists(
+    st.one_of(
+        st.text(_HREF_CHARS, min_size=0, max_size=14).map(lambda s: "/" + s),
+        st.text(_HREF_CHARS, min_size=0, max_size=14),
+        st.sampled_from(
+            ["/p/1", "/p/2/", "/", "/a_b-c/x", "/p/1?q=2", "/p/1#f",
+             "/img/x.jpg", "p/3", "../up", "./here", "//other.example/p",
+             "http://h9.example/p/0", "mailto:x@y", "/p//double",
+             "/P/Upper", "/p/%41", ""],
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+_PAGES_ST = st.sampled_from(
+    [
+        "http://h0.example/p/0",
+        "https://sub.h1.example/a/b/c",
+        "http://h2.example/",
+        "http://h3.example",  # no path — prefix fastpath must decline
+        "http://H4.Example/p/0",  # uppercase host — decline
+        "http://h5.example:8080/p/0",  # port — decline
+        "http://h6.example/p/0?x=1",  # query page — decline
+    ]
+)
+_BASES_ST = st.sampled_from([None, "/base/", "http://h7.example/b/"])
+
+
+@settings(max_examples=400, deadline=None)
+@given(hrefs=_HREFS, page=_PAGES_ST, base=_BASES_ST)
+def test_link_fastpath_equals_slowpath(hrefs, page, base):
+    """links_from_hrefs (with its memo and fastpath) is output-identical
+    to the verbatim slow pipeline on arbitrary href soup — the soundness
+    gate for the dot-free absolute-path shortcut."""
+    assert links_from_hrefs(hrefs, page, base, _memo={}) == _links_reference(
+        hrefs, page, base
+    )
+    # memo reuse across repeated calls must not change results either
+    memo: dict = {}
+    for _ in range(2):
+        assert links_from_hrefs(hrefs, page, base, _memo=memo) == \
+            _links_reference(hrefs, page, base)
