@@ -239,6 +239,9 @@ def main() -> None:
     ap.add_argument("--scale", default="sf-bench")
     args = ap.parse_args()
 
+    if args.isolate and args.single_session:
+        ap.error("--isolate and --single-session are mutually exclusive")
+
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(sf_dir.rstrip("/"))

@@ -61,15 +61,10 @@ _GUESS_BYTES = 16384
 _RUN_LEN_CUTOFF = 2.5
 
 
-def guess_charset(body: bytes) -> str:
-    """Precedence-5 heuristic (see module docstring).  Deterministic and
-    cheap: strict-UTF-8 first, then one pass of run-length statistics
-    over the first _GUESS_BYTES bytes."""
-    try:
-        body.decode("utf-8", "strict")
-        return "utf-8"
-    except UnicodeDecodeError:
-        pass
+def _run_length_guess(body: bytes) -> str:
+    """The precedence-5 legacy discriminator alone (body is known NOT to
+    be valid UTF-8): one pass of high-byte run-length statistics over the
+    first _GUESS_BYTES bytes."""
     sample = body[:_GUESS_BYTES]
     runs: list[int] = []
     cur = 0
@@ -87,8 +82,20 @@ def guess_charset(body: bytes) -> str:
     return "cp1251" if mean_run >= _RUN_LEN_CUTOFF else "cp1252"
 
 
-def resolve_encoding(html: bytes, declared: str | None = None) -> tuple[str, bytes]:
-    """Return (codec_name, body_without_bom) per the precedence above."""
+def guess_charset(body: bytes) -> str:
+    """Precedence-5 heuristic (see module docstring).  Deterministic and
+    cheap: strict-UTF-8 first, then the run-length discriminator."""
+    try:
+        body.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return _run_length_guess(body)
+
+
+def _declared_or_sniffed(
+    html: bytes, declared: str | None
+) -> tuple[str | None, bytes]:
+    """Precedence 1-3: (codec | None, body_without_bom)."""
     if declared:
         enc = _normalize(declared)
         if enc:
@@ -101,9 +108,24 @@ def resolve_encoding(html: bytes, declared: str | None = None) -> tuple[str, byt
         enc = _normalize(m.group(1).decode("ascii", "replace"))
         if enc:
             return enc, html
-    return guess_charset(html), html
+    return None, html
+
+
+def resolve_encoding(html: bytes, declared: str | None = None) -> tuple[str, bytes]:
+    """Return (codec_name, body_without_bom) per the precedence above."""
+    enc, body = _declared_or_sniffed(html, declared)
+    return (enc or guess_charset(body)), body
 
 
 def decode_html(html: bytes, declared: str | None = None) -> str:
-    enc, body = resolve_encoding(html, declared)
-    return body.decode(enc, errors="replace")
+    """Decode per the precedence chain WITHOUT double work on the common
+    undeclared-UTF-8 page: the strict validation decode IS the result
+    when it succeeds (resolve_encoding + a second decode would scan the
+    body twice — this is the extract hot path)."""
+    enc, body = _declared_or_sniffed(html, declared)
+    if enc:
+        return body.decode(enc, errors="replace")
+    try:
+        return body.decode("utf-8", "strict")
+    except UnicodeDecodeError:
+        return body.decode(_run_length_guess(body), errors="replace")

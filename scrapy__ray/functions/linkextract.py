@@ -47,12 +47,16 @@ _HTML5_WS = "\t\n\x0c\r "
 # an absolute-path reference of plain unreserved characters (no dots, so
 # no ".."/"." segments and no extension; no "%?#:@" so no quoting, query
 # sorting or authority semantics; nonempty segments so no "//").  For a
-# page url of the matching plain form (lowercase http(s) host, no port /
-# userinfo / query), RFC 3986 resolution is literally scheme://host +
-# href and canonicalize_url() is the identity — verified exhaustively by
+# page url of the matching plain form (lowercase http(s) host of
+# dot-separated label segments — no leading/trailing/double dot, since
+# canonicalize_url strips a trailing root dot; no port / userinfo /
+# query), RFC 3986 resolution is literally scheme://host + href and
+# canonicalize_url() is the identity — verified exhaustively by
 # tests/test_scalar_properties.py::test_link_fastpath_equals_slowpath.
 _FAST_HREF_RE = re.compile(r"^/(?:[A-Za-z0-9_\-]+/)*[A-Za-z0-9_\-]*$")
-_FAST_PREFIX_RE = re.compile(r"^(https?://[a-z0-9\-.]+)/[^?#]*$")
+_FAST_PREFIX_RE = re.compile(
+    r"^(https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)*)/[^?#]*$"
+)
 
 
 def _has_ignored_extension(path: str) -> bool:

@@ -81,9 +81,18 @@ def run_sweep(
     # GRAFT_ORACLE_SF_DIR (default sf0.01, the driver's correctness
     # scale); a sweep at any other --sf must point them at ITS scale or
     # every non-inline-SQL query would spuriously red against sf0.01
-    # expectations.
+    # expectations.  Scoped save/restore: the SQL strings embed their
+    # paths at build time, so only oracle_sql() needs the override — a
+    # caller's own setting must survive the sweep.
+    prev = os.environ.get("GRAFT_ORACLE_SF_DIR")
     os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
-    sqls = entrymod.oracle_sql()
+    try:
+        sqls = entrymod.oracle_sql()
+    finally:
+        if prev is None:
+            os.environ.pop("GRAFT_ORACLE_SF_DIR", None)
+        else:
+            os.environ["GRAFT_ORACLE_SF_DIR"] = prev
 
     con = duckdb.connect()
     for t in TABLES:

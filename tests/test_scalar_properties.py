@@ -199,6 +199,11 @@ _PAGES_ST = st.sampled_from(
         "http://H4.Example/p/0",  # uppercase host — decline
         "http://h5.example:8080/p/0",  # port — decline
         "http://h6.example/p/0?x=1",  # query page — decline
+        # trailing root dot: canonicalize_url strips it, so the fastpath
+        # MUST decline (the review-caught divergence)
+        "http://h7.example./p/0",
+        "http://.h8.example/p/0",  # leading dot — decline
+        "http://h9..example/p/0",  # empty label — decline
     ]
 )
 _BASES_ST = st.sampled_from([None, "/base/", "http://h7.example/b/"])
