@@ -59,10 +59,75 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
 _OPENER = urllib.request.build_opener(_NoRedirect)
 
 
+class _FtpAbort(Exception):
+    """Internal: aborts a RETR mid-transfer once maxsize is exceeded."""
+
+
+def ftp_fetch(
+    url: str, timeout: float = 15.0, maxsize: int = 1 << 30
+) -> tuple[int, bytes | None, str, float]:
+    """S3 FTP download handler over real sockets
+    (``scrapy/core/downloader/handlers/ftp.py::FTPDownloadHandler``):
+    RETR the url path over a PASV data channel, url userinfo or anonymous
+    login (the FTP_USER/FTP_PASSWORD default convention).  Status mapping
+    mirrors the handler's terminal-vs-transient split: permanent 5yz
+    replies (550 file-missing, 530 login denied) are terminal NOTFOUND;
+    transient 4yz replies and connection-level failures are retryable;
+    bodies over ``maxsize`` abort mid-transfer -> STATUS_TOOBIG."""
+    import ftplib
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(url)
+    t0 = time.monotonic()
+
+    def lat() -> float:
+        return (time.monotonic() - t0) * 1000.0
+
+    try:
+        ftp = ftplib.FTP()
+        ftp.connect(parts.hostname or "", parts.port or 21, timeout=timeout)
+        ftp.login(
+            unquote(parts.username or "") or "anonymous",
+            unquote(parts.password or ""),
+        )
+        chunks: list[bytes] = []
+        total = 0
+
+        def cb(b: bytes) -> None:
+            nonlocal total
+            total += len(b)
+            if total > maxsize:
+                raise _FtpAbort()
+            chunks.append(b)
+
+        try:
+            ftp.retrbinary(f"RETR {unquote(parts.path)}", cb)
+        except _FtpAbort:
+            try:
+                ftp.close()
+            except OSError:
+                pass
+            return faults.STATUS_TOOBIG, None, "", lat()
+        try:
+            ftp.quit()
+        except (ftplib.Error, OSError):
+            ftp.close()
+        return faults.STATUS_OK, b"".join(chunks), "", lat()
+    except ftplib.error_perm:
+        return faults.STATUS_NOTFOUND, None, "", lat()
+    except (ftplib.Error, OSError, UnicodeError):
+        # transient replies, protocol garbage, connection failures
+        return faults.STATUS_RETRY, None, "", lat()
+
+
 def http_fetch(
     url: str, timeout: float = 15.0, maxsize: int = 1 << 30
 ) -> tuple[int, bytes | None, str, float]:
-    """One real GET -> (engine status, body|None, location, latency_ms)."""
+    """One real GET -> (engine status, body|None, location, latency_ms).
+    ftp:// urls route to :func:`ftp_fetch` (scheme dispatch, the
+    DOWNLOAD_HANDLERS-dict analogue)."""
+    if url.startswith("ftp://"):
+        return ftp_fetch(url, timeout=timeout, maxsize=maxsize)
     req = urllib.request.Request(url, headers={"User-Agent": _USER_AGENT})
     t0 = time.monotonic()
     try:
@@ -108,7 +173,11 @@ def fetch_robots(base: str, timeout: float = 15.0) -> str:
     disallow everything; any other status or failure -> allow-all.
     Redirects ARE followed here (a robots fetch goes through the full
     downloader in Scrapy, so its RedirectMiddleware applies) — the
-    default urllib opener, unlike http_fetch's non-following one."""
+    default urllib opener, unlike http_fetch's non-following one.
+    robots.txt is an HTTP convention: ftp bases are allow-all (upstream's
+    RobotsTxtMiddleware only ever evaluates HTTP robots responses)."""
+    if base.startswith("ftp://"):
+        return "User-agent: *\nAllow: /\n"
     try:
         req = urllib.request.Request(
             f"{base}/robots.txt", headers={"User-Agent": _USER_AGENT}

@@ -245,3 +245,145 @@ def test_autothrottle_accumulates_measured_latency_in_net_mode(ray_session):
     assert got[True] == int(round(measured_ms * 1000.0))  # measured, in µs
     assert got[False] == faults.latency_us(url)  # simulated fault model
     assert got[True] != got[False]
+
+
+# ------------------------------------------------- S3: FTP over loopback
+class _MiniFtpHandler(socketserver.StreamRequestHandler):
+    """Minimal stdlib FTP server (USER/PASS/TYPE/PASV/RETR/QUIT subset) —
+    just enough protocol for ftplib's retrbinary path, serving
+    ``server.files`` (path -> bytes).  PASV only; one data connection per
+    RETR."""
+
+    def handle(self):  # noqa: D102
+        import socket
+
+        files = self.server.files
+        rf = self.connection.makefile("rb")
+        w = self.connection.makefile("wb")
+
+        def send(line: str) -> None:
+            w.write((line + "\r\n").encode())
+            w.flush()
+
+        send("220 mini ftp ready")
+        data_listener = None
+        try:
+            while True:
+                raw = rf.readline()
+                if not raw:
+                    break
+                line = raw.decode("latin-1").strip()
+                cmd, _, arg = line.partition(" ")
+                cmd = cmd.upper()
+                if cmd == "USER":
+                    send("331 password please")
+                elif cmd == "PASS":
+                    send("230 logged in")
+                elif cmd in ("TYPE", "NOOP"):
+                    send("200 ok")
+                elif cmd == "SYST":
+                    send("215 UNIX Type: L8")
+                elif cmd == "PASV":
+                    if data_listener is not None:
+                        data_listener.close()
+                    data_listener = socket.create_server(("127.0.0.1", 0))
+                    p = data_listener.getsockname()[1]
+                    send(f"227 Entering Passive Mode (127,0,0,1,{p >> 8},{p & 0xFF})")
+                elif cmd == "RETR":
+                    body = files.get(arg)
+                    if body is None:
+                        send("550 no such file")
+                    elif data_listener is None:
+                        send("425 use PASV first")
+                    else:
+                        send("150 opening data connection")
+                        conn, _addr = data_listener.accept()
+                        conn.sendall(body)
+                        conn.close()
+                        data_listener.close()
+                        data_listener = None
+                        send("226 transfer complete")
+                elif cmd == "QUIT":
+                    send("221 bye")
+                    break
+                else:
+                    send("502 not implemented")
+        except (OSError, ValueError):
+            pass
+        finally:
+            if data_listener is not None:
+                data_listener.close()
+
+
+@pytest.fixture(scope="module")
+def ftp_site():
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _MiniFtpHandler)
+    srv.files = {
+        "/pub/a.html": b"<html><body><p>ftp body A</p></body></html>",
+        "/pub/big.bin": b"x" * 4096,
+    }
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"ftp://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_ftp_fetch_ok_notfound_toobig(ftp_site):
+    """S3 FTP handler: real RETR over PASV returns the exact bytes; 550 is
+    terminal NOTFOUND; maxsize aborts mid-transfer as TOOBIG; a refused
+    port is retryable."""
+    from fixtures import faults
+    from scrapy__ray.sources.netfetch import ftp_fetch, http_fetch
+
+    st, body, loc, lat = ftp_fetch(f"{ftp_site}/pub/a.html")
+    assert st == faults.STATUS_OK
+    assert body == b"<html><body><p>ftp body A</p></body></html>"
+    assert lat >= 0.0 and loc == ""
+
+    # scheme dispatch through the shared entry point
+    st2, body2, _, _ = http_fetch(f"{ftp_site}/pub/a.html")
+    assert (st2, body2) == (st, body)
+
+    st, body, _, _ = ftp_fetch(f"{ftp_site}/pub/missing.html")
+    assert st == faults.STATUS_NOTFOUND and body is None
+
+    st, body, _, _ = ftp_fetch(f"{ftp_site}/pub/big.bin", maxsize=100)
+    assert st == faults.STATUS_TOOBIG and body is None
+
+    st, _, _, _ = ftp_fetch("ftp://127.0.0.1:1/pub/a.html")
+    assert st == faults.STATUS_RETRY
+
+
+def test_ftp_robots_convention():
+    """robots.txt is an HTTP convention — ftp bases are allow-all without
+    any network round trip."""
+    from scrapy__ray.sources.netfetch import fetch_robots
+
+    assert fetch_robots("ftp://127.0.0.1:1") == "User-agent: *\nAllow: /\n"
+
+
+def test_ftp_seed_crawls_through_engine(ray_session, ftp_site, tmp_path):
+    """An ftp:// seed rides the UNCHANGED engine: net corpus -> fetch over
+    the real FTP data channel -> extract byte-identity."""
+    from scrapy__ray.engine import crawl
+    from scrapy__ray.functions.textextract import extract_text
+    from scrapy__ray.sources.netfetch import build_net_corpus
+
+    corpus = build_net_corpus(
+        [f"{ftp_site}/pub/a.html"], str(tmp_path / "ftpc")
+    )
+    cfg = CrawlConfig(allowed_domains=("127.0.0.1",), max_rounds=3)
+    summary = crawl(corpus, str(tmp_path / "ftpo"), cfg=cfg)
+    assert summary.total_fetched == 1
+    res = pq.read_table(
+        str(tmp_path / "ftpo") + "/results",
+        columns=["url", "status", "extracted_text"],
+    )
+    rows = {u: (s, t) for u, s, t in zip(res["url"].to_pylist(),
+                                         res["status"].to_pylist(),
+                                         res["extracted_text"].to_pylist())}
+    u = f"{ftp_site}/pub/a.html"
+    assert rows[u][0] == 200
+    assert rows[u][1] == extract_text(
+        b"<html><body><p>ftp body A</p></body></html>"
+    )
